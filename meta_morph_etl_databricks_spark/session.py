@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference creates one tiny session per Airflow task
+(``ETL-Airflow/dags/tasks/utils.py:123-156``: local[*], 1g, 2 shuffle
+partitions, session TZ Asia/Kolkata).  We instead build ONE session per run
+and let AQE pick runtime parallelism — the per-task-session +
+materialize-through-Postgres pattern in the reference is a deployment
+artifact, not engine semantics (SURVEY.md §3.1, §7.1).
+
+All settings here are cluster-size-relative: on a real 1000-executor
+cluster only ``master`` changes; AQE coalesces the 2× over-provisioned
+shuffle partitions down to the data's true size, and skew-join splitting
+handles hot keys without manual salting in the common case.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# UTC keeps date/timestamp semantics identical between Spark, DuckDB
+# oracles, and parquet metadata.  The reference pins Asia/Kolkata
+# (utils.py:139) — a config choice, not a semantic one; pipelines take an
+# explicit `as_of` date instead of depending on session-local today().
+_SESSION_TZ = "UTC"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    AQE on: runtime coalescing of shuffle partitions, skew-join
+    splitting, and dynamic join-strategy switching — this is the
+    scale-survival layer (BASELINE.md envelope vs 100 TB target).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", _SESSION_TZ)
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,125 @@
+"""Source scans (SURVEY.md §2.1, S1–S8).
+
+The reference reads Postgres over JDBC (S1/S2), CSV feeds with inferred
+schemas (S3), parquet (S4), and driver-side JSON rows from its REST source
+(S5/S7).  Here parquet is the primary inter-stage medium (columnar,
+splittable, footer-pruned); JDBC is kept as a thin, option-compatible
+wrapper; CSV keeps the reference's positional-rename contract
+(``ingestion_tasks.py:48-52`` — the contract is column ORDER, not header
+names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S4: parquet scan.  Catalyst pushes filters + column pruning into the
+    footer-level scan — callers should select/filter declaratively and NOT
+    pre-materialize (cf. reference's manual select-after-scan,
+    m_customer_metrics_task.py:41-48, which Catalyst subsumes)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the star schema and register temp views so both the DataFrame
+    API and ``spark.sql`` (S6) see the same tables."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_parquet_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv_positional(
+    spark: SparkSession,
+    path: str,
+    column_names: list[str],
+    header: bool = True,
+    schema: Any | None = None,
+) -> DataFrame:
+    """S3 + P2: CSV scan with the reference's positional-rename contract
+    (``ingestion_tasks.py:269-289``): human-styled headers are discarded
+    and columns are renamed BY POSITION to canonical names.
+
+    ``inferSchema`` forces an extra full pass over the data — at 100 TB
+    that is a second scan, so callers should pass an explicit ``schema``;
+    inference remains the compatible default for feed-shaped inputs.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if len(df.columns) < len(column_names):
+        raise ValueError(f"CSV at {path} has {len(df.columns)} columns, expected >= {len(column_names)}")
+    return df.toDF(*column_names, *df.columns[len(column_names):])
+
+
+def read_json_rows(spark: SparkSession, rows: list[Mapping[str, Any]], column_names: list[str] | None = None) -> DataFrame:
+    """S5/S7: driver-side JSON payload (e.g. a REST response) → DataFrame.
+
+    The reference materializes ``Row(**x)`` generators
+    (``ingestion_tasks.py:44``).  This stays a driver-side boundary
+    operation for small control-plane payloads only — large feeds must
+    land as files and go through a distributed scan instead.
+    """
+    df = spark.createDataFrame(rows)  # type: ignore[arg-type]
+    if column_names:
+        df = df.toDF(*column_names)
+    return df
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: Mapping[str, str] | None = None,
+    num_partitions: int = 4,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S1: full-table JDBC scan (reference: utils.py:181-210,
+    numPartitions=4).  For real parallelism Spark needs a partition column
+    + bounds; without them numPartitions is a single-stream read — the
+    reference sets it anyway, we only forward it when it can take effect."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None and lower_bound is not None and upper_bound is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def read_jdbc_query(spark: SparkSession, url: str, query: str, properties: Mapping[str, str] | None = None) -> DataFrame:
+    """S2: pushdown-query scan — the whole SQL runs inside the source DB
+    (reference wraps it as ``(q) as subquery``, Raptor.py:19-37)."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

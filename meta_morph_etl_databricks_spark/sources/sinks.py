@@ -1,0 +1,100 @@
+"""Sinks (SURVEY.md §2.2, K1–K6) and the staged MERGE upsert (C5).
+
+Parquet partitioned by ``day_dt`` replaces the reference's
+Postgres-as-bus (SURVEY.md §7.1): the ``DAY_DT == current_date()``
+publish filter (m_push_data_to_gcs_reporting.py:26) becomes true partition
+pruning instead of a full scan, and the ``legacy`` append-history layer
+(ingestion_tasks.py:56-64,75) becomes date-partitioned appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """K2/K3: parquet write.  The reference hand-sizes output files with
+    ``repartition(2)`` (utils.py:261); at scale we let AQE coalesce and
+    bound file size with maxRecordsPerFile instead of a fixed shuffle."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_history(df: DataFrame, path: str, day_dt: str) -> None:
+    """C4 history half: stamp the load date and append into the
+    date-partitioned history table (reference: DAY_DT + append,
+    ingestion_tasks.py:56-64,75)."""
+    stamped = df.withColumn("day_dt", F.to_date(F.lit(day_dt)))
+    write_parquet(stamped, path, mode="append", partition_by=["day_dt"])
+
+
+def dual_write(df: DataFrame, raw_path: str, history_path: str, day_dt: str) -> None:
+    """C4: snapshot + history dual-write (overwrite raw.*_pre, append
+    legacy.* — ingestion_tasks.py:74-75).  One upstream plan, two sinks;
+    persist() avoids recomputing the feed for the second write."""
+    df.persist()
+    try:
+        write_parquet(df, raw_path, mode="overwrite")
+        append_history(df, history_path, day_dt)
+    finally:
+        df.unpersist()
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """K4/C5: MERGE upsert onto plain parquet.
+
+    Reference semantics (utils.py:368-433, psycopg2 MERGE): matched target
+    rows take ALL source column values; unmatched source rows are
+    inserted; unmatched target rows survive.  Without a transactional
+    table format this is the idempotent read→anti-join→union→overwrite
+    pattern; swap in Delta ``MERGE INTO`` where the runtime has it.
+
+    Scale note: the anti-join shuffles on the merge keys only; column
+    payloads ride along.  The rewrite cost is the whole target — which is
+    why the reference (and we) keep merge targets narrow per-entity marts,
+    not the fact table.
+    """
+    try:
+        target = spark.read.parquet(target_path)
+        missing = [k for k in keys if k not in target.columns]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in target {target.columns}")
+        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+    except Exception as e:  # first load: target does not exist yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        merged = source
+    # Materialize before overwriting the path we just read (no transactional
+    # store underneath): stage to a temp location pattern via localCheckpoint.
+    merged = merged.localCheckpoint(eager=True)
+    write_parquet(merged, target_path, mode="overwrite")
+    return merged
+
+
+def collect_small(df: DataFrame, limit: int = 100_000) -> list:
+    """K5 guard-railed: ``collect()`` only for bounded control-plane data.
+    The reference collects a product list for an ``isin`` filter
+    (m_customer_sales_report_task.py:85-86); at scale prefer a broadcast
+    semi-join (operators.joins.semi_join) — this helper exists for parity
+    and refuses unbounded pulls."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(f"collect_small: result exceeds {limit} rows; use a semi-join instead")
+    return rows
