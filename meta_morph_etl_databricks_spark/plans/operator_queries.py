@@ -1,0 +1,455 @@
+"""Focused single-operator queries (SURVEY.md §2.13): one declared query
+per operator family from the §2 inventory that the mart pipelines don't
+already exercise.  Spark side uses the DataFrame operator library (the
+engine surface); the oracle is the SQL-equivalent text for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec
+from ..operators.aggregates import dup_counts
+from ..operators.joins import anti_join, broadcast_dim, semi_join
+from ..sources.scans import read_parquet_table
+from .registry import register
+
+
+# ---------------------------------------------------------------- filters
+@register(
+    "q_filters_compound",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+      AND l_quantity BETWEEN 10 AND 20
+      AND CAST(l_shipdate AS DATE) > DATE '1999-01-01'
+      AND l_linestatus IN ('O', 'F')
+      AND l_tax IS NOT NULL
+    """,
+)
+def q_filters_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F4/F5/F6: equality, range, date, IN-list, NULL and
+    compound predicates — all pushed into the parquet scan by Catalyst
+    (PushedFilters visible in .explain)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "N")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate").cast("date") > F.lit("1999-01-01").cast("date"))
+        & F.col("l_linestatus").isin("O", "F")
+        & F.col("l_tax").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "q_distinct_status",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: distinct — a hash aggregate without agg functions."""
+    return read_parquet_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------- joins
+@register(
+    "q_join_using",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS nation_count
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: USING-style join on a shared key-column list (Raptor joins
+    source/target on the PK list, Raptor.py:278,447)."""
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    return (
+        nation.join(broadcast_dim(region), ["n_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("nation_count"))
+    )
+
+
+@register(
+    "q_anti_join_parts",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def q_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: left-anti — parts never sold (reference emulates with outer
+    join + NULL filter, Raptor.py:280-284; native anti skips the
+    NULL-extension)."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return anti_join(part, li, part["p_partkey"] == li["l_partkey"]).select("p_partkey", "p_name")
+
+
+@register(
+    "q_anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: the flipped (right-)anti — customers with no orders."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return anti_join(cust, orders, cust["c_custkey"] == orders["o_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "q_semi_join_f_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_semi_join_f_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 at scale: broadcast left-semi instead of the reference's
+    driver-collected isin list (m_customer_sales_report_task.py:85-86)."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return semi_join(cust, orders, cust["c_custkey"] == orders["o_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "q_self_join_agg",
+    """
+    WITH cust_avg AS (
+        SELECT o_custkey,
+               (CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0) AS BIGINT)
+                    // COUNT(*)) / 100.0 AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.avg_price
+    FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    """,
+)
+def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: aggregate joined back to detail (the loyalty-tier pattern,
+    m_customer_sales_report_task.py:204-231) — orders above their
+    customer's average value.  The average is truncated to whole cents
+    with integer arithmetic: float division + round() disagrees between
+    engines at representation boundaries (e.g. 232192.105), integer
+    cents cannot."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        (
+            F.expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0) AS BIGINT) DIV COUNT(*)") / 100.0
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+# ---------------------------------------------------------------- windows
+@register(
+    "q_window_family",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           LAG(c_acctbal) OVER w AS prev_bal,
+           LEAD(c_acctbal) OVER w AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension: the full ranking/analytic family (the reference
+    only uses row_number W1–W3; the SQL lab implies ranking semantics)."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+
+
+@register(
+    "q_window_frame_running",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def q_window_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (rowsBetween) — absent from the reference
+    (SURVEY.md §2.6) but part of a complete window layer: running spend
+    per customer in order-date order."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------- sorts / limits
+@register(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global top-k — Spark plans TakeOrderedAndProject (per-
+    partition heap + driver merge, no global sort shuffle)."""
+    return (
+        read_parquet_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_orderby_expr_limit",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY EXTRACT(MONTH FROM o_orderdate) ASC, o_orderkey ASC LIMIT 50
+    """,
+)
+def q_orderby_expr_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: ORDER BY a computed expression (Average_Order_Value.sql:13-14)
+    with a deterministic unique-key tie-break."""
+    return (
+        read_parquet_table(spark, sf_dir, "orders")
+        .orderBy(F.month("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------- aggregates
+@register(
+    "q_groupby_ordinal",
+    "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1",
+)
+def q_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: SQL ordinal GROUP BY via spark.sql (Raptor.py:449-453)."""
+    read_parquet_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1")
+
+
+@register(
+    "q_quantiles_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.8) AS p80,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 exact form: grouped percentiles (the oracle-comparable path;
+    approxQuantile with relErr 0.01 is the scale path — see
+    operators.bucketing.quantile_cutoffs)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY o_totalprice)").alias("p80"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("p95"),
+    )
+
+
+@register(
+    "q_dup_gate",
+    """
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """,
+)
+def q_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/A9: the PK-uniqueness gate's detection core (utils.py:88-119)
+    — which (orderkey, linenumber) pairs are duplicated."""
+    return dup_counts(read_parquet_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------- set ops
+@register(
+    "q_set_ops",
+    """
+    WITH f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f_cust INTERSECT SELECT o_custkey FROM o_cust)
+    UNION ALL
+    SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f_cust EXCEPT SELECT o_custkey FROM o_cust)
+    UNION ALL
+    SELECT 'o_only' AS tag, o_custkey FROM (SELECT o_custkey FROM o_cust EXCEPT SELECT o_custkey FROM f_cust)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: union / intersect / except — absent from the reference
+    (only anti-join emulations); exposed as first-class set algebra."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "o_custkey")  # noqa: E731
+    return (
+        tag(f_cust.intersect(o_cust), "both")
+        .unionByName(tag(f_cust.exceptAll(o_cust), "f_only"))
+        .unionByName(tag(o_cust.exceptAll(f_cust), "o_only"))
+    )
+
+
+# ---------------------------------------------------------------- scalar families
+@register(
+    "q_scalar_string",
+    """
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(p_name) AS name_trim,
+           regexp_replace(p_name, ' ', '_') AS name_underscore,
+           string_split(p_type, ' ')[1] AS type_head,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 5) AS name_head,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string family: concat_ws, trim, regexp_replace, split +
+    1-based element_at (Raptor.py:575-577,600-605), case, substring,
+    length."""
+    return read_parquet_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_replace("p_name", " ", "_").alias("name_underscore"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "q_scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30,
+           CAST(o_orderdate AS DATE) - 7 AS minus_7,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS days_to_asof
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date/time family: extract parts, date arithmetic (the
+    reference's ``current_date() - 4`` idiom), truncation, datediff."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).cast("int").alias("order_year"),
+        F.month(d).cast("int").alias("order_month"),
+        F.dayofmonth(d).cast("int").alias("order_day"),
+        F.quarter(d).cast("int").alias("order_quarter"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.date_sub(d, 7).alias("minus_7"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(F.lit("2001-08-02").cast("date"), d).cast("bigint").alias("days_to_asof"),
+    )
+
+
+@register(
+    "q_scalar_conditional",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'Delivered' WHEN 'O' THEN 'Open'
+                              ELSE 'Pending' END AS status_label,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority_clean,
+           GREATEST(o_totalprice, 50000.0) AS price_floor,
+           LEAST(o_totalprice, 200000.0) AS price_cap,
+           CAST(ROUND(ABS(o_totalprice - 100000.0), 2) AS DOUBLE) AS dist_from_100k,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+           o_totalprice % 100 AS price_mod
+    FROM orders
+    """,
+)
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 conditional/null + math families: chained when/otherwise,
+    coalesce, nullif, greatest/least, abs/round/floor/mod."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "Delivered")
+        .when(F.col("o_orderstatus") == "O", "Open")
+        .otherwise("Pending")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("UNSPECIFIED")).alias(
+            "priority_clean"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("price_cap"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).cast("double").alias("dist_from_100k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_bucket"),
+        (F.col("o_totalprice") % 100).alias("price_mod"),
+    )
+
+
+@register(
+    "q_scalar_array_hof",
+    """
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           COALESCE(array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ','), '') AS words_upper,
+           COALESCE(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), ','), '') AS long_words,
+           COALESCE(array_to_string(list_sort(string_split(p_name, ' ')), ','), '') AS words_sorted
+    FROM part
+    """,
+)
+def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 array/higher-order family: the reference's single lambda
+    construct is SQL transform() through expr() (Raptor.py:580-585);
+    exposed here as first-class array ops + HOFs (all Catalyst-compiled,
+    no Python).  Array outputs are joined to strings for engine-portable
+    value comparison."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.size(words).cast("int").alias("n_words"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias("words_upper"),
+        F.array_join(F.filter(words, lambda w: F.length(w) > 4), ",").alias("long_words"),
+        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
+    )

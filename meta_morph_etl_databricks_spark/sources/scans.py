@@ -35,7 +35,14 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     footer-level scan — callers should select/filter declaratively and NOT
     pre-materialize (cf. reference's manual select-after-scan,
     m_customer_metrics_task.py:41-48, which Catalyst subsumes)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos → microsecond timestamp (see session.py nanosAsLong note);
+        # DuckDB's TIMESTAMP is µs-native so both engines see equal values.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> dict[str, DataFrame]:
