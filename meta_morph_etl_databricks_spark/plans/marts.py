@@ -53,22 +53,30 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_parquet_table(spark, sf_dir, "lineitem")
     part = read_parquet_table(spark, sf_dir, "part")
 
-    master = theta_left_join(
-        broadcast_dim(supplier.select("s_suppkey", "s_name")),
-        lineitem.select("l_suppkey", "l_partkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
-        equi=F.col("s_suppkey") == F.col("l_suppkey"),
-        theta=F.col("l_returnflag") != "R",
-    ).withColumn("rev", F.expr(_REV))
+    # Scale plan: aggregate BELOW the outer join.  A left join that
+    # preserves the small dimension side cannot broadcast (the build side
+    # would be the 100 TB fact), so instead the fact is filtered by the
+    # theta predicate and partially aggregated map-side first; the tiny
+    # per-supplier aggregate then broadcast-joins back to the dimension.
+    # Equivalent to theta-in-ON + agg because the group keys come from
+    # the preserved side only and NULL groups coalesce to zero (A5).
+    qualified = lineitem.filter(F.col("l_returnflag") != "R").withColumn("rev", F.expr(_REV))
 
-    agg = master.groupBy("s_suppkey").agg(
-        money_round(F.coalesce(F.sum("rev"), F.lit(0))).alias("total_revenue"),
+    agg = qualified.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        money_round(F.sum("rev")).alias("total_revenue"),
         F.count("l_orderkey").alias("total_products_sold"),
-        F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("total_stock_sold"),
+        F.sum("l_quantity").cast("double").alias("total_stock_sold"),
     )
 
+    # Top product: pre-aggregate on the numeric (suppkey, partkey) pair
+    # (map-side combine on the narrow fact), then attach names via a
+    # broadcast and re-aggregate by name — the reference groups by NAME,
+    # and distinct parts can share one (m_supplier_performance_task.py:
+    # 132-145).
+    by_part = qualified.groupBy("l_suppkey", "l_partkey").agg(F.sum("rev").alias("rev"))
     prod_rev = (
-        master.join(broadcast_dim(part.select("p_partkey", "p_name")), master["l_partkey"] == F.col("p_partkey"))
-        .groupBy("s_suppkey", "p_name")
+        by_part.join(broadcast_dim(part.select("p_partkey", "p_name")), by_part["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"), "p_name")
         .agg(money_round(F.sum("rev")).alias("product_revenue"))
     )
     w = Window.partitionBy("s_suppkey").orderBy(F.desc("product_revenue"), F.asc("p_name"))
@@ -79,14 +87,15 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        agg.join(broadcast_dim(supplier.select("s_suppkey", "s_name")), "s_suppkey", "left")
+        supplier.select("s_suppkey", "s_name")
+        .join(broadcast_dim(agg), "s_suppkey", "left")
         .join(broadcast_dim(top), "s_suppkey", "left")
         .select(
             F.col("s_suppkey").alias("supplier_id"),
             F.col("s_name").alias("supplier_name"),
-            "total_revenue",
-            "total_products_sold",
-            "total_stock_sold",
+            money_round(F.coalesce(F.col("total_revenue"), F.lit(0))).alias("total_revenue"),
+            F.coalesce(F.col("total_products_sold"), F.lit(0)).alias("total_products_sold"),
+            F.coalesce(F.col("total_stock_sold"), F.lit(0)).cast("double").alias("total_stock_sold"),
             "top_product",
         )
     )
@@ -155,22 +164,30 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lineitem = read_parquet_table(spark, sf_dir, "lineitem")
 
-    master = theta_left_join(
-        broadcast_dim(part),
-        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
-        equi=F.col("p_partkey") == F.col("l_partkey"),
-        theta=F.col("l_returnflag") != "R",
+    # Same agg-below-outer-join rewrite as supplier_performance: filter
+    # the fact by the theta predicate, partially aggregate per part key
+    # (map-side combine), then broadcast the small aggregate onto the
+    # dimension — the multi-key groupBy over product attributes (A8)
+    # becomes a post-join projection because the extra keys are
+    # functionally dependent on p_partkey.
+    qualified = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag").filter(
+        F.col("l_returnflag") != "R"
     ).withColumn("rev", F.expr(_REV))
-
-    agg = master.groupBy("p_partkey", "p_name", "category", "stock_quantity", "reorder_level", "cost_price").agg(
-        money_round(F.coalesce(F.sum("rev"), F.lit(0))).alias("total_sales_amount"),
-        F.when(
-            F.sum("l_quantity") > 0,
-            F.round(F.coalesce(F.sum("rev").cast("double") / F.sum("l_quantity"), F.lit(0.0)), 2),
+    per_part = qualified.groupBy("l_partkey").agg(
+        F.sum("rev").alias("sum_rev"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+    agg = (
+        part.join(broadcast_dim(per_part), F.col("p_partkey") == F.col("l_partkey"), "left")
+        .withColumn("total_sales_amount", money_round(F.coalesce(F.col("sum_rev"), F.lit(0))))
+        .withColumn(
+            "avg_sale_price",
+            F.when(
+                F.col("sum_qty") > 0,
+                F.round(F.coalesce(F.col("sum_rev").cast("double") / F.col("sum_qty"), F.lit(0.0)), 2),
+            ).otherwise(F.lit(0.0)),
         )
-        .otherwise(F.lit(0.0))
-        .alias("avg_sale_price"),
-        F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("total_quantity_sold"),
+        .withColumn("total_quantity_sold", F.coalesce(F.col("sum_qty"), F.lit(0)).cast("double"))
     )
 
     return (
@@ -259,27 +276,53 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"
     )
 
-    # Fact side assembled first (orders ⨝ lineitem shuffles once on
-    # orderkey), then joined to the customer dimension — at 100 TB the
-    # dimension is broadcast; the fact join is the only big shuffle.
-    sales = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left")
-    full = customer.join(sales, F.col("c_custkey") == F.col("o_custkey"), "left").withColumn("rev", F.expr(_REV))
+    # Scale plan: the fact is reduced in two stages BEFORE the customer
+    # dimension appears — lineitem pre-aggregates per order (map-side
+    # combine, one shuffle on orderkey), the order-grain result
+    # aggregates per customer (shuffle of pre-combined partials on
+    # custkey), and only then joins the dimension.  Joining customers
+    # into the raw fact first (as the reference does,
+    # m_customer_metrics_task.py:77-98) would drag name/city/email
+    # payloads through the widest shuffle.  Line-grain count semantics
+    # are preserved by weighting order-level flags with the line count
+    # (an order with no lines still contributed ONE null-extended row in
+    # the reference's line-grain aggregate → greatest(n_lines, 1)).
+    line_per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum(dec("l_extendedprice")).alias("sum_price"),
+        F.sum(dec("l_extendedprice") * dec("l_tax")).alias("sum_ship_cost"),
+        F.sum(dec("l_extendedprice") * dec("l_discount")).alias("sum_savings"),
+    )
+    ord_full = orders.join(line_per_order, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    line_weight = F.greatest(F.col("n_lines"), F.lit(1))
+
+    per_cust = ord_full.groupBy("o_custkey").agg(
+        F.sum("sum_qty").alias("sum_qty"),
+        F.max("max_ship").alias("max_ship"),
+        F.min("min_ship").alias("min_ship"),
+        F.sum("sum_ship_cost").alias("sum_ship_cost"),
+        F.sum("sum_price").alias("sum_price"),
+        F.sum("sum_savings").alias("sum_savings"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", line_weight).otherwise(0)).alias("delivered"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", line_weight).otherwise(0)).alias("cancelled"),
+    )
 
     agg = (
-        full.groupBy("c_custkey", "c_name")
-        .agg(
-            F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("total_orders"),
-            F.max("l_shipdate").alias("last_purchase_date"),
-            F.min("l_shipdate").alias("first_purchase_date"),
-            money_round(
-                F.coalesce(F.sum(dec("l_extendedprice") * dec("l_tax")), F.lit(0))
-            ).alias("total_shipping_cost"),
-            money_round(F.coalesce(F.sum(dec("l_extendedprice")), F.lit(0))).alias("expenditure"),
-            money_round(
-                F.coalesce(F.sum(dec("l_extendedprice") * dec("l_discount")), F.lit(0))
-            ).alias("total_amount_savings"),
-            F.count_if(F.col("o_orderstatus") == "F").alias("delivered_orders_count"),
-            F.count_if(F.col("o_orderstatus") == "P").alias("cancelled_orders_count"),
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("sum_qty"), F.lit(0)).cast("double").alias("total_orders"),
+            F.col("max_ship").alias("last_purchase_date"),
+            F.col("min_ship").alias("first_purchase_date"),
+            money_round(F.coalesce(F.col("sum_ship_cost"), F.lit(0))).alias("total_shipping_cost"),
+            money_round(F.coalesce(F.col("sum_price"), F.lit(0))).alias("expenditure"),
+            money_round(F.coalesce(F.col("sum_savings"), F.lit(0))).alias("total_amount_savings"),
+            F.coalesce(F.col("delivered"), F.lit(0)).alias("delivered_orders_count"),
+            F.coalesce(F.col("cancelled"), F.lit(0)).alias("cancelled_orders_count"),
         )
         .withColumn(
             "average_order_value",
@@ -300,16 +343,18 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    w = Window.partitionBy("c_custkey").orderBy(F.desc("pm_cnt"), F.asc("o_orderpriority"))
+    # Payment-mode rank at order grain, weighted back to line grain
+    # (count(*) over line rows == sum of per-order line weights).
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("pm_cnt"), F.asc("o_orderpriority"))
     pay_rank = (
-        full.groupBy("c_custkey", "o_orderpriority")
-        .agg(F.count("*").alias("pm_cnt"))
+        ord_full.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.sum(line_weight).alias("pm_cnt"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("c_custkey", F.col("o_orderpriority").alias("most_used_payment_mode"))
+        .select("o_custkey", F.col("o_orderpriority").alias("most_used_payment_mode"))
     )
 
-    return agg.join(pay_rank, "c_custkey", "left").select(
+    return agg.join(pay_rank, F.col("c_custkey") == F.col("o_custkey"), "left").select(
         F.col("c_custkey").alias("customer_id"),
         F.col("c_name").alias("customer_name"),
         "total_orders",
@@ -403,11 +448,16 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
         "sale_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
-    jnr = theta_left_join(
-        customer,
+    # The reference writes this as a theta LEFT join (J2) followed by an
+    # INNER product join (m_customer_sales_report_task.py:88-121) — the
+    # inner join drops every NULL-extended row again, so the composition
+    # is exactly a theta INNER join.  Planning it as inner from the start
+    # removes the preserved-side constraint, letting AQE pick sides
+    # freely for the big shuffle.
+    jnr = customer.join(
         sales,
-        equi=F.col("c_custkey") == F.col("o_custkey"),
-        theta=F.col("o_orderstatus") != "P",
+        (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "P"),
+        "inner",
     )
     master = jnr.join(broadcast_dim(part), F.col("l_partkey") == F.col("p_partkey"), "inner")
 
