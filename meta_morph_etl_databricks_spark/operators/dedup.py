@@ -1,0 +1,178 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup (the
+training-data-pipeline extension; absent from the reference).
+
+Design for 100 TB:
+- exact dedup is a single hash-groupBy on a 64-bit fingerprint (never
+  on the raw text — the shuffle carries 8 bytes + keys, not documents).
+- MinHash/LSH turns all-pairs similarity into an equi-join on band
+  keys: shingle → K minhashes → B bands → explode(B rows/doc) →
+  self-join on (band_idx, band_hash).  Shuffle volume is B rows per
+  doc, candidate comparison is per-bucket, never O(n²).
+- SimHash reduces a document to one 64-bit code; near-dup candidates
+  share a code (or a rotated band of it).
+- md5-based hashing throughout the *declared queries* so the DuckDB
+  oracle can reproduce values exactly; the library also exposes the
+  faster xxhash64 variants for production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per normalized-text
+    fingerprint.  One shuffle on the 64-bit fingerprint."""
+    return (
+        docs.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles via sequence+transform HOFs (no UDF):
+    tokens t₀..tₖ → [t₀..tₙ₋₁], [t₁..tₙ], ...  Empty when < n tokens."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+
+def _md5_hash(col: Column, seed: int) -> Column:
+    """Portable 'hash family': md5 of seed-prefixed input, as a hex
+    string — identical in Spark and DuckDB, so oracle-checkable.
+    Production path would use xxhash64(col, seed) (faster, numeric)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: per hash seed, the minimum md5 over the
+    document's shingle set (array of hex strings, length num_hashes;
+    NULLs when the document has no shingles)."""
+    sh = shingles(text, shingle_n)
+    return F.array(*[F.array_min(F.transform(sh, lambda s, i=i: _md5_hash(s, i))) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of the MinHash
+    signature.  Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale shape: explode to `bands` rows/doc → equi-join on
+    (band_idx, band_key) → pair dedup.  The self-join is banded so each
+    bucket is tiny; skewed buckets (boilerplate) are handled by AQE
+    skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(F.col(id_col), minhash_signature(text_col, num_hashes).alias("sig")).filter(
+        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), True)
+    )
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (verification
+    stage after LSH; all-pairs only for bounded inputs).  Jaccard is
+    computed on DISTINCT shingle sets via array_intersect/union HOFs.
+
+    At scale, always pass LSH ``candidates`` — the exact verify then
+    touches O(candidates), not O(n²).
+    """
+    sh = docs.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+    else:
+        pairs = (
+            candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- simhash
+def simhash64(text: Column | str, bits: int = 16, shingle_n: int = 1) -> Column:
+    """SimHash over token (or shingle) md5s: bit b of the code is the
+    sign of Σ_tokens (±1 per token depending on bit b of md5(token)).
+
+    ``bits`` defaults to 16 (not 64) to keep the all-HOF expression tree
+    compact; each bit is one conv(substr(md5)) + aggregate.  No UDF, no
+    shuffle — a map-only projection.
+    """
+    sh = F.array_distinct(shingles(text, shingle_n)) if shingle_n > 1 else F.array_distinct(tokens(text))
+    # per-token 64-bit value from the first 15 hex chars (fits a long)
+    hv = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    acc = [
+        F.aggregate(
+            sh,
+            F.lit(0),
+            lambda a, t, b=b: a + F.when(F.shiftright(hv(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(bits)
+    ]
+    code = None
+    for b, s in enumerate(acc):
+        bit = F.when(s > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        code = bit if code is None else code + bit
+    return code
+
+
+def simhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Near-dup candidates: documents with identical SimHash codes
+    (hamming-0 buckets; rotate/band the code for hamming-k at scale)."""
+    coded = docs.select(F.col(id_col), simhash64(text_col, bits).alias("simhash"))
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.simhash").alias("simhash"))
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline extension layer (BASELINE.json north star; the
+reference has no text ops, so these are new capabilities designed
+Spark-first).
+
+Everything is built from JVM-side column expressions (split, regexp,
+aggregate HOFs) — no Python in the hot path, so the operators scale to
+100 TB exactly like any relational plan: narrow projections, map-only
+where possible, one shuffle only when grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram language-ID
+# heuristic.  Deliberately minimal and deterministic — a real deployment
+# would swap in fastText/CLD3 via a pandas UDF; the heuristic keeps the
+# plumbing (schema, scoring, argmax) identical and testable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "del"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal (the BPE-ish
+    regex path is token_count's ``\\w+|[^\\w\\s]`` form)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: words plus standalone punctuation
+    (``\\w+|[^\\w\\s]``) — the cheap proxy for a BPE tokenizer's token
+    budget, as one JVM regexp pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def stopword_hits(text: Column | str, markers: list[str]) -> Column:
+    """How many tokens are in the marker set (aggregate HOF, no UDF)."""
+    toks = tokens(text)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Language-ID heuristic: argmax over per-language marker-token hit
+    counts; NULL when no marker hits at all (unknown).
+
+    Implemented as a greatest-of-structs trick: struct(hits, lang) max
+    is lexicographic, so ties break toward the lexicographically LAST
+    language code — deterministic.  One projection, no shuffle.
+    """
+    markers = markers or LANG_MARKERS
+    candidates = [
+        F.struct(stopword_hits(text, words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in markers.items()
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: mean-word-length band,
+    punctuation ratio, and alpha ratio — the length/punct/stopword
+    family every pretraining pipeline runs (C4-style gating).  Exact
+    integer/decimal arithmetic so the score is engine-portable."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(1.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (word_len_ok + (1.0 - punct_ratio) + alpha_ratio) / 3.0
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: xxhash64 over the normalized text
+    (lowercase, collapsed whitespace) — the exact-dup key.  64-bit,
+    fixed-width, shuffle-friendly."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: tokens, BPE-ish tokens, detected language,
+    quality score, fingerprint — a single map-only projection."""
+    return docs.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        lang_id(text_col).alias("detected_lang"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("doc_fingerprint"),
+    )

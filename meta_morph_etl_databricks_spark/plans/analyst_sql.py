@@ -58,7 +58,7 @@ ANALYST_SQL: dict[str, str] = {
     # Total_Order_Over_Time.sql:1-9 (SALE_DATE > current_date - 8 →
     # pinned AS_OF window; sale grain = lineitem)
     "q_sql_total_order_over_time": f"""
-        SELECT CAST(l_shipdate AS DATE) AS sale_date,
+        SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS sale_date,
                CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS total_sale_amount
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) > DATE '{AS_OF}' - 8
@@ -118,7 +118,7 @@ ANALYST_SQL: dict[str, str] = {
     "q_sql_supplier_performance_by_revenue": f"""
         WITH {_SUPPLIER_PERF}
         SELECT supplier_id,
-               SUM(total_products_sold) AS sum_products_sold,
+               CAST(SUM(total_products_sold) AS BIGINT) AS sum_products_sold,
                CAST(ROUND(SUM(CAST(total_revenue AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_revenue
         FROM supplier_perf
         GROUP BY supplier_id

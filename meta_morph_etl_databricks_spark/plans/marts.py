@@ -362,8 +362,11 @@ def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_shipping_cost",
         "expenditure",
         "average_order_value",
-        F.col("first_purchase_date").cast("date").alias("first_purchase_date"),
-        F.col("last_purchase_date").cast("date").alias("last_purchase_date"),
+        # timestamps, not dates: DATE round-trips as python objects on the
+        # Spark side but datetime64 from DuckDB — value-hash comparison is
+        # only stable when both engines emit TIMESTAMP.
+        F.col("first_purchase_date").cast("date").cast("timestamp").alias("first_purchase_date"),
+        F.col("last_purchase_date").cast("date").cast("timestamp").alias("last_purchase_date"),
         "most_used_payment_mode",
         "delivered_orders_count",
         "cancelled_orders_count",
@@ -388,8 +391,8 @@ WITH full_rows AS (
 ), agg AS (
     SELECT c_custkey, c_name,
            CAST(COALESCE(SUM(l_quantity), 0) AS DOUBLE) AS total_orders,
-           CAST(MAX(l_shipdate) AS DATE) AS last_purchase_date,
-           CAST(MIN(l_shipdate) AS DATE) AS first_purchase_date,
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS TIMESTAMP) AS last_purchase_date,
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS TIMESTAMP) AS first_purchase_date,
            CAST(ROUND(COALESCE(SUM(price * tax), 0), 2) AS DOUBLE) AS total_shipping_cost,
            CAST(ROUND(COALESCE(SUM(price), 0), 2) AS DOUBLE) AS expenditure,
            CAST(ROUND(COALESCE(SUM(price * disc), 0), 2) AS DOUBLE) AS total_amount_savings,
@@ -503,7 +506,7 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("city"),
             F.col("p_name").alias("product_name"),
             "category",
-            "sale_date",
+            F.col("sale_date").cast("timestamp").alias("sale_date"),
             "sale_month",
             "sale_year",
             F.col("l_quantity").alias("quantity"),
@@ -554,7 +557,7 @@ WITH sales AS (
 )
 SELECT e.c_custkey AS customer_id, e.c_name AS customer_name, e.sale_id,
        e.c_mktsegment AS city, e.p_name AS product_name, e.category,
-       e.sale_date, monthname(e.sale_date) AS sale_month,
+       CAST(e.sale_date AS TIMESTAMP) AS sale_date, monthname(e.sale_date) AS sale_month,
        CAST(year(e.sale_date) AS BIGINT) AS sale_year,
        e.l_quantity AS quantity, e.price, e.sale_amount, t.loyalty_tier,
        (e.p_name IN (SELECT top_product FROM top_products)) AS top_performer

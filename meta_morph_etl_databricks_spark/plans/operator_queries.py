@@ -360,14 +360,14 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_datetime",
     """
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
            CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
-           CAST(o_orderdate AS DATE) + 30 AS plus_30,
-           CAST(o_orderdate AS DATE) - 7 AS minus_7,
-           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30,
+           CAST(CAST(o_orderdate AS DATE) - 7 AS TIMESTAMP) AS minus_7,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
            datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS days_to_asof
     FROM orders
     """,
@@ -377,16 +377,17 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's ``current_date() - 4`` idiom), truncation, datediff."""
     orders = read_parquet_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
+    ts = lambda c: c.cast("timestamp")  # noqa: E731 — see marts: date outputs as TIMESTAMP
     return orders.select(
         "o_orderkey",
-        d.alias("order_date"),
+        ts(d).alias("order_date"),
         F.year(d).cast("int").alias("order_year"),
         F.month(d).cast("int").alias("order_month"),
         F.dayofmonth(d).cast("int").alias("order_day"),
         F.quarter(d).cast("int").alias("order_quarter"),
-        F.date_add(d, 30).alias("plus_30"),
-        F.date_sub(d, 7).alias("minus_7"),
-        F.date_trunc("month", d).cast("date").alias("month_start"),
+        ts(F.date_add(d, 30)).alias("plus_30"),
+        ts(F.date_sub(d, 7)).alias("minus_7"),
+        ts(F.date_trunc("month", d).cast("date")).alias("month_start"),
         F.datediff(F.lit("2001-08-02").cast("date"), d).cast("bigint").alias("days_to_asof"),
     )
 

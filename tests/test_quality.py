@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.quality import DuplicateException, assert_unique, reconcile
+
+
+def test_assert_unique_passes(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert assert_unique(orders, ["o_orderkey"]) is orders
+
+
+def test_assert_unique_raises(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(DuplicateException) as ei:
+        assert_unique(li, ["l_orderkey", "l_linenumber"])
+    assert "l_orderkey" in str(ei.value)
+
+
+def test_reconcile_identical(spark):
+    df = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "val"])
+    r = reconcile(df, df, ["id"])
+    assert r.cells.isEmpty() and r.extra_source.isEmpty() and r.extra_target.isEmpty()
+    assert r.summary.isEmpty()
+
+
+def test_reconcile_mismatch_and_extras(spark):
+    src = spark.createDataFrame([(1, "a", "10"), (2, "b", "20"), (3, "c", "30")], ["id", "name", "val"])
+    tgt = spark.createDataFrame([(1, "a", "10"), (2, "B", "20"), (4, "d", "40")], ["id", "name", "val"])
+    r = reconcile(src, tgt, ["id"])
+    cells = {(c.id, c.column_name): (c.source_value, c.target_value) for c in r.cells.collect()}
+    assert cells == {(2, "name"): ("b", "B")}
+    assert [e.id for e in r.extra_source.collect()] == [3]
+    assert [e.id for e in r.extra_target.collect()] == [4]
+    s = r.summary.collect()[0]
+    assert s.column_name == "name" and s.mismatch_count == 1
+    # 1 of 3 source rows → 33.33% (truncated basis points)
+    assert s.mismatch_pct == 33.33
+
+
+def test_reconcile_null_equals_empty(spark):
+    # reference semantics: na.fill('') makes NULL == '' (Raptor.py:553)
+    src = spark.createDataFrame([(1, None)], "id int, v string")
+    tgt = spark.createDataFrame([(1, "")], "id int, v string")
+    assert reconcile(src, tgt, ["id"]).cells.isEmpty()

@@ -53,6 +53,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        if sv.dtype.kind != dv.dtype.kind:
+            errs.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} duck={dv.dtype} (driver hash may FAIL)"
+            )
         try:
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
                 sv_f = pd.to_numeric(sv, errors="coerce").astype(float)
