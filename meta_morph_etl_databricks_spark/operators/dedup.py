@@ -58,7 +58,13 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int =
     document's shingle set (array of hex strings, length num_hashes;
     NULLs when the document has no shingles)."""
     sh = shingles(text, shingle_n)
-    return F.array(*[F.array_min(F.transform(sh, lambda s, i=i: _md5_hash(s, i))) for i in range(num_hashes)])
+
+    def seeded(seed: int):
+        # closure, not a default arg: a (s, i=seed) lambda has arity 2 and
+        # PySpark would pass the element INDEX into i (HOF arity dispatch)
+        return lambda s: _md5_hash(s, seed)
+
+    return F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -152,14 +158,14 @@ def simhash64(text: Column | str, bits: int = 16, shingle_n: int = 1) -> Column:
     sh = F.array_distinct(shingles(text, shingle_n)) if shingle_n > 1 else F.array_distinct(tokens(text))
     # per-token 64-bit value from the first 15 hex chars (fits a long)
     hv = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    acc = [
-        F.aggregate(
-            sh,
-            F.lit(0),
-            lambda a, t, b=b: a + F.when(F.shiftright(hv(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(bits)
-    ]
+
+    def bit_sum(b: int):
+        # NB: bind b via closure, NOT a default arg — PySpark dispatches
+        # HOF lambdas on arity, so (a, t, b=b) would be mis-read as a
+        # 3-arg merge function.
+        return lambda a, t: a + F.when(F.shiftright(hv(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    acc = [F.aggregate(sh, F.lit(0), bit_sum(b)) for b in range(bits)]
     code = None
     for b, s in enumerate(acc):
         bit = F.when(s > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))

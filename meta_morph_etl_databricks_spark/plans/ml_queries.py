@@ -1,0 +1,354 @@
+"""Declared queries for the LLM-data-pipeline extensions (BASELINE.json
+north star): text analysis, deduplication, similarity search — each over
+the ``documents`` / ``embeddings`` testdata tables with a DuckDB oracle.
+
+Oracle strategy: the md5 'hash family' (portable across engines) drives
+every hashing query; hex→int conversion uses a generated CASE expression
+evaluated identically by both engines; vector math is done in DOUBLE on
+both sides.  The faster xxhash64 production paths live in
+operators/{text,dedup}.py and are exercised by tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..operators.similarity import lsh_bucketed_pairs, random_hyperplanes
+from ..sources.scans import read_parquet_table
+from .registry import register
+
+# ------------------------------------------------------------------ text
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+_LANGS_DESC = sorted(T.LANG_MARKERS, reverse=True)  # tie-break: lex-last wins
+
+
+def _hits_sql(markers: list[str]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, t -> list_contains([{arr}], lower(t))))"
+
+
+_LANG_CASE = (
+    "CASE WHEN "
+    + " + ".join(f"h_{lang}" for lang in T.LANG_MARKERS)
+    + " = 0 THEN NULL "
+    + " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in _LANGS_DESC)
+    + " END"
+)
+
+_TEXT_PROFILE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, lang, source,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           {" , ".join(f"{_hits_sql(w)} AS h_{lang}" for lang, w in T.LANG_MARKERS.items())},
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+    FROM documents
+), scored AS (
+    SELECT *, greatest({", ".join(f"h_{lang}" for lang in T.LANG_MARKERS)}) AS m,
+           CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mwl,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio
+    FROM base
+)
+SELECT doc_id, lang, n_tokens, n_bpe_tokens,
+       {_LANG_CASE} AS detected_lang,
+       ROUND((CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END
+              + (1.0 - punct_ratio) + alpha_ratio) / 3.0, 4) AS quality
+FROM scored
+"""
+
+
+@register("q_text_profile", _TEXT_PROFILE_ORACLE)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (whitespace + BPE-ish regex),
+    language-ID heuristic, quality score — one map-only projection."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        T.lang_id("text").alias("detected_lang"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q_text_lang_rollup",
+    f"""
+    WITH profiled AS ({_TEXT_PROFILE_ORACLE})
+    SELECT lang, detected_lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(quality) AS min_quality, MAX(quality) AS max_quality
+    FROM profiled GROUP BY lang, detected_lang
+    """,
+)
+def q_text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion rollup: labeled vs detected language with
+    token totals and quality extrema (order-independent aggregates)."""
+    return (
+        q_text_profile(spark, sf_dir)
+        .groupBy("lang", "detected_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- dedup
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY {_NORM_TEXT}
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id representative per normalized text.  The
+    engine groups on a 64-bit fingerprint (8-byte shuffle keys); the
+    oracle groups on the normalized text itself — identical groups."""
+    return D.exact_dedup(read_parquet_table(spark, sf_dir, "documents")).select("doc_id", "dup_count")
+
+
+_SHINGLES = f"""
+    SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+"""
+
+_NUM_HASHES, _BANDS = 16, 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_SIGS = f"""
+    SELECT doc_id, [{", ".join(f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(_NUM_HASHES))}] AS sig
+    FROM ({_SHINGLES})
+"""
+
+_BAND_STRUCTS = ", ".join(
+    "struct_pack(b := {b}, k := {key})".format(
+        b=b,
+        key=" || '|' || ".join(f"sig[{b * _ROWS_PER_BAND + r + 1}]" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_PAIRS = f"""
+    WITH sigs AS ({_SIGS}),
+    valid AS (SELECT * FROM sigs WHERE NOT list_contains(list_transform(sig, x -> x IS NULL), true)),
+    banded AS (
+        SELECT doc_id, (u).b AS band_idx, (u).k AS band_key
+        FROM valid, UNNEST([{_BAND_STRUCTS}]) AS t(u)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_dedup_minhash_lsh", _MINHASH_PAIRS)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands
+    → band-key equi-self-join.  All-pairs similarity becomes a banded
+    equi-join (SURVEY.md M6; the scale path for 100 TB dedup)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH cand AS ({_MINHASH_PAIRS}),
+    sets AS (SELECT doc_id, list_distinct(s) AS sh FROM ({_SHINGLES}))
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the LSH candidate pairs —
+    the two-stage shape (cheap recall stage, exact precision stage)
+    every production dedup pipeline uses."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
+
+
+# hex→int: one portable CASE expression evaluated by BOTH engines
+# (Spark `conv` has no DuckDB twin; this does, by construction).
+_HEXV = "CASE {c} " + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef") + " END"
+
+
+def _hex15_to_bigint(expr: str) -> str:
+    terms = [
+        f"CAST(({_HEXV.format(c=f'substr({expr}, {p + 1}, 1)')}) AS BIGINT) * {16 ** (14 - p)}"
+        for p in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_BITS = 12
+_TOKEN_HASH = _hex15_to_bigint("md5(t)")
+_SIMHASH_CODE = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ({_TOKEN_HASH} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q_text_simhash",
+    f"""
+    SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    """,
+)
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document codes (12-bit for the declared query; the
+    library form is parameterized).  Near-dups share codes — the
+    hamming-bucket dedup path."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash64("text", bits=_SIMHASH_BITS).alias("simhash"))
+
+
+# ------------------------------------------------------------ similarity
+_COS = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_TOPK_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, a.vec_id, ROUND({_COS.replace('b.v', 'q.v').replace('a.v', 'a.v')}, 6) AS cosine_sim
+    FROM vecs a, q WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@register("q_similarity_topk", _TOPK_ORACLE)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors against the corpus
+    — the ANN correctness baseline.  Vector kernel is zip_with +
+    aggregate in DOUBLE (JVM codegen, no UDF)."""
+    from ..operators.similarity import cosine_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(emb, queries, k=10, exclude_self=True).select("query_id", "vec_id", "cosine_sim")
+
+
+# ANN scale path: sign-random-projection buckets.  The SAME plane
+# constants are inlined into both the Spark plan and the oracle SQL
+# (Python-float repr round-trips exactly to double in both engines).
+_N_PLANES, _DIMS, _NEAR_DUP_T = 8, 64, 0.18
+_PLANES = random_hyperplanes(_DIMS, _N_PLANES)
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        arr = ", ".join(repr(v) for v in p)
+        terms.append(f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 THEN {2**i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q_embed_near_dup_lsh",
+    f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM vecs)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS}, 6) AS cosine_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    """,
+)
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-random-projection LSH: the
+    O(n²) all-pairs join becomes a per-bucket equi-join (2^8 buckets),
+    cosine scored only within buckets — the 100 TB ANN shape."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_bucketed_pairs(emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T)
+
+
+# ------------------------------------------------------- fingerprinting
+# Rabin-Karp rolling polynomial hash, portable across engines: token
+# hash t = hex15(md5(tok)) mod M; doc hash folds (a*B + t) mod M left to
+# right; window fingerprint = min over all 8-token window hashes
+# (winnowing-lite).  All bigint, overflow-safe: a*B < M*131 ~ 1.3e11.
+_FP_M, _FP_B, _FP_W = 1_000_000_007, 131, 8
+_FP_BPOW = [pow(_FP_B, _FP_W - 1 - j, _FP_M) for j in range(_FP_W)]
+_TH = f"({_hex15_to_bigint('md5(t)')} % {_FP_M})"
+
+_WINDOW_SUM = " + ".join(f"(ths[i + {j}] * {_FP_BPOW[j]}) % {_FP_M}" for j in range(_FP_W))
+
+_FINGERPRINT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, list_transform({_TOKS}, t -> {_TH}) AS ths FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
+                   (a, x) -> (a * {_FP_B} + x) % {_FP_M}) AS rolling_fp,
+       CASE WHEN len(ths) >= {_FP_W} THEN
+           list_min(list_transform(range(1, len(ths) - {_FP_W} + 2),
+                                   i -> ({_WINDOW_SUM}) % {_FP_M}))
+       END AS min_window_fp
+FROM toks
+"""
+
+
+@register("q_doc_fingerprint", _FINGERPRINT_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-document Rabin-Karp rolling hash
+    plus the minimum 8-token-window hash (winnowing-style near-dup
+    key).  Map-only projection, 8-byte outputs — shuffle-friendly keys
+    for downstream dedup joins."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    ths = F.transform(
+        T.tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % _FP_M,
+    )
+    staged = docs.select("doc_id", ths.alias("ths"))
+    rolling = F.aggregate(
+        F.col("ths"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * _FP_B + x) % _FP_M,
+    )
+
+    def window_hash(i: Column) -> Column:
+        s = None
+        for j, bp in enumerate(_FP_BPOW):
+            term = (F.element_at(F.col("ths"), i + F.lit(j)) * F.lit(bp)) % _FP_M
+            s = term if s is None else s + term
+        return s % _FP_M
+
+    n = F.size("ths")
+    min_window = F.when(
+        n >= _FP_W,
+        F.array_min(F.transform(F.sequence(F.lit(1), n - (_FP_W - 1)), window_hash)),
+    )
+    return staged.select(
+        "doc_id",
+        rolling.alias("rolling_fp"),
+        min_window.alias("min_window_fp"),
+    )
