@@ -41,7 +41,9 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # DuckDB's TIMESTAMP is µs-native so both engines see equal values.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, not `/`: float division of an ~1.7e18 ns value
+        # rounds (53-bit mantissa) where DuckDB's ns→µs conversion floors
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,169 @@
+"""Structured Streaming tests: the window builders running as REAL
+streams (readStream → writeStream), watermark late-data discipline, and
+the applyInPandasWithState custom operator.
+
+Strategy: stage event files into a tmp directory (the stream source),
+run with trigger(availableNow=True) so each test is bounded, and land
+results in a memory sink.  Batch mode of the same builder is the oracle
+for stream-vs-batch parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.sources.scans import read_parquet_table
+from meta_morph_etl_databricks_spark.streaming import (
+    read_events_stream,
+    running_user_totals,
+    tumbling_type_counts,
+    with_watermark,
+)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "events")
+
+
+def _run_until_done(writer, query_name: str):
+    q = writer.trigger(availableNow=True).queryName(query_name).format("memory").start()
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path, events_batch):
+    """Stream(complete mode) over the same files == batch plan output."""
+    src = str(tmp_path / "src")
+    events_batch.write.parquet(src)
+
+    stream = read_events_stream(spark, src)
+    out = tumbling_type_counts(stream, width="1 hour")
+    _run_until_done(out.writeStream.outputMode("complete"), "t_tumbling")
+
+    got = spark.sql("SELECT * FROM t_tumbling").sort("window_start", "event_type")
+    want = tumbling_type_counts(events_batch, width="1 hour").sort("window_start", "event_type")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+
+def test_watermark_drops_late_data(spark, tmp_path, events_batch):
+    """Append mode + watermark: a record arriving after its window's
+    watermark has passed is dropped, finalized windows never re-emit."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    base = events_batch.filter(F.col("event_type") == "click").limit(200).cache()
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    base.write.parquet(str(src / "batch1"))
+
+    sink: list = []
+
+    def run_once():
+        got: list = []
+
+        def collect(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        stream = read_events_stream(spark, str(src) + "/*")
+        out = tumbling_type_counts(with_watermark(stream, "1 hour"), width="1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .start()
+        )
+        q.awaitTermination(120)
+        sink.extend(got)
+        return got
+
+    first = run_once()
+    emitted_windows = {r.window_start for r in first}
+    # the stream's max event time sets the watermark; windows ending
+    # before (max - 1h) are finalized and present in the append output
+    assert len(emitted_windows) > 0
+
+    # drop a VERY late record into the oldest (long-finalized) window
+    late = spark.createDataFrame(
+        [(999_999, t0, 1, "click", 1.0, "{}")],
+        schema=base.schema,
+    )
+    late.write.parquet(str(src / "batch2"))
+
+    second = run_once()
+    # the late record's window was already emitted+finalized: append
+    # output gains NO new row for it (late data discarded by watermark)
+    new_rows = [r for r in second if r not in first]
+    assert all(r.window_start != t0.replace(minute=0, second=0, microsecond=0) for r in new_rows)
+
+
+def test_stateful_running_totals_accumulates(spark, tmp_path, events_batch):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    totals after two file drops equal the batch totals of both files."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    part1 = events_batch.filter(F.col("user_id") <= 5).limit(300).cache()
+    part1.write.parquet(str(src / "b1"))
+
+    import pandas as pd
+
+    def run_once():
+        got: list = []
+
+        def collect(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        stream = read_events_stream(spark, str(src) + "/*")
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    run_once()
+
+    part2 = events_batch.filter(F.col("user_id") <= 5).limit(500).cache()
+    part2.write.parquet(str(src / "b2"))
+    rows = run_once()
+    assert rows, "second run emitted no updates"
+    second = pd.DataFrame([r.asDict() for r in rows]).set_index("user_id")
+
+    both = part1.unionAll(part2)
+    want = (
+        both.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    # second run emits the updated lifetime totals for users seen in b2;
+    # every emitted user must match the full two-file batch aggregate
+    for uid in second.index:
+        assert second.loc[uid, "n_events"] == want.loc[uid, "n_events"]
+        assert abs(second.loc[uid, "total_value"] - want.loc[uid, "total_value"]) < 1e-6
+        assert abs(second.loc[uid, "max_value"] - want.loc[uid, "max_value"]) < 1e-12
+
+
+def test_session_windows_streaming_smoke(spark, tmp_path, events_batch):
+    """session_window runs as a stream (update mode + watermark)."""
+    from meta_morph_etl_databricks_spark.streaming import session_user_windows
+
+    src = str(tmp_path / "src")
+    events_batch.limit(500).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    out = session_user_windows(with_watermark(stream, "1 hour"), gap="30 minutes")
+    _run_until_done(out.writeStream.outputMode("append"), "t_session")
+    assert spark.sql("SELECT count(*) FROM t_session").collect()[0][0] >= 0
