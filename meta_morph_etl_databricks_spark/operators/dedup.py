@@ -54,9 +54,16 @@ def _md5_hash(col: Column, seed: int) -> Column:
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: per hash seed, the minimum md5 over the
-    document's shingle set (array of hex strings, length num_hashes;
-    NULLs when the document has no shingles)."""
+    """MinHash signature as a single Column expression (array of hex
+    strings, length num_hashes; NULLs when the document has no
+    shingles).
+
+    NOTE: column-expression form only — higher-order functions run on
+    Spark's interpreted path with NO common-subexpression elimination,
+    so every reference to this column re-hashes every shingle.  The
+    distributed hot path is :func:`minhash_signatures` (explode +
+    partial-aggregate), which hashes each shingle exactly once.
+    """
     sh = shingles(text, shingle_n)
 
     def seeded(seed: int):
@@ -65,6 +72,29 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int =
         return lambda s: _md5_hash(s, seed)
 
     return F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures, distributed shape: explode shingles to rows,
+    hash each shingle ONCE per seed, take per-seed mins with a hash
+    aggregate (map-side partial min → k values per doc cross the
+    shuffle, never the shingles).  Parallelism comes from the shuffle,
+    independent of input file count.  Documents with no shingles
+    produce no row (they can't be near-dup candidates).
+
+    Returns (id_col, h0..h{k-1}).
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    hashed = sh.select(
+        id_col, *[_md5_hash(F.col("_sh"), i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -83,15 +113,13 @@ def minhash_lsh_candidates(
     skew-join splitting.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(F.col(id_col), minhash_signature(text_col, num_hashes).alias("sig")).filter(
-        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), True)
-    )
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes)
     banded = sig.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
                     for b in range(bands)
                 ]
             )
@@ -173,10 +201,55 @@ def simhash64(text: Column | str, bits: int = 16, shingle_n: int = 1) -> Column:
     return code
 
 
+def simhash_codes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash codes, distributed shape (same values as
+    :func:`simhash64`): explode distinct tokens to rows, md5 each token
+    ONCE, then one hash-aggregate computes all per-bit ±1 sums
+    (map-side partial).  The column-expression form re-hashes every
+    token per bit on the interpreted HOF path — 16× the work and zero
+    parallelism on single-file inputs.
+
+    Token-less documents get code 0 (the empty-aggregate value of the
+    column form), restored via left join.
+    """
+    base = (
+        F.array_distinct(shingles(text_col, shingle_n))
+        if shingle_n > 1
+        else F.array_distinct(tokens(text_col))
+    )
+    tok = docs.select(F.col(id_col), F.explode(base).alias("_t"))
+    hv = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("bigint")
+    hashed = tok.select(id_col, hv.alias("_hv"))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    code = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        code = bit if code is None else code + bit
+    coded = sums.select(id_col, code.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(coded, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
+    )
+
+
 def simhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Near-dup candidates: documents with identical SimHash codes
     (hamming-0 buckets; rotate/band the code for hamming-k at scale)."""
-    coded = docs.select(F.col(id_col), simhash64(text_col, bits).alias("simhash"))
+    coded = simhash_codes(docs, text_col, id_col, bits)
     a, b = coded.alias("a"), coded.alias("b")
     return (
         a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -20,6 +20,19 @@ from ..operators.similarity import lsh_bucketed_pairs, random_hyperplanes
 from ..sources.scans import read_parquet_table
 from .registry import register
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with hash-heavy-map parallelism (see read_parquet_table)."""
+    return read_parquet_table(
+        spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(
+        spark, sf_dir, "embeddings", min_partitions=spark.sparkContext.defaultParallelism
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+
+
 # ------------------------------------------------------------------ text
 _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
 _LANGS_DESC = sorted(T.LANG_MARKERS, reverse=True)  # tie-break: lex-last wins
@@ -67,7 +80,7 @@ FROM scored
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts (whitespace + BPE-ish regex),
     language-ID heuristic, quality score — one map-only projection."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         "lang",
@@ -161,7 +174,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands
     → band-key equi-self-join.  All-pairs similarity becomes a banded
     equi-join (SURVEY.md M6; the scale path for 100 TB dedup)."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
 
 
@@ -182,7 +195,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the LSH candidate pairs —
     the two-stage shape (cheap recall stage, exact precision stage)
     every production dedup pipeline uses."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
     return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
 
@@ -219,8 +232,8 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document codes (12-bit for the declared query; the
     library form is parameterized).  Near-dups share codes — the
     hamming-bucket dedup path."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash64("text", bits=_SIMHASH_BITS).alias("simhash"))
+    docs = _documents(spark, sf_dir)
+    return D.simhash_codes(docs, bits=_SIMHASH_BITS)
 
 
 # ------------------------------------------------------------ similarity
@@ -249,9 +262,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate in DOUBLE (JVM codegen, no UDF)."""
     from ..operators.similarity import cosine_topk
 
-    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return cosine_topk(emb, queries, k=10, exclude_self=True).select("query_id", "vec_id", "cosine_sim")
 
@@ -287,9 +298,7 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via sign-random-projection LSH: the
     O(n²) all-pairs join becomes a per-bucket equi-join (2^8 buckets),
     cosine scored only within buckets — the 100 TB ANN shape."""
-    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    emb = _embeddings(spark, sf_dir)
     return lsh_bucketed_pairs(emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T)
 
 
@@ -323,7 +332,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the minimum 8-token-window hash (winnowing-style near-dup
     key).  Map-only projection, 8-byte outputs — shuffle-friendly keys
     for downstream dedup joins."""
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     ths = F.transform(
         T.tokens("text"),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % _FP_M,

@@ -30,12 +30,22 @@ TESTDATA_TABLES = (
 )
 
 
-def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_parquet_table(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
     """S4: parquet scan.  Catalyst pushes filters + column pruning into the
     footer-level scan — callers should select/filter declaratively and NOT
     pre-materialize (cf. reference's manual select-after-scan,
-    m_customer_metrics_task.py:41-48, which Catalyst subsumes)."""
+    m_customer_metrics_task.py:41-48, which Catalyst subsumes).
+
+    ``min_partitions``: set for compute-heavy map stages over FEW input
+    files (hashing, vector math) — a small parquet file arrives as one
+    split, serializing all pre-shuffle work onto one core.  Large inputs
+    split on spark.sql.files.maxPartitionBytes and don't need it.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
     if name == "events":
         # nanos → microsecond timestamp (see session.py nanosAsLong note);
         # DuckDB's TIMESTAMP is µs-native so both engines see equal values.
