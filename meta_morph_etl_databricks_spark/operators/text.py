@@ -99,14 +99,65 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     return F.xxhash64(c)
 
 
-def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text profile: tokens, BPE-ish tokens, detected language,
-    quality score, fingerprint — a single map-only projection."""
-    return docs.select(
+def profile_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Distributed text profile (same values as the Column forms):
+    explode tokens ONCE, count language-marker hits with a plain
+    codegen'd aggregate (isin over literal lists — no interpreted HOFs),
+    join doc-level regex stats back on id.
+
+    The Column-expression forms (:func:`lang_id`, :func:`token_count`)
+    re-walk the token array per language on the interpreted HOF path —
+    ~10× slower when the optimizer can't prune them.  Use this for any
+    full-corpus profiling pass.
+
+    Adds to ``docs``: n_tokens, n_bpe_tokens, detected_lang, quality,
+    doc_fingerprint.
+    """
+    markers = markers or LANG_MARKERS
+    c = F.col(text_col)
+    tok = docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t"))
+    low = F.lower(F.col("_t"))
+    hits = tok.groupBy(id_col).agg(
+        F.count("_t").alias("_n_tokens"),
+        *[F.count(F.when(low.isin(words), 1)).alias(f"_h_{lang}") for lang, words in markers.items()],
+    )
+    base = docs.select(
         "*",
-        token_count(text_col).alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
-        lang_id(text_col).alias("detected_lang"),
-        quality_score(text_col).alias("quality"),
+        F.length(c).alias("_n_chars"),
+        F.length(F.regexp_replace(c, r"[\w\s]", "")).alias("_punct"),
+        F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).alias("_alpha"),
+    )
+    joined = base.join(hits, id_col)
+
+    best = F.greatest(
+        *[F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang")) for lang in markers]
+    )
+    detected = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
+    n_tok = F.col("_n_tokens")
+    n_chars_d = F.col("_n_chars").cast("double")
+    mwl = F.when(n_tok > 0, n_chars_d / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(F.col("_n_chars") > 0, F.col("_punct").cast("double") / F.col("_n_chars")).otherwise(F.lit(1.0))
+    alpha_ratio = F.when(F.col("_n_chars") > 0, F.col("_alpha").cast("double") / F.col("_n_chars")).otherwise(F.lit(0.0))
+    word_len_ok = F.when((mwl >= 3) & (mwl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = F.round((word_len_ok + (1.0 - punct_ratio) + alpha_ratio) / 3.0, 4)
+
+    return joined.select(
+        *docs.columns,
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+        detected.alias("detected_lang"),
+        quality.alias("quality"),
         fingerprint(text_col).alias("doc_fingerprint"),
     )
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: tokens, BPE-ish tokens, detected language,
+    quality score, fingerprint.  Delegates to the distributed
+    :func:`profile_documents` shape."""
+    return profile_documents(docs, text_col)

@@ -81,13 +81,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts (whitespace + BPE-ish regex),
     language-ID heuristic, quality score — one map-only projection."""
     docs = _documents(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        "lang",
-        T.token_count("text").cast("bigint").alias("n_tokens"),
-        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
-        T.lang_id("text").alias("detected_lang"),
-        T.quality_score("text").alias("quality"),
+    return T.profile_documents(docs).select(
+        "doc_id", "lang", "n_tokens", "n_bpe_tokens", "detected_lang", "quality"
     )
 
 
