@@ -7,5 +7,6 @@ from . import operator_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "query_fns", "oracle_map"]
