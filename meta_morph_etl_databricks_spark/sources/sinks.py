@@ -88,6 +88,109 @@ def merge_upsert(
     return merged
 
 
+def publish_partition(
+    spark: SparkSession,
+    mart_path: str,
+    reporting_path: str,
+    day_dt: str,
+    repartition: int | None = None,
+) -> int:
+    """C7: partition hand-off — push ONE day's slice of a mart to the
+    reporting store (reference filters ``DAY_DT == current_date()`` then
+    appends, m_push_data_to_gcs_reporting.py:19-33).
+
+    Because marts are written ``partitionBy("day_dt")``, the filter is
+    true partition pruning: only the target date's files are listed and
+    read, regardless of history depth.  Returns rows published.
+    """
+    day = F.to_date(F.lit(day_dt))
+    slice_df = spark.read.parquet(mart_path).filter(F.col("day_dt") == day)
+    if repartition:
+        slice_df = slice_df.repartition(repartition)
+    slice_df.persist()
+    try:
+        n = slice_df.count()
+        if n:
+            write_parquet(slice_df, reporting_path, mode="append", partition_by=["day_dt"])
+    finally:
+        slice_df.unpersist()
+    return n
+
+
+def list_landing_files(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Object-store listing as a DataFrame (S8).  Uses the Hadoop
+    FileSystem API via the JVM gateway so the same code lists local
+    paths, GCS, or S3 depending on the configured filesystem."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(landing_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        files: list[tuple[str, int]] = []
+    else:
+        files = [
+            (str(st.getPath()), int(st.getLen()))
+            for st in fs.listStatus(path)
+            if st.isFile()
+        ]
+    return spark.createDataFrame(files or [], "file_path string, n_bytes long")
+
+
+def incremental_load(
+    spark: SparkSession,
+    landing_dir: str,
+    manifest_path: str,
+) -> tuple[DataFrame | None, list[str]]:
+    """C8: catalog-driven incremental file load — load only landing
+    files NOT yet recorded in the manifest (reference does this with a
+    Python list difference over GCS blobs vs information_schema,
+    m_pull_work_to_pgadmin.py:9-24; here it is a Spark left-anti join so
+    the manifest can be billions of rows without driver materialization).
+
+    Returns (DataFrame over the new files or None, list of new paths) —
+    caller writes the data, then appends the returned paths to the
+    manifest via :func:`record_loaded`.
+    """
+    candidates = list_landing_files(spark, landing_dir)
+    try:
+        manifest = spark.read.parquet(manifest_path).select("file_path")
+        new = candidates.join(manifest, "file_path", "left_anti")
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        new = candidates
+    new_paths = [r.file_path for r in collect_small(new.select("file_path"))]
+    if not new_paths:
+        return None, []
+    return spark.read.parquet(*new_paths), sorted(new_paths)
+
+
+def record_loaded(spark: SparkSession, manifest_path: str, paths: list[str]) -> None:
+    """Append processed file paths to the load manifest (the commit step
+    of C8 — do this only after the data write succeeds)."""
+    if not paths:
+        return
+    df = spark.createDataFrame([(p,) for p in paths], "file_path string")
+    df = df.withColumn("loaded_at", F.current_timestamp())
+    write_parquet(df, manifest_path, mode="append")
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K1: JDBC write (reference: utils.py:230-238).  Thin wrapper —
+    exercised only where a JDBC endpoint exists; parquet is the
+    inter-stage medium here (SURVEY.md §7.1)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def collect_small(df: DataFrame, limit: int = 100_000) -> list:
     """K5 guard-railed: ``collect()`` only for bounded control-plane data.
     The reference collects a product list for an ``isin`` filter

@@ -60,3 +60,62 @@ def test_merge_upsert_first_load(spark, tmp_path):
     source = spark.createDataFrame([(1, "a")], ["k", "v"])
     merge_upsert(spark, target_path, source, keys=["k"])
     assert spark.read.parquet(target_path).count() == 1
+
+
+def test_publish_partition_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.sources.sinks import publish_partition, write_parquet
+
+    mart = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id long, v string, day_dt string",
+    ).withColumn("day_dt", F.to_date("day_dt"))
+    mart_path, rep_path = str(tmp_path / "mart"), str(tmp_path / "reporting")
+    write_parquet(mart, mart_path, partition_by=["day_dt"])
+
+    n = publish_partition(spark, mart_path, rep_path, "2024-01-01")
+    assert n == 2
+    out = spark.read.parquet(rep_path)
+    assert out.count() == 2
+    assert {r.id for r in out.collect()} == {1, 2}
+    # a second publish of a different day appends without touching day 1
+    assert publish_partition(spark, mart_path, rep_path, "2024-01-02") == 1
+    assert spark.read.parquet(rep_path).count() == 3
+    # empty day publishes nothing
+    assert publish_partition(spark, mart_path, rep_path, "2024-03-01") == 0
+
+
+def test_incremental_load_manifest(spark, tmp_path):
+    from meta_morph_etl_databricks_spark.sources.sinks import incremental_load, record_loaded
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    manifest = str(tmp_path / "manifest")
+
+    spark.createDataFrame([(1, "x")], "id long, v string").coalesce(1).write.parquet(str(tmp_path / "t1"))
+    import glob
+    import shutil
+
+    def drop(name, src_dir):
+        src = glob.glob(f"{src_dir}/part-*.parquet")[0]
+        shutil.copy(src, landing / name)
+
+    drop("f1.parquet", tmp_path / "t1")
+    df, new = incremental_load(spark, str(landing), manifest)
+    assert len(new) == 1 and df.count() == 1
+    record_loaded(spark, manifest, new)
+
+    # nothing new → no work
+    df2, new2 = incremental_load(spark, str(landing), manifest)
+    assert df2 is None and new2 == []
+
+    # a second file arrives → only it is loaded
+    spark.createDataFrame([(2, "y"), (3, "z")], "id long, v string").coalesce(1).write.parquet(
+        str(tmp_path / "t2")
+    )
+    drop("f2.parquet", tmp_path / "t2")
+    df3, new3 = incremental_load(spark, str(landing), manifest)
+    assert len(new3) == 1 and df3.count() == 2 and new3[0].endswith("f2.parquet")
+    record_loaded(spark, manifest, new3)
+    assert spark.read.parquet(manifest).count() == 2
