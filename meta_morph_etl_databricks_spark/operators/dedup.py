@@ -39,11 +39,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------- shingles
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles via sequence+transform HOFs (no UDF):
-    tokens t₀..tₖ → [t₀..tₙ₋₁], [t₁..tₙ], ...  Empty when < n tokens."""
+    tokens t₀..tₖ → [t₀..tₙ₋₁], [t₁..tₙ], ...  Empty when < n tokens.
+
+    The k < n case MUST be gated before building the index sequence:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], and element_at
+    then throws under ANSI mode (when/otherwise evaluates lazily, so the
+    guarded branch never runs for short docs)."""
     toks = tokens(text)
     k = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    idx = F.sequence(F.lit(1), k - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _md5_hash(col: Column, seed: int) -> Column:

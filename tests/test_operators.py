@@ -1,0 +1,140 @@
+"""Edge-case unit tests for the operator library — the cases the
+sf-testdata oracle gate can't hit: empty inputs, sub-shingle documents,
+tie-breaks, null keys, zero-norm vectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.operators import dedup as D
+from meta_morph_etl_databricks_spark.operators import similarity as S
+from meta_morph_etl_databricks_spark.operators import text as T
+from meta_morph_etl_databricks_spark.operators.aggregates import argmax_per_group
+from meta_morph_etl_databricks_spark.operators.joins import theta_left_join
+from meta_morph_etl_databricks_spark.operators.windows import top1_per_group
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup_groups_whitespace_and_case(spark):
+    docs = _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "other")])
+    out = {r.doc_id: r.dup_count for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}  # min-id representative, normalized match
+
+
+def test_minhash_skips_sub_shingle_docs(spark):
+    docs = _docs(spark, [(1, "too short"), (2, "a b c d e f g"), (3, "a b c d e f g")])
+    sigs = D.minhash_signatures(docs)
+    assert {r.doc_id for r in sigs.collect()} == {2, 3}
+    pairs = D.minhash_lsh_candidates(docs).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(2, 3)]
+
+
+def test_minhash_signatures_match_column_form(spark):
+    docs = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
+    wide = D.minhash_signatures(docs, num_hashes=4).collect()[0]
+    col_form = docs.select(D.minhash_signature("text", num_hashes=4).alias("sig")).collect()[0].sig
+    assert [wide.h0, wide.h1, wide.h2, wide.h3] == col_form
+
+
+def test_simhash_codes_match_column_form_and_empty_doc(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, "   ")])
+    dist = {r.doc_id: r.simhash for r in D.simhash_codes(docs, bits=8).collect()}
+    col = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", D.simhash64("text", bits=8).alias("sh")).collect()
+    }
+    assert dist == col
+    assert dist[2] == 0  # token-less doc → empty-aggregate code
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    docs = _docs(spark, [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")])
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out.collect()] == [(1, 2, 1.0)]
+
+
+# ----------------------------------------------------------- similarity
+def test_cosine_zero_norm_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 1.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r.id: r.c for r in df.select("id", S.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] == 0.0 and got[2] == pytest.approx(1.0)
+
+
+def test_cosine_topk_excludes_self_and_orders(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = S.cosine_topk(emb, q, k=2, exclude_self=True).collect()
+    assert all(r.vec_id != 0 for r in rows)
+    assert len(rows) == 2
+    # all remaining are orthogonal (sim 0) → deterministic id tie-break
+    assert [r.vec_id for r in rows] == [1, 2]
+
+
+def test_lsh_buckets_identical_vectors_collide(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = S.lsh_bucketed_pairs(emb, n_planes=4, dims=8, threshold=0.99)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 2)]
+
+
+# ----------------------------------------------------------------- text
+def test_profile_documents_empty_and_unknown_lang(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "x", "s", 0), (2, "the quick fox and the dog", "en", "s", 25), (3, "zzz qqq", "x", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in T.profile_documents(docs).collect()}
+    assert out[1].n_tokens == 0 and out[1].detected_lang is None
+    assert out[2].detected_lang == "en"
+    assert out[3].detected_lang is None  # tokens but no marker hits
+    assert set(out) == {1, 2, 3}  # empty docs are kept
+
+
+def test_rolling_fingerprint_order_sensitivity(spark):
+    a = _docs(spark, [(1, "a b c"), (2, "c b a"), (3, "a b c")])
+    from meta_morph_etl_databricks_spark.plans.ml_queries import q_doc_fingerprint  # noqa: F401
+
+    fp = {r.doc_id: r.f for r in a.select("doc_id", T.fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[3] != fp[2]
+
+
+# ------------------------------------------------------- core operators
+def test_theta_left_join_keeps_nonmatching_left_rows(spark):
+    """J2: predicate in the ON clause — non-qualifying right rows become
+    NULLs, left rows are never dropped (the load-bearing mart quirk)."""
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(1, "ok"), (2, "Cancelled")], "rk long, status string")
+    out = theta_left_join(left, right, left["k"] == right["rk"], right["status"] != "Cancelled")
+    rows = {r.k: r.status for r in out.collect()}
+    assert rows == {1: "ok", 2: None}
+
+
+def test_top1_per_group_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 5), ("g", "a", 5), ("h", "z", 1)],
+        "grp string, item string, score long",
+    )
+    out = top1_per_group(df, ["grp"], [F.desc("score"), F.asc("item")])
+    got = {r.grp: r.item for r in out.collect()}
+    assert got == {"g": "a", "h": "z"}
+
+
+def test_argmax_per_group_null_keys_survive(spark):
+    df = spark.createDataFrame(
+        [(None, "x", 3), (None, "y", 9), (1, "z", 2)],
+        "grp long, item string, score long",
+    )
+    out = argmax_per_group(df, ["grp"], F.col("score"), ["item"])
+    rows = {r.grp: r.item for r in out.collect()}
+    assert rows == {None: "y", 1: "z"}
