@@ -53,6 +53,10 @@ def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> 
         # reader rejects; read as long and convert in the scan wrapper.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # split small file sets down to cluster parallelism (the 128 MiB
+        # cap above still governs big inputs; this floors the split COUNT
+        # so a 3-file scan doesn't serialize a 32-core stage)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
