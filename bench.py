@@ -26,8 +26,14 @@ def main() -> None:
     qs = se.queries()
 
     timings: dict[str, float] = {}
-    # warm-up: JVM + parquet footer caches on a trivial action
+    # warm-up: JVM, codegen, broadcast + shuffle infra on a tiny but
+    # plan-shaped query (join + agg + window) so the first timed query
+    # doesn't absorb one-time startup costs
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        next(iter(qs.values()))(spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
     for name, fn in qs.items():
         t0 = time.time()
         try:
