@@ -1,0 +1,81 @@
+"""Skew-handling operators: salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew,
+but two shapes still need explicit salting at 100 TB:
+
+- a grouped aggregate where one key holds a large share of all rows
+  (AQE can't split a hash-aggregate partition mid-group), and
+- a shuffle join against a hot key when the build side is too big to
+  broadcast (AQE splits sort-merge partitions, but salting bounds the
+  worst case deterministically).
+
+Both helpers keep exact semantics: salting only changes WHERE partial
+results are computed, the final reduce removes the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def with_salt(df: DataFrame, buckets: int) -> DataFrame:
+    """Uniform random salt in [0, buckets) — spreads a hot key over
+    ``buckets`` reducers.  rand() is fine here: the salt never affects
+    results, only placement, so nondeterminism under retries is safe."""
+    return df.withColumn(SALT_COL, (F.rand() * buckets).cast("int"))
+
+
+_PARTIAL_FN = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation for ALGEBRAIC aggregates:
+    stage 1 reduces (key, salt) partials — the hot key's rows spread
+    over ``buckets`` reducers — stage 2 merges the ≤buckets partial rows
+    per key (count merges by summing partial counts).
+
+    ``aggs`` entries are (output_name, fn, input_column) with fn one of
+    sum/count/min/max — the algebraic set whose merge rule is known.
+    """
+    for _, fn, _c in aggs:
+        if fn not in _PARTIAL_FN:
+            raise ValueError(f"salted_agg supports {sorted(_PARTIAL_FN)} only, got {fn!r}")
+    partial = (
+        with_salt(df, buckets)
+        .groupBy(*keys, SALT_COL)
+        .agg(*[_PARTIAL_FN[fn](col).alias(f"_p_{name}") for name, fn, col in aggs])
+    )
+    return partial.groupBy(*keys).agg(
+        *[_MERGE_FN[fn](F.col(f"_p_{name}")).alias(name) for name, fn, _ in aggs]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join when the dim side is too big to broadcast:
+    salt the fact rows, replicate each dim row across all ``buckets`` salt
+    values (explode), join on keys + salt.  The hot key's fact rows land
+    on ``buckets`` different reducers, each holding one dim replica.
+
+    Replication factor = buckets × |dim| — use only when |dim| ≪ |fact|
+    but above the broadcast threshold, and keep buckets modest.
+    """
+    salted_fact = with_salt(fact, buckets)
+    replicated = dim.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_fact.join(replicated, [*on, SALT_COL], how).drop(SALT_COL)

@@ -138,3 +138,48 @@ def test_argmax_per_group_null_keys_survive(spark):
     out = argmax_per_group(df, ["grp"], F.col("score"), ["item"])
     rows = {r.grp: r.item for r in out.collect()}
     assert rows == {None: "y", 1: "z"}
+
+
+# ------------------------------------------------------------------ skew
+def test_salted_agg_matches_plain_agg(spark):
+    from meta_morph_etl_databricks_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 5.0)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("total", "sum", F.col("v")), ("n", "count", F.col("v")),
+             ("lo", "min", F.col("v")), ("hi", "max", F.col("v"))],
+            buckets=8,
+        ).collect()
+    }
+    assert got["hot"] == (sum(float(i) for i in range(1000)), 1000, 0.0, 999.0)
+    assert got["cold"] == (5.0, 1, 5.0, 5.0)
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    from meta_morph_etl_databricks_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], [("bad", "avg", F.col("v"))])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from meta_morph_etl_databricks_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 9)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, name string")
+    got = salted_join(fact, dim, ["k"], buckets=4).sort("k", "payload")
+    want = fact.join(dim, ["k"]).sort("k", "payload")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(fact, dim, ["k"], buckets=4, how="left")
+    assert left.filter("k = 3").count() == 1
