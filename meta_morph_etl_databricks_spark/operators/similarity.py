@@ -85,6 +85,98 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return code.cast("bigint")
 
 
+def ivf_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer: k centroid vectors, collected to the driver
+    (k is small by construction — the inverted-file index is built
+    around tens-to-thousands of lists).
+
+    Deterministic seed rule (the k lowest ids) instead of k-means so the
+    whole index is reproducible and oracle-checkable; a production
+    deployment swaps in one k-means|| pass over a sample and nothing
+    else changes.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def _best_centroid(vec: Column, centroids: list[tuple[int, list[float]]], rank: int = 1) -> Column:
+    """cid of the ``rank``-th most cosine-similar centroid (1-based).
+    Similarities round to 6 decimals before comparison so argmax never
+    flips on float noise across engines; ties break toward the LARGER
+    cid (struct max is lexicographic)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(v) for v in cvec])), 6).alias("sim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    ordered = F.reverse(F.array_sort(scored))
+    return F.element_at(ordered, rank)["cid"]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid's inverted list.  The
+    centroid table rides into the expression as literals (driver-side
+    k·d floats — the classic broadcast-the-codebook shape)."""
+    return embeddings.select(
+        id_col, vec_col, _best_centroid(F.col(vec_col), centroids).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into inverted lists by
+    nearest centroid; each query probes only its ``nprobe`` nearest
+    lists.  Scan cost drops from O(n) to O(n·nprobe/k_lists) per query —
+    the standard ANN recall/cost dial.
+
+    Shape: assignment is map-only; the probe is an equi-join on
+    centroid_id (queries exploded to nprobe rows); per-query top-k via
+    window (WindowGroupLimit keeps partial top-k map-side).
+    """
+    from pyspark.sql import Window
+
+    lists = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probes = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.array(*[_best_centroid(F.col(vec_col), centroids, rank=r) for r in range(1, nprobe + 1)])
+        ).alias("centroid_id"),
+    )
+    scored = lists.join(probes, "centroid_id").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     n_planes: int = 8,

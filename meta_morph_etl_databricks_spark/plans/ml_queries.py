@@ -297,6 +297,59 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_pairs(emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T)
 
 
+# IVF: deterministic codebook = the 16 lowest-id vectors; assignment and
+# probing both rank by (sim DESC, cid DESC) — matching the engine's
+# struct-max tie-break.  Sims round to 6dp before ranking on BOTH sides.
+_IVF_K, _IVF_NPROBE = 16, 2
+_SIM_AC = "ROUND(list_dot_product(a.v, c.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+_SIM_QC = _SIM_AC.replace("a.v", "q.v")
+
+_IVF_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM vecs ORDER BY vec_id LIMIT {_IVF_K}),
+assigned AS (
+    SELECT vec_id, v, cid AS centroid_id FROM (
+        SELECT a.vec_id, a.v, c.cid, {_SIM_AC} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_SIM_AC} DESC, c.cid DESC) AS rnk
+        FROM vecs a, cents c
+    ) WHERE rnk = 1
+),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, v, cid AS centroid_id FROM (
+        SELECT q.query_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {_SIM_QC} DESC, c.cid DESC) AS rnk
+        FROM q, cents c
+    ) WHERE rnk <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           ROUND(list_dot_product(a.v, p.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.v, p.v))), 6) AS cosine_sim
+    FROM assigned a JOIN probes p USING (centroid_id)
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@register("q_similarity_ivf_topk", _IVF_ORACLE)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: corpus partitioned into 16 inverted lists
+    by nearest centroid, queries probe their 2 nearest lists — per-query
+    scan cost drops to ~nprobe/k_lists of brute force (the ANN
+    recall/cost dial; LSH variant is q_embed_near_dup_lsh)."""
+    from ..operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    cents = ivf_centroids(emb, k=_IVF_K)
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True)
+    return out.select("query_id", "vec_id", "cosine_sim")
+
+
 # ------------------------------------------------------- fingerprinting
 # Rabin-Karp rolling polynomial hash, portable across engines: token
 # hash t = hex15(md5(tok)) mod M; doc hash folds (a*B + t) mod M left to
