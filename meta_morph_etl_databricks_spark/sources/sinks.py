@@ -101,7 +101,10 @@ def publish_partition(
 
     Because marts are written ``partitionBy("day_dt")``, the filter is
     true partition pruning: only the target date's files are listed and
-    read, regardless of history depth.  Returns rows published.
+    read, regardless of history depth.  The write is a DYNAMIC partition
+    overwrite of that day (not an append), so re-publishing a day —
+    retries, backfills — replaces its slice instead of duplicating it.
+    Returns rows published.
     """
     day = F.to_date(F.lit(day_dt))
     slice_df = spark.read.parquet(mart_path).filter(F.col("day_dt") == day)
@@ -111,7 +114,12 @@ def publish_partition(
     try:
         n = slice_df.count()
         if n:
-            write_parquet(slice_df, reporting_path, mode="append", partition_by=["day_dt"])
+            (
+                slice_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day_dt")
+                .parquet(reporting_path)
+            )
     finally:
         slice_df.unpersist()
     return n
