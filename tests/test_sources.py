@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from meta_morph_etl_databricks_spark.sources import (
@@ -119,3 +120,52 @@ def test_incremental_load_manifest(spark, tmp_path):
     assert len(new3) == 1 and df3.count() == 2 and new3[0].endswith("f2.parquet")
     record_loaded(spark, manifest, new3)
     assert spark.read.parquet(manifest).count() == 2
+
+
+def test_read_rest_with_local_server(spark):
+    import http.server
+    import json as _json
+    import threading
+
+    from meta_morph_etl_databricks_spark.sources.rest import RestSourceError, fetch_json, read_rest
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["path"] = self.path
+            seen["auth"] = self.headers.get("Authorization")
+            body = _json.dumps(
+                {"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/v2/things"
+    try:
+        df = read_rest(
+            spark, url, date="2024-01-05", bearer_token="tok123",
+            column_names=["thing_id", "thing_name"], records_path="data",
+        )
+        assert seen["auth"] == "Bearer tok123"
+        assert "date=2024-01-05" in seen["path"]
+        assert df.columns == ["thing_id", "thing_name"]
+        assert df.count() == 2
+        with pytest.raises(RestSourceError):
+            fetch_json(f"http://127.0.0.1:{srv.server_port}/x", max_bytes=10)
+    finally:
+        srv.shutdown()
+
+
+def test_read_rest_refuses_empty_and_bad_shapes(spark):
+    from meta_morph_etl_databricks_spark.sources.rest import RestSourceError, fetch_json
+
+    with pytest.raises(RestSourceError):
+        fetch_json("http://127.0.0.1:1/unreachable", timeout=0.3)
