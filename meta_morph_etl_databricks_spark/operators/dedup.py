@@ -120,12 +120,18 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes)
+    # band key = xxhash64 of the band's minhash concat: the join result
+    # is the same pair set (a 64-bit collision would only ADD a stray
+    # candidate — LSH candidates are verified downstream anyway), but the
+    # shuffle carries 8-byte keys instead of rows_per_band×32-char hex.
     banded = sig.select(
         id_col,
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    F.xxhash64(
+                        F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    )
                     for b in range(bands)
                 ]
             )
