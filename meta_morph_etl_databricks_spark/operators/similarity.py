@@ -104,6 +104,28 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", ve
     return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Learned IVF codebook via Spark MLlib k-means (k-means|| init —
+    the production-quality quantizer; :func:`ivf_centroids` is the
+    deterministic oracle-checkable stand-in).  Centroid ids are their
+    cluster indices."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover - mllib ships with pyspark
+        raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
+
+    vecs = embeddings.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
+    return [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def _best_centroid(vec: Column, centroids: list[tuple[int, list[float]]], rank: int = 1) -> Column:
     """cid of the ``rank``-th most cosine-similar centroid (1-based).
     Similarities round to 6 decimals before comparison so argmax never

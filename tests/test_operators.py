@@ -210,3 +210,26 @@ def test_ivf_full_probe_equals_brute_force(spark):
     # partial probe returns a subset of each query's probed lists, k rows max
     part = ivf_topk(emb, q, cents, k=5, nprobe=1, exclude_self=True)
     assert part.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_ivf_kmeans_codebook_full_probe_equals_brute_force(spark):
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+
+    import random
+
+    rnd = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = ivf_centroids_kmeans(emb, k=4)
+    assert len(cents) == 4 and all(len(c) == 8 for _, c in cents)
+    q = emb.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ivf_topk(emb, q, cents, k=5, nprobe=4, exclude_self=True)
+    brute = cosine_topk(emb, q, k=5, exclude_self=True)
+    key = lambda r: (r.query_id, r.vec_id, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))

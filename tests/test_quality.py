@@ -44,3 +44,33 @@ def test_reconcile_null_equals_empty(spark):
     src = spark.createDataFrame([(1, None)], "id int, v string")
     tgt = spark.createDataFrame([(1, "")], "id int, v string")
     assert reconcile(src, tgt, ["id"]).cells.isEmpty()
+
+
+def test_submit_reconcile_request_routing_and_report(spark, tmp_path):
+    from meta_morph_etl_databricks_spark.quality.raptor_api import submit_reconcile_request
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "pk int, name string, amt double"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], "pk int, name string, amt double"
+    )
+    src.write.parquet(str(tmp_path / "src"))
+    tgt.createOrReplaceTempView("raptor_tgt")
+
+    out = str(tmp_path / "report")
+    rep = submit_reconcile_request(
+        spark,
+        ("parquet", str(tmp_path / "src")),
+        ("sql", "SELECT * FROM raptor_tgt"),
+        primary_key="pk",
+        output_path=out,
+    )
+    row = rep.overview.collect()[0]
+    assert (row.source_rows, row.target_rows) == (3, 3)
+    assert row.mismatched_rows == 1        # pk=2 name differs
+    assert (row.extra_source, row.extra_target) == (1, 1)  # pk=3 / pk=4
+    assert row.matched_rows == 1 and row.match_pct == 33.33
+    cells = spark.read.parquet(f"{out}/cells").collect()
+    assert len(cells) == 1 and cells[0].column_name == "name"
+    assert spark.read.parquet(f"{out}/overview").count() == 1
