@@ -43,16 +43,27 @@ def read_parquet_table(
     split, serializing all pre-shuffle work onto one core.  Large inputs
     split on spark.sql.files.maxPartitionBytes and don't need it.
     """
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # reader rejects outright under default confs — set the session
+        # conf HERE (not only in our session factory) so the queries also
+        # work on a caller-provided SparkSession (the driver harness
+        # builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp outputs render in session TZ; pin UTC so window
+        # boundaries and collected values are engine-portable even on a
+        # TZ-pinned caller session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if min_partitions is not None:
         df = df.repartition(min_partitions)
-    if name == "events":
-        # nanos → microsecond timestamp (see session.py nanosAsLong note);
-        # DuckDB's TIMESTAMP is µs-native so both engines see equal values.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → microsecond timestamp; DuckDB's TIMESTAMP is µs-native
+        # so both engines see equal values.  Integer `div`, not `/`:
+        # float division of an ~1.7e18 ns value rounds (53-bit mantissa)
+        # where DuckDB's ns→µs conversion floors.
         from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: float division of an ~1.7e18 ns value
-        # rounds (53-bit mantissa) where DuckDB's ns→µs conversion floors
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
