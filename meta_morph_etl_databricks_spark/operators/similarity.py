@@ -209,7 +209,12 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """ANN near-duplicate pairs: bucket by sign-random-projection, score
     cosine only WITHIN buckets (the O(n²) join becomes per-bucket).
-    Returns (id_a, id_b, cosine_sim ≥ threshold)."""
+    Returns (id_a, id_b, cosine_sim ≥ threshold).
+
+    Sizing: within-bucket cost is O(bucket_size²), so n_planes must grow
+    with the corpus — pick n_planes ≈ log2(n / target_bucket_size)
+    (e.g. 1e9 vectors, ~200/bucket → 22 planes).  The 8-plane default
+    fits the testdata scale only."""
     planes = random_hyperplanes(dims, n_planes)
     bucketed = embeddings.select(id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
