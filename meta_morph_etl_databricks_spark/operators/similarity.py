@@ -28,6 +28,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms.  HOFs run interpreted with no
+    subexpression reuse, so norm(a)/norm(b) inside a pairwise join cost
+    two extra full-vector passes PER PAIR — compute them once per vector
+    before the join instead (same value, ~3× less pair work)."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -48,11 +56,16 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    scored = embeddings.join(F.broadcast(q)).select(
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+    )
+    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    scored = corpus.join(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+        ).alias("cosine_sim"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
@@ -180,10 +193,13 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    lists = ivf_assign(embeddings, centroids, id_col, vec_col)
+    lists = ivf_assign(embeddings, centroids, id_col, vec_col).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
     probes = queries.select(
         query_id_col,
         F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.array(*[_best_centroid(F.col(vec_col), centroids, rank=r) for r in range(1, nprobe + 1)])
         ).alias("centroid_id"),
@@ -191,7 +207,9 @@ def ivf_topk(
     scored = lists.join(probes, "centroid_id").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+        ).alias("cosine_sim"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
@@ -216,7 +234,12 @@ def lsh_bucketed_pairs(
     (e.g. 1e9 vectors, ~200/bucket → 22 planes).  The 8-plane default
     fits the testdata scale only."""
     planes = random_hyperplanes(dims, n_planes)
-    bucketed = embeddings.select(id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    bucketed = embeddings.select(
+        id_col,
+        vec_col,
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
         b,
@@ -224,6 +247,11 @@ def lsh_bucketed_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), F.col("a._n"), F.col("b._n")
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
