@@ -166,7 +166,12 @@ def ngram_jaccard_pairs(
     At scale, always pass LSH ``candidates`` — the exact verify then
     touches O(candidates), not O(n²).
     """
-    sh = docs.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    # distinct-set sizes ride along so the pair stage runs ONE array op
+    # (intersect); |A∪B| = |A|+|B|-|A∩B| — exact for distinct sets, and
+    # a full per-pair array_union pass cheaper (HOF ops don't share work)
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+    ).withColumn("sz", F.size("sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
@@ -174,14 +179,21 @@ def ngram_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
     else:
         pairs = (
-            candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-            .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+            candidates.join(
+                sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a").withColumnRenamed("sz", "sz_a"),
+                "id_a",
+            ).join(
+                sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b").withColumnRenamed("sz", "sz_b"),
+                "id_b",
+            )
         )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
