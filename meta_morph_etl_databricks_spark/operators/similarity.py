@@ -139,22 +139,38 @@ def ivf_centroids_kmeans(
     return [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
 
 
-def _best_centroid(vec: Column, centroids: list[tuple[int, list[float]]], rank: int = 1) -> Column:
-    """cid of the ``rank``-th most cosine-similar centroid (1-based).
-    Similarities round to 6 decimals before comparison so argmax never
-    flips on float noise across engines; ties break toward the LARGER
-    cid (struct max is lexicographic)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(cosine(vec, F.array(*[F.lit(v) for v in cvec])), 6).alias("sim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
+def _codebook_df(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The codebook as a broadcastable DataFrame with precomputed norms.
+    A DataFrame (not literal expressions) keeps the plan tiny — k=16
+    centroid literals inflate every task closure by ~1 MiB and blow up
+    codegen; a broadcast relation is the same map-only shape without
+    the expression-tree cost."""
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cid long, cvec array<double>"
     )
-    ordered = F.reverse(F.array_sort(scored))
-    return F.element_at(ordered, rank)["cid"]
+    return F.broadcast(cdf.withColumn("_cn", norm(F.col("cvec"))))
+
+
+def _rank_centroids(
+    df: DataFrame, codebook: DataFrame, vec_col: str, keep: int, key_cols: list[str]
+) -> DataFrame:
+    """Rank the codebook per row by (sim DESC, cid DESC) — rounded to
+    6dp first so the argmax never flips on float noise across engines —
+    and keep the top ``keep`` centroids as ``centroid_id``."""
+    from pyspark.sql import Window
+
+    vn = norm(F.col(vec_col))
+    scored = df.withColumn("_n", vn).join(codebook).withColumn(
+        "_sim", F.round(cosine_with_norms(F.col(vec_col), F.col("cvec"), F.col("_n"), F.col("_cn")), 6)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_sim"), F.desc("cid"))
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= keep)
+        .drop("cvec", "_cn", "_sim")
+        .withColumnRenamed("cid", "centroid_id")
+    )
 
 
 def ivf_assign(
@@ -163,12 +179,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid's inverted list.  The
-    centroid table rides into the expression as literals (driver-side
-    k·d floats — the classic broadcast-the-codebook shape)."""
-    return embeddings.select(
-        id_col, vec_col, _best_centroid(F.col(vec_col), centroids).alias("centroid_id")
+    """Assign each vector to its nearest centroid's inverted list via a
+    broadcast codebook join + map-side argmax: the n×k scored rows
+    reduce to one row per vector BEFORE any shuffle (partial max_by of a
+    (sim, cid) struct — lexicographic, so ties take the larger cid)."""
+    codebook = _codebook_df(embeddings, centroids)
+    vn = norm(F.col(vec_col))
+    scored = embeddings.withColumn("_n", vn).join(codebook).withColumn(
+        "_sim", F.round(cosine_with_norms(F.col(vec_col), F.col("cvec"), F.col("_n"), F.col("_cn")), 6)
     )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_sim").alias("sim"), F.col("cid").alias("cid"))).alias("_best"),
+        F.any_value(vec_col).alias(vec_col),
+    )
+    return best.select(id_col, vec_col, F.col("_best.cid").alias("centroid_id"))
 
 
 def ivf_topk(
@@ -196,14 +220,14 @@ def ivf_topk(
     lists = ivf_assign(embeddings, centroids, id_col, vec_col).withColumn(
         "_n", norm(F.col(vec_col))
     )
-    probes = queries.select(
-        query_id_col,
-        F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
-        F.explode(
-            F.array(*[_best_centroid(F.col(vec_col), centroids, rank=r) for r in range(1, nprobe + 1)])
-        ).alias("centroid_id"),
-    )
+    codebook = _codebook_df(embeddings, centroids)
+    probes = _rank_centroids(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        codebook,
+        "_qvec",
+        keep=nprobe,
+        key_cols=[query_id_col],
+    ).withColumnRenamed("_n", "_qn").select(query_id_col, "_qvec", "_qn", "centroid_id")
     scored = lists.join(probes, "centroid_id").select(
         query_id_col,
         id_col,
