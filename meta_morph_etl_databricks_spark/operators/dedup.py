@@ -270,9 +270,63 @@ def simhash_codes(
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 12,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Hamming-k near-dup pairs via SimHash banding: split the code into
+    ``max_hamming + 1`` bands — by pigeonhole, any pair within the
+    hamming budget matches exactly on at least one band — equi-join on
+    (band_idx, band_bits), then exact-filter with bit_count(xor).
+
+    The all-pairs hamming scan becomes a banded equi-join, same scale
+    shape as MinHash LSH.  ``bits`` must divide evenly into bands.
+    Returns (id_a, id_b, hamming ≤ max_hamming).
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must be divisible by bands={n_bands}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    coded = simhash_codes(docs, text_col, id_col, bits)
+    banded = coded.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)) for b in range(n_bands)])
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_ca"),
+            F.col("b.simhash").alias("_cb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("_ca", "_cb")
+    )
+
+
 def simhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Near-dup candidates: documents with identical SimHash codes
-    (hamming-0 buckets; rotate/band the code for hamming-k at scale)."""
+    (hamming-0 buckets; :func:`simhash_hamming_pairs` bands the code
+    for hamming-k)."""
     coded = simhash_codes(docs, text_col, id_col, bits)
     a, b = coded.alias("a"), coded.alias("b")
     return (

@@ -231,6 +231,43 @@ def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_codes(docs, bits=_SIMHASH_BITS)
 
 
+_SH_MAXH = 2
+_SH_BANDS = _SH_MAXH + 1
+_SH_W = _SIMHASH_BITS // _SH_BANDS
+
+
+@register(
+    "q_dedup_simhash_hamming",
+    f"""
+    WITH codes AS (
+        SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    ),
+    banded AS (
+        SELECT doc_id, simhash, t.b AS band_idx,
+               (simhash >> (t.b * {_SH_W})) & {(1 << _SH_W) - 1} AS band_bits
+        FROM codes, UNNEST([{", ".join(str(b) for b in range(_SH_BANDS))}]) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.simhash AS ca, b.simhash AS cb
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ca, cb)) <= {_SH_MAXH}
+    """,
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤2 near-dup pairs via code banding (pigeonhole:
+    3 bands of a 12-bit code — any pair within budget shares a band
+    exactly), then exact bit_count(xor) filter.  The all-pairs hamming
+    scan becomes a banded equi-join."""
+    docs = _documents(spark, sf_dir)
+    return D.simhash_hamming_pairs(docs, bits=_SIMHASH_BITS, max_hamming=_SH_MAXH)
+
+
 # ------------------------------------------------------------ similarity
 _COS = (
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"

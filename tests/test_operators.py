@@ -233,3 +233,33 @@ def test_ivf_kmeans_codebook_full_probe_equals_brute_force(spark):
     brute = cosine_topk(emb, q, k=5, exclude_self=True)
     key = lambda r: (r.query_id, r.vec_id, r.cosine_sim)  # noqa: E731
     assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))
+
+
+def test_simhash_hamming_banding_finds_all_close_pairs(spark):
+    """Banding must be a SUPERSET of the hamming ball (pigeonhole) —
+    verify against an exhaustive all-pairs hamming scan."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # identical → hamming 0
+            (3, "alpha beta gamma delta epsilon eta"),    # near
+            (4, "totally different words entirely here"),
+        ],
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in D.simhash_hamming_pairs(docs, bits=12, max_hamming=2).collect()}
+    codes = {r.doc_id: r.simhash for r in D.simhash_codes(docs, bits=12).collect()}
+    want = {
+        (i, j): bin(codes[i] ^ codes[j]).count("1")
+        for i in codes
+        for j in codes
+        if i < j and bin(codes[i] ^ codes[j]).count("1") <= 2
+    }
+    assert got == want
+    assert got[(1, 2)] == 0
+
+
+def test_simhash_hamming_rejects_nondivisible_bits(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        D.simhash_hamming_pairs(docs, bits=13, max_hamming=2)
