@@ -198,6 +198,42 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
+# ------------------------------------------------------------ curation
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The full training-data curation pipeline as one composition:
+
+    1. profile + gate: quality ≥ ``min_quality`` AND a detected language
+    2. exact dedup: keep the min-id doc per normalized-text fingerprint
+    3. near-dup removal: MinHash-LSH candidates → exact n-gram Jaccard ≥
+       ``jaccard_threshold`` → drop the higher id of every pair
+
+    Returns the surviving rows of ``docs`` plus the profile columns.
+    Every stage is a shuffle-bounded relational plan (hash aggregates
+    and banded equi-joins — nothing quadratic, nothing driver-side), so
+    the composition scales like its parts.
+    """
+    from .text import profile_documents
+
+    prof = profile_documents(docs, text_col, id_col).filter(
+        (F.col("quality") >= min_quality) & F.col("detected_lang").isNotNull()
+    )
+    keep1 = prof.groupBy("doc_fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    s1 = prof.join(keep1, id_col, "left_semi")
+
+    cands = minhash_lsh_candidates(s1, text_col, id_col, num_hashes, bands)
+    near = ngram_jaccard_pairs(s1, text_col, id_col, threshold=jaccard_threshold, candidates=cands)
+    removed = near.select(F.col("id_b").alias(id_col)).distinct()
+    return s1.join(removed, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- simhash
 def simhash64(text: Column | str, bits: int = 16, shingle_n: int = 1) -> Column:
     """SimHash over token (or shingle) md5s: bit b of the code is the

@@ -446,3 +446,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("rolling_fp"),
         min_window.alias("min_window_fp"),
     )
+
+
+# ------------------------------------------------------------- curation
+_CUR_MINQ, _CUR_JT = 0.94, 0.2
+_S1_PAIRS = _MINHASH_PAIRS.replace("FROM documents", "FROM s1")
+_S1_SHINGLES = _SHINGLES.replace("FROM documents", "FROM s1")
+
+
+@register(
+    "q_corpus_curation",
+    f"""
+    WITH profiled AS ({_TEXT_PROFILE_ORACLE}),
+    q1 AS (
+        SELECT p.doc_id, d.text, p.detected_lang, p.n_tokens
+        FROM profiled p JOIN documents d USING (doc_id)
+        WHERE p.quality >= {_CUR_MINQ} AND p.detected_lang IS NOT NULL
+    ),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM q1 GROUP BY {_NORM_TEXT}),
+    s1 AS (SELECT q1.* FROM q1 JOIN keep1 USING (doc_id)),
+    near AS (
+        WITH cand AS ({_S1_PAIRS}),
+        sets AS (SELECT doc_id, list_distinct(s) AS sh FROM ({_S1_SHINGLES}))
+        SELECT DISTINCT c.id_b
+        FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= {_CUR_JT}
+    )
+    SELECT detected_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM near)
+    GROUP BY detected_lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline composition: quality gate →
+    exact dedup → MinHash-LSH + Jaccard near-dup removal → per-language
+    corpus rollup.  One oracle checks the whole chain end to end."""
+    docs = _documents(spark, sf_dir)
+    surviving = D.curate_corpus(
+        docs, min_quality=_CUR_MINQ, jaccard_threshold=_CUR_JT
+    )
+    return surviving.groupBy("detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
