@@ -336,7 +336,12 @@ def simhash_hamming_pairs(
         ).alias("band_idx", "band_bits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    # hamming filter BEFORE the pair-dedup: the banded join can emit a
+    # pair once per shared band, so distinct is needed — but running it
+    # after the (cheap, codegen'd) bit_count filter means the exchange
+    # dedups only the close pairs, not every band collision.
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -346,16 +351,10 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("_ca"),
-            F.col("b.simhash").alias("_cb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_ca").bitwiseXOR(F.col("_cb")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
-        .drop("_ca", "_cb")
+        .distinct()
     )
 
 
