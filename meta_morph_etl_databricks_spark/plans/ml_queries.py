@@ -490,3 +490,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ------------------------------------------------------------- sampling
+_SPLIT_SEED, _TEST_BP = 0, 1000  # 10% test
+_SPLIT_MD5 = f"md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR))"
+_BUCKET_SQL = f"({_hex15_to_bigint(_SPLIT_MD5)} % 10000)"
+
+
+@register(
+    "q_corpus_split",
+    f"""
+    SELECT lang,
+           CASE WHEN {_BUCKET_SQL} < {_TEST_BP} THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test assignment: membership is a pure
+    function of (doc_id, seed) — identical on any cluster, any
+    partitioning, any engine (the reproducibility property df.sample()
+    lacks).  Rolled up per language for the oracle check."""
+    from ..operators.sampling import split_column
+
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.select("lang", split_column("doc_id", test_fraction=_TEST_BP / 10000, seed=_SPLIT_SEED).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -263,3 +263,27 @@ def test_simhash_hamming_rejects_nondivisible_bits(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
         D.simhash_hamming_pairs(docs, bits=13, max_hamming=2)
+
+
+# ------------------------------------------------------------- sampling
+def test_train_test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from meta_morph_etl_databricks_spark.operators.sampling import train_test_split
+    from meta_morph_etl_databricks_spark.sources.scans import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.2, seed=3)
+    n, ntr, nte = docs.count(), train.count(), test.count()
+    assert ntr + nte == n                      # exhaustive
+    assert train.join(test, "doc_id").count() == 0  # disjoint
+    assert 0.05 < nte / n < 0.40               # roughly the asked fraction
+    # stability: same membership after an arbitrary repartition
+    test2_ids = {
+        r.doc_id
+        for r in train_test_split(docs.repartition(7), "doc_id", 0.2, seed=3)[1]
+        .select("doc_id").collect()
+    }
+    assert test2_ids == {r.doc_id for r in test.select("doc_id").collect()}
+    # a different seed draws a different assignment
+    _, test_other = train_test_split(docs, "doc_id", 0.2, seed=4)
+    other_ids = {r.doc_id for r in test_other.select("doc_id").collect()}
+    assert other_ids != test2_ids
