@@ -1,0 +1,92 @@
+"""As-of (backward) join — the canonical time-series operator Spark has
+no native form of (DuckDB/kdb/pandas ``merge_asof`` do).
+
+Each left row is matched to the LATEST right row with
+``right_ts <= left_ts`` for the same key.  The naive formulations are
+both scale-broken: a range join explodes to O(|L|·|R|) per key before
+filtering, and a per-key ``collect`` is driver-bound.  The scalable
+shape is union-tag + window fill:
+
+    union(left tagged 1, right tagged 0)
+      → window per key ordered by (ts, tag), running last() over the
+        right-side payload columns (ignorenulls)
+      → keep left rows: each carries the most recent right values
+
+One shuffle + sort per key column set — the same cost as a single
+sort-merge join — and AQE's skew handling applies to the window
+exchange like any other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str | None = "matched_ts",
+) -> DataFrame:
+    """Backward as-of join.  ``payload`` are the right columns carried
+    onto each left row (NULL when no prior right row exists).  Ties at
+    equal timestamps match (right-at-t is visible to left-at-t).
+
+    ``tolerance_seconds`` voids matches older than the window (payload
+    and matched_ts become NULL, the left row survives).
+    ``matched_ts_col`` names the carried right timestamp (None drops it).
+    """
+    payload = payload or [c for c in right.columns if c not in {*on, right_ts}]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns {sorted(overlap)} collide with left columns")
+
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in {*on, left_ts}],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in {*on, left_ts}],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.col(right_ts).alias("_rts"),
+    )
+    # order (ts, side): right (0) sorts before left (1) at equal ts, so
+    # an equal-timestamp right row is visible to the left row
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = rt.unionByName(lt).select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload],
+        F.last("_rts", ignorenulls=True).over(w).alias("_fts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+
+    within: Column = F.lit(True)
+    if tolerance_seconds is not None:
+        age = F.col("_ts").cast("double") - F.col("_fts").cast("double")
+        within = F.col("_fts").isNotNull() & (age <= float(tolerance_seconds))
+
+    keep = [
+        *on,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in {*on, left_ts}],
+        *[F.when(within, F.col(f"_f_{c}")).alias(c) for c in payload],
+    ]
+    if matched_ts_col:
+        keep.append(F.when(within, F.col("_fts")).alias(matched_ts_col))
+    return out.select(*keep)

@@ -521,3 +521,38 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ------------------------------------------------------------ as-of join
+@register(
+    "q_asof_click_purchase",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_value, p.ts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click carries the user's most recent prior (or
+    simultaneous) purchase value.  Engine side is the union-tag +
+    window-fill shape (one shuffle+sort per key — no range explosion);
+    the oracle is DuckDB's NATIVE ASOF JOIN, so the semantics are
+    checked against an independent first-class implementation."""
+    from ..operators.asof import asof_join
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on=["user_id"], payload=["purchase_value"])

@@ -287,3 +287,38 @@ def test_train_test_split_disjoint_exhaustive_stable(spark, sf_dir):
     _, test_other = train_test_split(docs, "doc_id", 0.2, seed=4)
     other_ids = {r.doc_id for r in test_other.select("doc_id").collect()}
     assert other_ids != test2_ids
+
+
+# ------------------------------------------------------------ as-of join
+def test_asof_join_backward_ties_and_missing(spark):
+    from datetime import datetime
+
+    from meta_morph_etl_databricks_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("10:00:00"), "L1"), (1, t("11:00:00"), "L2"), (2, t("09:00:00"), "L3")],
+        "k long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, t("10:00:00"), 5.0), (1, t("10:30:00"), 7.0), (3, t("08:00:00"), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r.lbl: (r.v, r.matched_ts) for r in asof_join(left, right, on=["k"], payload=["v"]).collect()}
+    assert out["L1"] == (5.0, t("10:00:00"))   # equal-ts right row matches
+    assert out["L2"] == (7.0, t("10:30:00"))   # latest prior wins
+    assert out["L3"] == (None, None)           # no right rows for key → NULL, row kept
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime
+
+    from meta_morph_etl_databricks_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    left = spark.createDataFrame([(1, t("12:00:00"), "L")], "k long, ts timestamp, lbl string")
+    right = spark.createDataFrame([(1, t("09:00:00"), 1.0)], "k long, ts timestamp, v double")
+    loose = asof_join(left, right, on=["k"], payload=["v"], tolerance_seconds=4 * 3600).collect()[0]
+    tight = asof_join(left, right, on=["k"], payload=["v"], tolerance_seconds=3600).collect()[0]
+    assert loose.v == 1.0
+    assert tight.v is None and tight.matched_ts is None
