@@ -556,3 +556,55 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("purchase_value"))
     )
     return asof_join(clicks, purchases, on=["user_id"], payload=["purchase_value"])
+
+
+# ------------------------------------------------------------ range join
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q_range_attribution",
+    f"""
+    WITH s AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events WHERE event_type = 'signup'
+    ),
+    c AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT s.event_id AS signup_id,
+           COUNT(c.us) AS clicks_within_hour
+    FROM s LEFT JOIN c
+      ON s.user_id = c.user_id
+     AND c.us >= s.us AND c.us < s.us + {_ATTR_WINDOW_US}
+    GROUP BY 1
+    """,
+)
+def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: count each signup's clicks within
+    the following hour.  Engine path is the bucketized interval join
+    (equi-join on (user, time-bucket) + residual range filter — never a
+    BroadcastNestedLoop); the oracle is the plain BETWEEN join."""
+    from ..operators.rangejoin import range_join
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + _ATTR_WINDOW_US).alias("e_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    hits = range_join(
+        clicks, signups, value_col="c_us", start_col="s_us", end_col="e_us",
+        bucket_width=_ATTR_WINDOW_US, on=["user_id"],
+    )
+    counts = hits.groupBy("signup_id").agg(F.count("*").alias("clicks_within_hour"))
+    return (
+        signups.select("signup_id")
+        .join(counts, "signup_id", "left")
+        .select("signup_id", F.coalesce("clicks_within_hour", F.lit(0)).alias("clicks_within_hour"))
+    )

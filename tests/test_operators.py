@@ -322,3 +322,26 @@ def test_asof_join_tolerance(spark):
     tight = asof_join(left, right, on=["k"], payload=["v"], tolerance_seconds=3600).collect()[0]
     assert loose.v == 1.0
     assert tight.v is None and tight.matched_ts is None
+
+
+# ------------------------------------------------------------ range join
+def test_range_join_matches_nested_loop(spark):
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.rangejoin import range_join
+
+    rnd = random.Random(5)
+    pts = spark.createDataFrame(
+        [(i, rnd.randrange(0, 1000)) for i in range(200)], "pid long, v long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, s := rnd.randrange(0, 950), s + rnd.randrange(1, 120)) for j in range(40)],
+        "iid long, s long, e long",
+    )
+    got = range_join(pts, ivs, "v", "s", "e", bucket_width=64).select("pid", "iid")
+    want = pts.join(ivs, (pts.v >= ivs.s) & (pts.v < ivs.e)).select("pid", "iid")
+    key = lambda r: (r.pid, r.iid)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # inclusive end picks up boundary hits
+    inc = range_join(pts, ivs, "v", "s", "e", bucket_width=64, end_inclusive=True).count()
+    assert inc >= got.count()
