@@ -8,9 +8,16 @@ filtering, and a per-key ``collect`` is driver-bound.  The scalable
 shape is union-tag + window fill:
 
     union(left tagged 1, right tagged 0)
-      → window per key ordered by (ts, tag), running last() over the
-        right-side payload columns (ignorenulls)
-      → keep left rows: each carries the most recent right values
+      → window per key ordered by (ts, tag), running last() over ONE
+        struct holding the whole right row (ignorenulls)
+      → keep left rows: each carries the most recent right ROW
+
+The fill must be a single struct, not per-payload-column last():
+independent fills would substitute older rows' values wherever the
+latest right row holds a NULL — true as-of semantics (pandas
+merge_asof, DuckDB ASOF) carry the latest row wholesale, NULLs
+included.  The struct is non-NULL for every right row, so last()
+selects the row atomically and its NULL fields survive.
 
 One shuffle + sort per key column set — the same cost as a single
 sort-merge join — and AQE's skew handling applies to the window
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -46,21 +54,27 @@ def asof_join(
     if overlap:
         raise ValueError(f"payload columns {sorted(overlap)} collide with left columns")
 
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    row_type = T.StructType(
+        [T.StructField("_rts", rfields[right_ts])]
+        + [T.StructField(f"_r_{c}", rfields[c]) for c in payload]
+    )
     lt = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in {*on, left_ts}],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+        F.lit(None).cast(row_type).alias("_rrow"),
     )
     rt = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in {*on, left_ts}],
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"_r_{c}") for c in payload],
+        ).alias("_rrow"),
     )
     # order (ts, side): right (0) sorts before left (1) at equal ts, so
     # an equal-timestamp right row is visible to the left row
@@ -70,23 +84,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = rt.unionByName(lt).select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload],
-        F.last("_rts", ignorenulls=True).over(w).alias("_fts"),
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_frow")
     )
     out = filled.filter(F.col("_side") == 1)
 
+    fts = F.col("_frow._rts")
     within: Column = F.lit(True)
     if tolerance_seconds is not None:
-        age = F.col("_ts").cast("double") - F.col("_fts").cast("double")
-        within = F.col("_fts").isNotNull() & (age <= float(tolerance_seconds))
+        age = F.col("_ts").cast("double") - fts.cast("double")
+        within = fts.isNotNull() & (age <= float(tolerance_seconds))
 
     keep = [
         *on,
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in {*on, left_ts}],
-        *[F.when(within, F.col(f"_f_{c}")).alias(c) for c in payload],
+        *[F.when(within, F.col(f"_frow._r_{c}")).alias(c) for c in payload],
     ]
     if matched_ts_col:
-        keep.append(F.when(within, F.col("_fts")).alias(matched_ts_col))
+        keep.append(F.when(within, fts).alias(matched_ts_col))
     return out.select(*keep)

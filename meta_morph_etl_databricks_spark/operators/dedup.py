@@ -118,6 +118,11 @@ def minhash_lsh_candidates(
     bucket is tiny; skewed buckets (boilerplate) are handled by AQE
     skew-join splitting.
     """
+    if num_hashes % bands != 0:
+        # Silently dropping the remainder hash functions would change the
+        # effective LSH S-curve without warning (same check as
+        # simhash_hamming_pairs' divisibility guard).
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes)
     # band key = xxhash64 of the band's minhash concat: the join result
@@ -158,14 +163,22 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH; all-pairs only for bounded inputs).  Jaccard is
     computed on DISTINCT shingle sets via array_intersect/union HOFs.
 
     At scale, always pass LSH ``candidates`` — the exact verify then
-    touches O(candidates), not O(n²).
+    touches O(candidates), not O(n²).  ``candidates=None`` is an O(n²)
+    cross join and must be opted into with ``allow_all_pairs=True``.
     """
+    if candidates is None and not allow_all_pairs:
+        raise ValueError(
+            "candidates=None runs an O(n^2) all-pairs cross join; pass LSH "
+            "candidates (minhash_lsh_candidates) or set allow_all_pairs=True "
+            "for bounded inputs"
+        )
     # distinct-set sizes ride along so the pair stage runs ONE array op
     # (intersect); |A∪B| = |A|+|B|-|A∩B| — exact for distinct sets, and
     # a full per-pair array_union pass cheaper (HOF ops don't share work)

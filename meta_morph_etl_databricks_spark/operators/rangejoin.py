@@ -38,6 +38,13 @@ def range_join(
     unix_micros first — exact, unlike double epoch seconds).  ``on``
     adds equi-key columns (e.g. user_id) to the bucket key.
     """
+    if how != "inner":
+        # The residual range predicate is applied as a post-join filter,
+        # which would silently drop NULL-extended rows of any outer join
+        # (outer collapses to inner).  Refuse rather than return wrong
+        # results; outer-range semantics need the predicate inside the
+        # join condition, which forfeits the bucketed equi-join plan.
+        raise ValueError(f"range_join supports how='inner' only, got {how!r}")
     on = on or []
     lv, rs, re_ = F.col(value_col), F.col(start_col), F.col(end_col)
     lb = left.withColumn("_bucket", F.floor(lv / bucket_width).cast("long"))

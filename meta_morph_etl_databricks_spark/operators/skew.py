@@ -21,10 +21,21 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
-def with_salt(df: DataFrame, buckets: int) -> DataFrame:
-    """Uniform random salt in [0, buckets) — spreads a hot key over
-    ``buckets`` reducers.  rand() is fine here: the salt never affects
-    results, only placement, so nondeterminism under retries is safe."""
+def with_salt(df: DataFrame, buckets: int, salt_from: list[str] | None = None) -> DataFrame:
+    """Salt in [0, buckets) — spreads a hot key over ``buckets`` reducers.
+
+    ``salt_from`` names columns whose hash derives the salt
+    deterministically (pick fine-grained columns — a row id, line
+    number, timestamp — NOT the group key, which would map the whole
+    hot key to one salt).  Prefer it whenever such columns exist:
+    rand() is only per-partition-deterministic, so if ``df`` is itself
+    shuffle output (nondeterministic row order), a map task recomputed
+    after a fetch failure re-deals different salts and downstream
+    aggregates can double-count or drop rows.  The rand() fallback is
+    safe only when salting deterministic scan output."""
+    if salt_from:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets))
+        return df.withColumn(SALT_COL, salt.cast("int"))
     return df.withColumn(SALT_COL, (F.rand() * buckets).cast("int"))
 
 
@@ -37,6 +48,7 @@ def salted_agg(
     keys: list[str],
     aggs: list[tuple[str, str, Column]],
     buckets: int = 16,
+    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage skew-proof aggregation for ALGEBRAIC aggregates:
     stage 1 reduces (key, salt) partials — the hot key's rows spread
@@ -50,7 +62,7 @@ def salted_agg(
         if fn not in _PARTIAL_FN:
             raise ValueError(f"salted_agg supports {sorted(_PARTIAL_FN)} only, got {fn!r}")
     partial = (
-        with_salt(df, buckets)
+        with_salt(df, buckets, salt_from)
         .groupBy(*keys, SALT_COL)
         .agg(*[_PARTIAL_FN[fn](col).alias(f"_p_{name}") for name, fn, col in aggs])
     )
@@ -65,6 +77,7 @@ def salted_join(
     on: list[str],
     buckets: int = 16,
     how: str = "inner",
+    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof equi join when the dim side is too big to broadcast:
     salt the fact rows, replicate each dim row across all ``buckets`` salt
@@ -74,7 +87,7 @@ def salted_join(
     Replication factor = buckets × |dim| — use only when |dim| ≪ |fact|
     but above the broadcast threshold, and keep buckets modest.
     """
-    salted_fact = with_salt(fact, buckets)
+    salted_fact = with_salt(fact, buckets, salt_from)
     replicated = dim.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

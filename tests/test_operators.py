@@ -54,8 +54,20 @@ def test_simhash_codes_match_column_form_and_empty_doc(spark):
 
 def test_ngram_jaccard_identical_docs(spark):
     docs = _docs(spark, [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")])
-    out = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5, allow_all_pairs=True)
     assert [(r.id_a, r.id_b, r.jaccard) for r in out.collect()] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_refuses_silent_all_pairs(spark):
+    docs = _docs(spark, [(1, "x y z w")])
+    with pytest.raises(ValueError, match="all-pairs"):
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def test_minhash_lsh_rejects_nondivisible_bands(spark):
+    docs = _docs(spark, [(1, "x y z w")])
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_candidates(docs, num_hashes=16, bands=3)
 
 
 # ----------------------------------------------------------- similarity
@@ -185,6 +197,38 @@ def test_salted_join_matches_plain_join(spark):
     assert left.filter("k = 3").count() == 1
 
 
+def test_deterministic_salt_spreads_and_is_stable(spark):
+    from meta_morph_etl_databricks_spark.operators.skew import SALT_COL, salted_agg, with_salt
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(1000)], "k string, rid long, v double"
+    )
+    salted = with_salt(df, 8, salt_from=["rid"])
+    # spreads the hot key over multiple reducers...
+    assert salted.select(SALT_COL).distinct().count() > 1
+    # ...and re-deals identically on recompute (hash of rid, not rand)
+    a = {r.rid: r[SALT_COL] for r in salted.collect()}
+    b = {r.rid: r[SALT_COL] for r in salted.collect()}
+    assert a == b
+    got = {
+        r.k: (r.total, r.n)
+        for r in salted_agg(
+            df, ["k"], [("total", "sum", F.col("v")), ("n", "count", F.col("v"))],
+            buckets=8, salt_from=["rid"],
+        ).collect()
+    }
+    assert got["hot"] == (sum(float(i) for i in range(1000)), 1000)
+
+
+def test_range_join_rejects_outer_how(spark):
+    from meta_morph_etl_databricks_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 10)], "pid long, v long")
+    ivs = spark.createDataFrame([(1, 0, 5)], "iid long, s long, e long")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(pts, ivs, "v", "s", "e", bucket_width=64, how="left")
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     from meta_morph_etl_databricks_spark.operators.similarity import (
         cosine_topk,
@@ -308,6 +352,26 @@ def test_asof_join_backward_ties_and_missing(spark):
     assert out["L1"] == (5.0, t("10:00:00"))   # equal-ts right row matches
     assert out["L2"] == (7.0, t("10:30:00"))   # latest prior wins
     assert out["L3"] == (None, None)           # no right rows for key → NULL, row kept
+
+
+def test_asof_join_carries_latest_row_wholesale_nulls_included(spark):
+    """The latest matching right row must be carried atomically: its NULL
+    payload values stay NULL instead of being back-filled from older rows
+    (merge_asof / DuckDB ASOF semantics)."""
+    from datetime import datetime
+
+    from meta_morph_etl_databricks_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    left = spark.createDataFrame([(1, t("12:00:00"), "L")], "k long, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, t("10:00:00"), 5.0, "old"), (1, t("11:00:00"), None, "new")],
+        "k long, ts timestamp, v double, tag string",
+    )
+    row = asof_join(left, right, on=["k"], payload=["v", "tag"]).collect()[0]
+    # latest right row is (11:00, NULL, "new") — v must be NULL, not 5.0,
+    # and the columns must come from the SAME right row
+    assert row.tag == "new" and row.v is None and row.matched_ts == t("11:00:00")
 
 
 def test_asof_join_tolerance(spark):
