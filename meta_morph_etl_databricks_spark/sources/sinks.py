@@ -51,6 +51,16 @@ def dual_write(df: DataFrame, raw_path: str, history_path: str, day_dt: str) -> 
         df.unpersist()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path class, Path) via the JVM gateway — works for
+    local, HDFS, GCS, S3A alike, whatever filesystem the path's scheme
+    configures."""
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    p = path_cls(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), path_cls, p
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -62,14 +72,26 @@ def merge_upsert(
     Reference semantics (utils.py:368-433, psycopg2 MERGE): matched target
     rows take ALL source column values; unmatched source rows are
     inserted; unmatched target rows survive.  Without a transactional
-    table format this is the idempotent read→anti-join→union→overwrite
-    pattern; swap in Delta ``MERGE INTO`` where the runtime has it.
+    table format this is the idempotent read→anti-join→union pattern,
+    staged through a sibling directory; swap in Delta ``MERGE INTO``
+    where the runtime has it.
+
+    Crash safety: the merged output is fully written to
+    ``{target}__staging`` while the existing target stays untouched, then
+    installed by two directory renames (target → ``__backup``, staging →
+    target).  A failure anywhere during the merge write leaves the old
+    target intact; a failure between the renames leaves the data in the
+    backup directory for manual (or next-run) recovery.  This replaces an
+    earlier ``localCheckpoint`` staging, which pinned the whole merged
+    table to executor local disk with truncated lineage — an executor
+    loss mid-overwrite lost the target unrecoverably.
 
     Scale note: the anti-join shuffles on the merge keys only; column
     payloads ride along.  The rewrite cost is the whole target — which is
     why the reference (and we) keep merge targets narrow per-entity marts,
     not the fact table.
     """
+    target_exists = True
     try:
         target = spark.read.parquet(target_path)
         missing = [k for k in keys if k not in target.columns]
@@ -81,11 +103,27 @@ def merge_upsert(
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         merged = source
-    # Materialize before overwriting the path we just read (no transactional
-    # store underneath): stage to a temp location pattern via localCheckpoint.
-    merged = merged.localCheckpoint(eager=True)
-    write_parquet(merged, target_path, mode="overwrite")
-    return merged
+        target_exists = False
+
+    base = target_path.rstrip("/")
+    staging_path, backup_path = f"{base}__staging", f"{base}__backup"
+    fs, jvm_path, tgt = _hadoop_fs(spark, base)
+    stg, bak = jvm_path(staging_path), jvm_path(backup_path)
+    fs.delete(stg, True)  # stale leftovers from a previous failed run
+    fs.delete(bak, True)
+
+    # 1. Full merge write lands in staging; old target untouched on failure.
+    write_parquet(merged, staging_path, mode="overwrite")
+    # 2. Swap: two metadata renames (atomic per-rename on HDFS/local).
+    if target_exists and fs.exists(tgt):
+        if not fs.rename(tgt, bak):
+            raise IOError(f"merge_upsert: could not move {base} aside to {backup_path}")
+    if not fs.rename(stg, tgt):
+        if target_exists:
+            fs.rename(bak, tgt)  # roll back so the old target stays live
+        raise IOError(f"merge_upsert: could not install {staging_path} as {base}")
+    fs.delete(bak, True)
+    return spark.read.parquet(target_path)
 
 
 def publish_partition(

@@ -56,6 +56,34 @@ def test_merge_upsert(spark, tmp_path):
     assert spark.read.parquet(target_path).count() == 3
 
 
+def test_merge_upsert_failed_write_preserves_target(spark, tmp_path):
+    """A merge whose staging write dies mid-job must leave the existing
+    target readable and intact (the crash-safety contract of the
+    staging+rename swap — no localCheckpoint, no delete-before-write)."""
+    from pyspark.sql import functions as F
+
+    target_path = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_parquet(base, target_path)
+    # poison the source: evaluating v throws during the staging write
+    poisoned = spark.createDataFrame([(3,)], ["k"]).select(
+        "k", F.raise_error(F.lit("boom")).cast("string").alias("v")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="boom"):
+        merge_upsert(spark, target_path, poisoned, keys=["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
+    assert got == {(1, "a"), (2, "b")}  # old target survives the crash
+    # and a subsequent good merge cleans up the stale staging dir and lands
+    source = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    merge_upsert(spark, target_path, source, keys=["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.exists(f"{target_path}__staging")
+    assert not os.path.exists(f"{target_path}__backup")
+
+
 def test_merge_upsert_first_load(spark, tmp_path):
     target_path = str(tmp_path / "fresh")
     source = spark.createDataFrame([(1, "a")], ["k", "v"])
