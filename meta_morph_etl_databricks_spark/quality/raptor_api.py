@@ -11,6 +11,7 @@ is out of engine scope — the summary IS a DataFrame here.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,27 @@ from ..sources.sinks import write_parquet
 from .reconcile import ReconcileResult, reconcile
 
 Source = DataFrame | tuple[str, str]
+
+
+def _rewrite_qualified_names(spark: SparkSession, sql: str) -> str:
+    """Warehouse-SQL portability shim (reference: Raptor.py:95-99,445-453
+    strips ``reporting.``-style schema prefixes before running on Spark):
+    rewrite ``schema.name`` → ``name`` wherever ``name`` is a registered
+    view and ``schema`` is NOT a real database — so a query written
+    against the warehouse's qualified tables runs against temp views,
+    while genuine catalog-qualified tables and column refs like
+    ``alias.col`` (whose bare name is no view) pass through untouched."""
+
+    def repl(m: re.Match[str]) -> str:
+        schema, name = m.group(1), m.group(2)
+        try:
+            if spark.catalog.tableExists(name) and not spark.catalog.databaseExists(schema):
+                return name
+        except Exception:
+            pass
+        return m.group(0)
+
+    return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", repl, sql)
 
 
 def _resolve(spark: SparkSession, src: Source) -> DataFrame:
@@ -32,7 +54,7 @@ def _resolve(spark: SparkSession, src: Source) -> DataFrame:
     if kind == "parquet":
         return spark.read.parquet(ref)
     if kind == "sql":
-        return spark.sql(ref)
+        return spark.sql(_rewrite_qualified_names(spark, ref))
     if kind == "jdbc":
         url, query = ref.split("|", 1)
         return spark.read.format("jdbc").option("url", url).option("query", query).load()
@@ -60,39 +82,28 @@ def submit_reconcile_request(
     the path is the caller's naming choice here).
 
     The overview row carries the counts the reference's email leads
-    with (Raptor.py:270-436): source/target rows, mismatched rows,
-    extras both ways, and match_pct in exact basis points.
+    with (Raptor.py:270-436): source/target rows, matched/mismatched
+    rows, extras both ways, and match_pct in exact basis points.  It is
+    ONE aggregate job over the reconcile join (the reference ran ~6
+    separate count actions, each rescanning both sides, Raptor.py:544-545
+    notwithstanding); when ``output_path`` is set, the source/target
+    inputs are persisted across the four derived writes.
     """
     keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     src_df = _resolve(spark, source)
     tgt_df = _resolve(spark, target)
     res = reconcile(src_df, tgt_df, keys)
-
-    src_rows = src_df.count()
-    mismatch_rows = res.cells.select(*keys).distinct().count()
-    extra_src = res.extra_source.count()
-    extra_tgt = res.extra_target.count()
-    matched = max(src_rows - mismatch_rows - extra_src, 0)
-    basis = max(src_rows, 1)
-    overview = spark.createDataFrame(
-        [
-            (
-                src_rows,
-                tgt_df.count(),
-                matched,
-                mismatch_rows,
-                extra_src,
-                extra_tgt,
-                float(matched * 10000 // basis) / 100.0,
-            )
-        ],
-        "source_rows long, target_rows long, matched_rows long, mismatched_rows long, "
-        "extra_source long, extra_target long, match_pct double",
-    )
+    overview = res.overview
     if output_path:
-        write_parquet(res.cells, f"{output_path}/cells")
-        write_parquet(res.extra_source, f"{output_path}/extra_source")
-        write_parquet(res.extra_target, f"{output_path}/extra_target")
-        write_parquet(res.summary, f"{output_path}/summary")
-        write_parquet(overview, f"{output_path}/overview")
+        src_df.persist()
+        tgt_df.persist()
+        try:
+            write_parquet(res.cells, f"{output_path}/cells")
+            write_parquet(res.extra_source, f"{output_path}/extra_source")
+            write_parquet(res.extra_target, f"{output_path}/extra_target")
+            write_parquet(res.summary, f"{output_path}/summary")
+            write_parquet(overview, f"{output_path}/overview")
+        finally:
+            src_df.unpersist()
+            tgt_df.unpersist()
     return ReconcileReport(result=res, overview=overview)

@@ -46,6 +46,46 @@ def test_reconcile_null_equals_empty(spark):
     assert reconcile(src, tgt, ["id"]).cells.isEmpty()
 
 
+def test_sql_route_rewrites_qualified_names(spark, tmp_path):
+    """A warehouse-style query with schema-qualified names must run
+    against the registered bare views (reference Raptor.py:445-453)."""
+    from meta_morph_etl_databricks_spark.quality.raptor_api import submit_reconcile_request
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "pk int, name string")
+    df.createOrReplaceTempView("cust_mart")
+    rep = submit_reconcile_request(
+        spark,
+        ("sql", "SELECT m.pk, m.name FROM reporting.cust_mart AS m WHERE m.pk > 0"),
+        ("sql", "SELECT pk, name FROM dev.cust_mart"),
+        primary_key="pk",
+    )
+    row = rep.overview.collect()[0]
+    assert (row.source_rows, row.matched_rows, row.match_pct) == (2, 2, 100.0)
+
+
+def test_reconcile_lazy_build_and_single_action_overview(spark):
+    """Building a ReconcileResult must trigger NO Spark job (the old code
+    ran an eager source.count() at plan-build time), and the overview must
+    be one action over the shared full-outer join, not ~6 separate counts."""
+    src = spark.createDataFrame([(i, f"n{i}") for i in range(100)], "pk int, name string")
+    tgt = spark.createDataFrame([(i, f"n{i + (i % 7 == 0)}") for i in range(2, 102)], "pk int, name string")
+
+    spark.sparkContext.setJobGroup("recon_build", "build")
+    r = reconcile(src, tgt, ["pk"])
+    assert list(spark.sparkContext.statusTracker().getJobIdsForGroup("recon_build")) == []
+
+    spark.sparkContext.setJobGroup("recon_overview", "overview")
+    row = r.overview.collect()[0]
+    n_jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup("recon_overview"))
+    spark.sparkContext.setJobGroup(None, None)
+    # one action; AQE may split it into a few query-stage jobs, but far
+    # fewer than the ~6 independent count actions this replaced
+    assert 1 <= n_jobs <= 4
+    assert (row.source_rows, row.target_rows) == (100, 100)
+    assert (row.extra_source, row.extra_target) == (2, 2)
+    assert row.matched_rows + row.mismatched_rows == 98
+
+
 def test_submit_reconcile_request_routing_and_report(spark, tmp_path):
     from meta_morph_etl_databricks_spark.quality.raptor_api import submit_reconcile_request
 
