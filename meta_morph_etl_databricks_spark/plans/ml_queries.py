@@ -216,17 +216,10 @@ _SIMHASH_CODE = " + ".join(
 )
 
 
-@register(
-    "q_text_simhash",
-    f"""
-    SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
-    FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
-    """,
-)
-def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document codes (12-bit for the declared query; the
     library form is parameterized).  Near-dups share codes — the
-    hamming-bucket dedup path."""
+    hamming-bucket dedup path.  Registered via q_text_codes."""
     docs = _documents(spark, sf_dir)
     return D.simhash_codes(docs, bits=_SIMHASH_BITS)
 
@@ -411,12 +404,11 @@ FROM toks
 """
 
 
-@register("q_doc_fingerprint", _FINGERPRINT_ORACLE)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fingerprint_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-document Rabin-Karp rolling hash
     plus the minimum 8-token-window hash (winnowing-style near-dup
     key).  Map-only projection, 8-byte outputs — shuffle-friendly keys
-    for downstream dedup joins."""
+    for downstream dedup joins.  Registered via q_text_codes."""
     docs = _documents(spark, sf_dir)
     ths = F.transform(
         T.tokens("text"),
@@ -446,6 +438,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("rolling_fp"),
         min_window.alias("min_window_fp"),
     )
+
+
+@register(
+    "q_text_codes",
+    f"""
+    WITH codes AS (
+        SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    ),
+    fps AS ({_FINGERPRINT_ORACLE})
+    SELECT c.doc_id, c.simhash, f.rolling_fp, f.min_window_fp
+    FROM codes c JOIN fps f ON c.doc_id = f.doc_id
+    """,
+)
+def q_text_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document codes: SimHash + Rabin-Karp rolling/winnowing
+    fingerprints, joined on doc_id into one code table (the artifact a
+    dedup pipeline materializes once and reuses for both hamming-banding
+    and exact-prefilter joins)."""
+    return _simhash_frame(spark, sf_dir).join(_fingerprint_frame(spark, sf_dir), "doc_id")
 
 
 # ------------------------------------------------------------- curation

@@ -74,33 +74,35 @@ def q_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_anti_join_parts",
+    "q_anti_joins",
     """
-    SELECT p_partkey, p_name FROM part p
+    SELECT 'parts_unsold' AS side, p_partkey AS key_id, p_name AS name FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-    """,
-)
-def q_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: left-anti — parts never sold (reference emulates with outer
-    join + NULL filter, Raptor.py:280-284; native anti skips the
-    NULL-extension)."""
-    part = read_parquet_table(spark, sf_dir, "part")
-    li = read_parquet_table(spark, sf_dir, "lineitem")
-    return anti_join(part, li, part["p_partkey"] == li["l_partkey"]).select("p_partkey", "p_name")
-
-
-@register(
-    "q_anti_join_customers",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'customers_no_orders' AS side, c_custkey AS key_id, c_name AS name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: the flipped (right-)anti — customers with no orders."""
+def q_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+J8: left-anti in both directions, tagged union (reference
+    emulates anti with outer join + NULL filter, Raptor.py:280-284;
+    native anti skips the NULL-extension) — parts never sold and
+    customers with no orders."""
+    part = read_parquet_table(spark, sf_dir, "part")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
     cust = read_parquet_table(spark, sf_dir, "customer")
     orders = read_parquet_table(spark, sf_dir, "orders")
-    return anti_join(cust, orders, cust["c_custkey"] == orders["o_custkey"]).select("c_custkey", "c_name")
+    unsold = anti_join(part, li, part["p_partkey"] == li["l_partkey"]).select(
+        F.lit("parts_unsold").alias("side"),
+        F.col("p_partkey").alias("key_id"),
+        F.col("p_name").alias("name"),
+    )
+    no_orders = anti_join(cust, orders, cust["c_custkey"] == orders["o_custkey"]).select(
+        F.lit("customers_no_orders").alias("side"),
+        F.col("c_custkey").alias("key_id"),
+        F.col("c_name").alias("name"),
+    )
+    return unsold.unionByName(no_orders)
 
 
 @register(
@@ -217,39 +219,34 @@ def q_window_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- sorts / limits
 @register(
-    "q_topk_orders",
+    "q_order_limit",
     """
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    SELECT 'topk_price' AS fam, o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
+    UNION ALL
+    SELECT 'by_month_expr' AS fam, o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM orders
+          ORDER BY EXTRACT(MONTH FROM o_orderdate) ASC, o_orderkey ASC LIMIT 50)
     """,
 )
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/O2: global top-k — Spark plans TakeOrderedAndProject (per-
-    partition heap + driver merge, no global sort shuffle)."""
-    return (
-        read_parquet_table(spark, sf_dir, "orders")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/O3: global top-k (Spark plans TakeOrderedAndProject — a
+    per-partition heap + driver merge, no global sort shuffle) and ORDER
+    BY a computed expression (Average_Order_Value.sql:13-14) with a
+    deterministic unique-key tie-break, as one tagged union."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    topk = (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(F.lit("topk_price").alias("fam"), *cols)
     )
-
-
-@register(
-    "q_orderby_expr_limit",
-    """
-    SELECT o_orderkey, o_orderdate FROM orders
-    ORDER BY EXTRACT(MONTH FROM o_orderdate) ASC, o_orderkey ASC LIMIT 50
-    """,
-)
-def q_orderby_expr_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: ORDER BY a computed expression (Average_Order_Value.sql:13-14)
-    with a deterministic unique-key tie-break."""
-    return (
-        read_parquet_table(spark, sf_dir, "orders")
-        .orderBy(F.month("o_orderdate").asc(), F.col("o_orderkey").asc())
+    by_expr = (
+        orders.orderBy(F.month("o_orderdate").asc(), F.col("o_orderkey").asc())
         .limit(50)
-        .select("o_orderkey", "o_orderdate")
+        .select(F.lit("by_month_expr").alias("fam"), *cols)
     )
+    return topk.unionByName(by_expr)
 
 
 # ---------------------------------------------------------------- aggregates
@@ -357,7 +354,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_scalar_datetime",
+    "q_scalar_datetime_conditional",
     """
     SELECT o_orderkey,
            CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
@@ -368,13 +365,24 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30,
            CAST(CAST(o_orderdate AS DATE) - 7 AS TIMESTAMP) AS minus_7,
            CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
-           datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS days_to_asof
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS days_to_asof,
+           CASE o_orderstatus WHEN 'F' THEN 'Delivered' WHEN 'O' THEN 'Open'
+                              ELSE 'Pending' END AS status_label,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority_clean,
+           GREATEST(o_totalprice, 50000.0) AS price_floor,
+           LEAST(o_totalprice, 200000.0) AS price_cap,
+           CAST(ROUND(ABS(o_totalprice - 100000.0), 2) AS DOUBLE) AS dist_from_100k,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+           o_totalprice % 100 AS price_mod
     FROM orders
     """,
 )
-def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 date/time family: extract parts, date arithmetic (the
-    reference's ``current_date() - 4`` idiom), truncation, datediff."""
+def q_scalar_datetime_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date/time + conditional/null + math families in one
+    projection over orders: extract parts, date arithmetic (the
+    reference's ``current_date() - 4`` idiom), truncation, datediff,
+    chained when/otherwise, coalesce, nullif, greatest/least,
+    abs/round/floor/mod."""
     orders = read_parquet_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     ts = lambda c: c.cast("timestamp")  # noqa: E731 — see marts: date outputs as TIMESTAMP
@@ -389,30 +397,6 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts(F.date_sub(d, 7)).alias("minus_7"),
         ts(F.date_trunc("month", d).cast("date")).alias("month_start"),
         F.datediff(F.lit("2001-08-02").cast("date"), d).cast("bigint").alias("days_to_asof"),
-    )
-
-
-@register(
-    "q_scalar_conditional",
-    """
-    SELECT o_orderkey,
-           CASE o_orderstatus WHEN 'F' THEN 'Delivered' WHEN 'O' THEN 'Open'
-                              ELSE 'Pending' END AS status_label,
-           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority_clean,
-           GREATEST(o_totalprice, 50000.0) AS price_floor,
-           LEAST(o_totalprice, 200000.0) AS price_cap,
-           CAST(ROUND(ABS(o_totalprice - 100000.0), 2) AS DOUBLE) AS dist_from_100k,
-           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
-           o_totalprice % 100 AS price_mod
-    FROM orders
-    """,
-)
-def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 conditional/null + math families: chained when/otherwise,
-    coalesce, nullif, greatest/least, abs/round/floor/mod."""
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", "Delivered")
         .when(F.col("o_orderstatus") == "O", "Open")
         .otherwise("Pending")

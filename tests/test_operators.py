@@ -115,7 +115,7 @@ def test_profile_documents_empty_and_unknown_lang(spark):
 
 def test_rolling_fingerprint_order_sensitivity(spark):
     a = _docs(spark, [(1, "a b c"), (2, "c b a"), (3, "a b c")])
-    from meta_morph_etl_databricks_spark.plans.ml_queries import q_doc_fingerprint  # noqa: F401
+    from meta_morph_etl_databricks_spark.plans.ml_queries import q_text_codes  # noqa: F401
 
     fp = {r.doc_id: r.f for r in a.select("doc_id", T.fingerprint("text").alias("f")).collect()}
     assert fp[1] == fp[3] != fp[2]
