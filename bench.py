@@ -16,6 +16,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# queries merged in round 2 — a new name's baseline is the sum of the
+# old pair it replaced, so the regression gate stays comparable
+_MERGED_BASELINES = {
+    "q_anti_joins": ["q_anti_join_parts", "q_anti_join_customers"],
+    "q_order_limit": ["q_topk_orders", "q_orderby_expr_limit"],
+    "q_scalar_datetime_conditional": ["q_scalar_datetime", "q_scalar_conditional"],
+    "q_text_codes": ["q_text_simhash", "q_doc_fingerprint"],
+}
+
+
+def _baseline_timings() -> dict[str, float]:
+    """Per-query times from the newest BENCH_r*.json artifact (the
+    previous round's record) — the regression floor."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return {}
+    try:
+        with open(files[-1]) as f:
+            data = json.load(f)
+        return dict((data.get("parsed") or {}).get("queries") or {})
+    except Exception:
+        return {}
+
+
+def _regressions(timings: dict[str, float], baseline: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Queries >1.5x their previous-round time (with a 1 s absolute
+    floor so sub-second scheduling jitter doesn't flag)."""
+    out: dict[str, dict[str, float]] = {}
+    for name, t in timings.items():
+        if t < 0:
+            continue
+        base = baseline.get(name)
+        if base is None and name in _MERGED_BASELINES:
+            parts = [baseline.get(p) for p in _MERGED_BASELINES[name]]
+            base = sum(p for p in parts if p is not None) if any(p is not None for p in parts) else None
+        if base is None or base <= 0:
+            continue
+        if t > 1.5 * base and t - base > 1.0:
+            out[name] = {"now": t, "baseline": round(base, 3), "ratio": round(t / base, 2)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as se
@@ -26,12 +71,23 @@ def main() -> None:
     qs = se.queries()
 
     timings: dict[str, float] = {}
-    # warm-up: JVM, codegen, broadcast + shuffle infra on a tiny but
-    # plan-shaped query (join + agg + window) so the first timed query
-    # doesn't absorb one-time startup costs
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm-up: JVM, codegen, broadcast + shuffle infra, the Python/Arrow
+    # worker pool, and every input table's footer cache — so per-query
+    # times measure the steady-state distributed plan, not whichever
+    # query happens to run first after a cold component.
+    for t in ("region", "orders", "lineitem", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
     try:
         next(iter(qs.values()))(spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
+    try:  # spin up the Arrow-batched Python workers once
+        import pandas as pd  # noqa: F401
+
+        spark.range(64).mapInPandas(lambda it: it, "id long").count()
     except Exception:
         pass
     for name, fn in qs.items():
@@ -46,6 +102,9 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    regressions = _regressions(timings, _baseline_timings())
+    for name, r in regressions.items():
+        print(f"# bench REGRESSION {name}: {r['now']}s vs {r['baseline']}s ({r['ratio']}x)", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -54,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
