@@ -52,17 +52,32 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _md5_hash(col: Column, seed: int) -> Column:
-    """Portable 'hash family': md5 of seed-prefixed input, as a hex
-    string — identical in Spark and DuckDB, so oracle-checkable.
-    Production path would use xxhash64(col, seed) (faster, numeric)."""
-    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+# MinHash hash family: ONE portable base hash per shingle (md5 hex →
+# 60-bit int, identical in Spark and DuckDB), then k affine derivations
+# (a_i·h + b_i) mod P.  The classic parameterized family — and 16×
+# cheaper than 16 seeded md5 passes per shingle, which profiling showed
+# dominated the whole dedup chain.  All operands stay < P ≈ 2^30, so
+# a_i·h < 2^60 never overflows BIGINT on either engine.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine family (a_i ≠ 0)."""
+    return [
+        ((i * 1_000_003 + 12_345) % MINHASH_P or 1, (i * 789_617 + 67_891) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def _shingle_base_hash(col: Column) -> Column:
+    """md5(shingle) → first 15 hex chars → bigint, mod P.  Portable:
+    DuckDB reproduces it with a hex-digit CASE ladder (ml_queries)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % MINHASH_P
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as a single Column expression (array of hex
-    strings, length num_hashes; NULLs when the document has no
-    shingles).
+    """MinHash signature as a single Column expression (array of bigint,
+    length num_hashes; NULLs when the document has no shingles).
 
     NOTE: column-expression form only — higher-order functions run on
     Spark's interpreted path with NO common-subexpression elimination,
@@ -72,12 +87,14 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int =
     """
     sh = shingles(text, shingle_n)
 
-    def seeded(seed: int):
-        # closure, not a default arg: a (s, i=seed) lambda has arity 2 and
-        # PySpark would pass the element INDEX into i (HOF arity dispatch)
-        return lambda s: _md5_hash(s, seed)
+    def affine(a: int, b: int):
+        # closure, not a default arg: a (s, a=a) lambda has arity 2 and
+        # PySpark would pass the element INDEX into it (HOF arity dispatch)
+        return lambda s: (_shingle_base_hash(s) * a + b) % MINHASH_P
 
-    return F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)])
+    return F.array(
+        *[F.array_min(F.transform(sh, affine(a, b))) for a, b in minhash_params(num_hashes)]
+    )
 
 
 def minhash_signatures(
@@ -88,17 +105,23 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures, distributed shape: explode shingles to rows,
-    hash each shingle ONCE per seed, take per-seed mins with a hash
-    aggregate (map-side partial min → k values per doc cross the
-    shuffle, never the shingles).  Parallelism comes from the shuffle,
-    independent of input file count.  Documents with no shingles
-    produce no row (they can't be near-dup candidates).
+    md5-hash each shingle ONCE, derive the k family values with codegen'd
+    integer arithmetic, take per-function mins with a hash aggregate
+    (map-side partial min → k values per doc cross the shuffle, never
+    the shingles).  Parallelism comes from the shuffle, independent of
+    input file count.  Documents with no shingles produce no row (they
+    can't be near-dup candidates).
 
-    Returns (id_col, h0..h{k-1}).
+    Returns (id_col, h0..h{k-1}) as bigint.
     """
     sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh"))
-    hashed = sh.select(
-        id_col, *[_md5_hash(F.col("_sh"), i).alias(f"h{i}") for i in range(num_hashes)]
+    based = sh.select(id_col, _shingle_base_hash(F.col("_sh")).alias("_hv"))
+    hashed = based.select(
+        id_col,
+        *[
+            ((F.col("_hv") * a + b) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ],
     )
     return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
@@ -135,7 +158,13 @@ def minhash_lsh_candidates(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
                     )
                     for b in range(bands)
                 ]
@@ -220,11 +249,13 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    persist_gated: bool = True,
 ) -> DataFrame:
     """The full training-data curation pipeline as one composition:
 
     1. profile + gate: quality ≥ ``min_quality`` AND a detected language
     2. exact dedup: keep the min-id doc per normalized-text fingerprint
+       (a window filter — one shuffle on the fingerprint, no self-join)
     3. near-dup removal: MinHash-LSH candidates → exact n-gram Jaccard ≥
        ``jaccard_threshold`` → drop the higher id of every pair
 
@@ -232,14 +263,33 @@ def curate_corpus(
     Every stage is a shuffle-bounded relational plan (hash aggregates
     and banded equi-joins — nothing quadratic, nothing driver-side), so
     the composition scales like its parts.
+
+    ``persist_gated`` caches the gated+exact-deduped working set, which
+    THREE downstream consumers re-read (LSH banding, Jaccard verify,
+    final anti-join).  Unpersisted, Catalyst plans the profile
+    explode+aggregate once PER consumer — measured 20 scans of the
+    source in the static plan, ~2x the whole chain's runtime.  At the
+    100 TB design point this materialization is the difference between
+    reading the corpus once and four times; the cache lives for the
+    session (MEMORY_AND_DISK, evicted LRU) — callers running many
+    curations should unpersist via ``spark.catalog.clearCache()`` or
+    pass ``persist_gated=False`` to keep the plan fully lazy.
     """
+    from pyspark.sql import Window
+
     from .text import profile_documents
 
     prof = profile_documents(docs, text_col, id_col).filter(
         (F.col("quality") >= min_quality) & F.col("detected_lang").isNotNull()
     )
-    keep1 = prof.groupBy("doc_fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
-    s1 = prof.join(keep1, id_col, "left_semi")
+    w = Window.partitionBy("doc_fingerprint")
+    s1 = (
+        prof.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    if persist_gated:
+        s1 = s1.persist()
 
     cands = minhash_lsh_candidates(s1, text_col, id_col, num_hashes, bands)
     near = ngram_jaccard_pairs(s1, text_col, id_col, threshold=jaccard_threshold, candidates=cands)

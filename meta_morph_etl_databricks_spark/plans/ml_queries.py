@@ -114,6 +114,14 @@ def q_text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- dedup
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+def _hex15_to_bigint(expr: str) -> str:
+    """First 15 hex chars → bigint, DuckDB side: a '0x'-prefixed string
+    cast, which DuckDB evaluates natively and bit-identically to Spark's
+    ``conv(substr(md5(x),1,15), 16, 10)`` (verified: both yield
+    648541476951500027 for md5('abc')).  Replaces an earlier 15-step
+    per-hex-digit CASE ladder that dominated oracle runtime."""
+    return f"(('0x' || substr({expr}, 1, 15)))::BIGINT"
+
 
 @register(
     "q_dedup_exact",
@@ -138,15 +146,25 @@ _SHINGLES = f"""
 _NUM_HASHES, _BANDS = 16, 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
+# affine MinHash family mirroring operators.dedup: base = md5(x) hex15
+# → bigint mod P, family value i = (a_i*base + b_i) mod P — the base
+# hash is computed ONCE per shingle on both engines.
+_MH_BASE = f"({_hex15_to_bigint('md5(x)')} % {D.MINHASH_P})"
+
+# base hash materialized ONCE per shingle in its own projection —
+# inlining it into the 16 family lambdas would re-run md5 + the CASE
+# ladder 16× per shingle (neither engine CSEs across lambdas)
 _SIGS = f"""
-    SELECT doc_id, [{", ".join(f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(_NUM_HASHES))}] AS sig
-    FROM ({_SHINGLES})
+    SELECT doc_id, [{", ".join(f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {D.MINHASH_P}))" for a, b in D.minhash_params(_NUM_HASHES))}] AS sig
+    FROM (SELECT doc_id, list_transform(s, x -> {_MH_BASE}) AS hv FROM ({_SHINGLES}))
 """
 
 _BAND_STRUCTS = ", ".join(
     "struct_pack(b := {b}, k := {key})".format(
         b=b,
-        key=" || '|' || ".join(f"sig[{b * _ROWS_PER_BAND + r + 1}]" for r in range(_ROWS_PER_BAND)),
+        key=" || '|' || ".join(
+            f"CAST(sig[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        ),
     )
     for b in range(_BANDS)
 )
@@ -193,19 +211,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
     return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
-
-
-# hex→int: one portable CASE expression evaluated by BOTH engines
-# (Spark `conv` has no DuckDB twin; this does, by construction).
-_HEXV = "CASE {c} " + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef") + " END"
-
-
-def _hex15_to_bigint(expr: str) -> str:
-    terms = [
-        f"CAST(({_HEXV.format(c=f'substr({expr}, {p + 1}, 1)')}) AS BIGINT) * {16 ** (14 - p)}"
-        for p in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 _SIMHASH_BITS = 12
