@@ -114,3 +114,29 @@ def test_submit_reconcile_request_routing_and_report(spark, tmp_path):
     cells = spark.read.parquet(f"{out}/cells").collect()
     assert len(cells) == 1 and cells[0].column_name == "name"
     assert spark.read.parquet(f"{out}/overview").count() == 1
+
+
+def test_render_report_html_sections_bounded(spark):
+    from meta_morph_etl_databricks_spark.quality.raptor_api import submit_reconcile_request
+    from meta_morph_etl_databricks_spark.quality.report import render_report_html
+
+    src = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 41)], "pk int, name string, amt double"
+    )
+    tgt = spark.createDataFrame(
+        [(i, f"n{i}" if i % 2 else "X", float(i)) for i in range(3, 43)],
+        "pk int, name string, amt double",
+    )
+    rep = submit_reconcile_request(spark, src, tgt, primary_key="pk")
+    html = render_report_html(rep, limit=5, title="orders")
+    for section in (
+        "Overall Summary", "Column Level Mismatch Summary",
+        "Column Level Mismatch Percentage", "Source Extra Records Sample",
+        "Target Extra Records Sample",
+    ):
+        assert section in html
+    assert "orders" in html and "<table" in html
+    # exemplar section carries the mismatching column, bounded to one row per column
+    assert html.count(">name<") >= 1
+    # bounded collect: at most `limit` data rows per section table
+    assert html.count("<tr>") <= 5 * (5 + 2)

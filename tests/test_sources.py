@@ -197,3 +197,66 @@ def test_read_rest_refuses_empty_and_bad_shapes(spark):
 
     with pytest.raises(RestSourceError):
         fetch_json("http://127.0.0.1:1/unreachable", timeout=0.3)
+
+
+# ------------------------------------------------------------- feed generator
+def test_feedgen_schemas_ranges_and_determinism(spark):
+    import datetime
+
+    from meta_morph_etl_databricks_spark.sources import feedgen as fg
+
+    as_of = datetime.date(2026, 8, 1)
+    sup = fg.gen_suppliers(spark, 40, seed=7)
+    prod = fg.gen_products(spark, 60, num_suppliers=40, active_suppliers=30, seed=7)
+    sales = fg.gen_sales(
+        spark, 500, num_products=60, num_customers=100,
+        active_products=50, active_customers=80, as_of=as_of, seed=7,
+    )
+    assert sup.columns == ["Supplier Id", "Supplier Name", "Contact Details", "Region"]
+    assert sales.columns == [
+        "Sale Id", "Customer Id", "Product Id", "Sale Date", "Quantity",
+        "Discount", "Shipping Cost", "Order Status", "Payment Mode",
+    ]
+    # products reference only the active supplier subset
+    sups = {r["Supplier Id"] for r in prod.select("Supplier Id").distinct().collect()}
+    assert sups <= {f"SUP{i:04d}" for i in range(1, 31)}
+    rows = sales.collect()
+    assert len(rows) == 500
+    for r in rows:
+        d = datetime.date.fromisoformat(r["Sale Date"])
+        recent = (as_of - d).days <= 50
+        if recent:
+            assert r["Order Status"] in ("Pending", "Shipped")
+        else:
+            assert r["Order Status"] in ("Delivered", "Cancelled")
+        assert 1 <= r["Quantity"] <= 20 and 0 <= r["Discount"] <= 17
+        assert 5 <= r["Shipping Cost"] <= 50
+    # deterministic in (seed, id): same seed == same rows, new seed differs
+    again = fg.gen_sales(
+        spark, 500, num_products=60, num_customers=100,
+        active_products=50, active_customers=80, as_of=as_of, seed=7,
+    )
+    assert again.exceptAll(sales).count() == 0
+    other = fg.gen_sales(spark, 500, num_products=60, num_customers=100, as_of=as_of, seed=8)
+    assert other.exceptAll(sales).count() > 0
+
+
+def test_feedgen_daily_landing_roundtrip(spark, tmp_path):
+    import datetime
+
+    from meta_morph_etl_databricks_spark.sources import feedgen as fg
+    from meta_morph_etl_databricks_spark.sources import read_csv_positional
+
+    as_of = datetime.date(2026, 8, 2)
+    paths = fg.write_daily_feed(
+        spark, str(tmp_path), as_of=as_of, seed=3,
+        sizes={"supplier": 10, "product": 20, "customer": 30, "sales": 100},
+    )
+    assert set(paths) == {"supplier", "product", "customer", "sales"}
+    assert f"/{as_of.isoformat()}/" in paths["sales"]
+    # the positional CSV reader (P2/S3) consumes the landed feed directly
+    df = read_csv_positional(
+        spark, paths["supplier"],
+        ["supplier_id", "supplier_name", "contact_details", "region"],
+    )
+    assert df.count() == 10 and df.columns[0] == "supplier_id"
