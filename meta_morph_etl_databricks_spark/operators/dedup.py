@@ -373,7 +373,7 @@ def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 12,
+    bits: int = 24,
     max_hamming: int = 2,
 ) -> DataFrame:
     """Hamming-k near-dup pairs via SimHash banding: split the code into

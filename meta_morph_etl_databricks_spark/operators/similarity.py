@@ -139,6 +139,98 @@ def ivf_centroids_kmeans(
     return [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def _seq_norm(vec: list[float]) -> float:
+    """Norm via the same sequential left-fold the HOF ``norm`` performs
+    (plain Python doubles ARE IEEE doubles, and the loop adds in index
+    order), so the value is bit-identical to ``norm(lit(vec))``."""
+    acc = 0.0
+    for v in vec:
+        acc += v * v
+    return acc**0.5
+
+
+def _flat_codebook_df(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The codebook flattened to (cid, _pos, _y, _cn) rows for the
+    explode-scoring path — k×dims rows, broadcastable."""
+    spark = embeddings.sparkSession
+    rows = []
+    for cid, vec in centroids:
+        cn = _seq_norm(vec)
+        rows.extend((cid, pos, float(y), cn) for pos, y in enumerate(vec))
+    return F.broadcast(spark.createDataFrame(rows, "cid long, _pos int, _y double, _cn double"))
+
+
+def _assign_scored(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment in ONE shuffle: posexplode the vector,
+    broadcast-join the flattened codebook, and compute every per-centroid
+    dot as a conditional ``sum`` in a single hash aggregate — the
+    codegen'd form of k HOF dot products per vector.
+
+    Bit-identical to ``cosine_with_norms(vec, cvec, norm(vec), cn)``:
+    the partial aggregate accumulates each conditional sum in input
+    order, and the generate output streams positions ascending within
+    one task, so ``sum(when(cid=c, x*y))`` performs the same
+    ``((0 + x0·y0) + x1·y1) + ...`` double additions as the interpreted
+    ``aggregate`` fold — but inside whole-stage codegen, with no
+    per-element boxing and no k passes over the array.  (Float inputs
+    square in float first, exactly like ``transform(a, x -> x*x)``.)
+    Argmax is ``array_max`` over (sim, cid) structs — lexicographic,
+    ties to the larger cid, exactly like ``max(struct(sim, cid))``.
+
+    Generate → broadcast join → partial agg fuse into one map stage;
+    the shuffle carries one row per vector (vector + k doubles), and
+    the vector column rides through ``any_value`` — no join-back.
+    Requires non-empty vectors (fixed-dim embedding columns by
+    construction; an empty array generates no rows and drops the id).
+
+    Returns (id_col, vec_col, centroid_id, _n) — ``_n`` is the vector
+    norm, free from the same pass.
+    """
+    flat = _flat_codebook_df(embeddings, centroids)
+    first_cid = centroids[0][0]
+    norms = {cid: _seq_norm(vec) for cid, vec in centroids}
+    ex = embeddings.select(id_col, vec_col, F.posexplode(vec_col).alias("_pos", "_x"))
+    xy = F.col("_x") * F.col("_y")
+    per = (
+        ex.join(flat.drop("_cn"), "_pos")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("cid") == cid, xy)).alias(f"_d{cid}")
+                for cid, _ in centroids
+            ],
+            F.sum(F.when(F.col("cid") == first_cid, F.col("_x") * F.col("_x"))).alias("_sq"),
+            F.any_value(vec_col).alias(vec_col),
+        )
+    )
+    vn = F.sqrt(F.col("_sq"))
+    sims = F.array(
+        *[
+            F.struct(
+                F.when(
+                    (vn > 0) & (F.lit(norms[cid]) > 0),
+                    F.round(F.col(f"_d{cid}") / (vn * F.lit(norms[cid])), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("sim"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, _ in centroids
+        ]
+    )
+    return per.select(
+        id_col,
+        vec_col,
+        F.array_max(sims)["cid"].alias("centroid_id"),
+        vn.alias("_n"),
+    )
+
+
 def _codebook_df(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """The codebook as a broadcastable DataFrame with precomputed norms.
     A DataFrame (not literal expressions) keeps the plan tiny — k=16
@@ -179,20 +271,14 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid's inverted list via a
-    broadcast codebook join + map-side argmax: the n×k scored rows
-    reduce to one row per vector BEFORE any shuffle (partial max_by of a
-    (sim, cid) struct — lexicographic, so ties take the larger cid)."""
-    codebook = _codebook_df(embeddings, centroids)
-    vn = norm(F.col(vec_col))
-    scored = embeddings.withColumn("_n", vn).join(codebook).withColumn(
-        "_sim", F.round(cosine_with_norms(F.col(vec_col), F.col("cvec"), F.col("_n"), F.col("_cn")), 6)
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("_sim").alias("sim"), F.col("cid").alias("cid"))).alias("_best"),
-        F.any_value(vec_col).alias(vec_col),
-    )
-    return best.select(id_col, vec_col, F.col("_best.cid").alias("centroid_id"))
+    """Assign each vector to its nearest centroid's inverted list.
+
+    Scoring runs on the one-shuffle explode + broadcast-join +
+    conditional-sum path (:func:`_assign_scored`) — one codegen'd pass
+    computes all k dots per vector; the earlier form (k interpreted HOF
+    dots per vector via a codebook cross-join) spent ~3× the whole IVF
+    query's budget in the interpreted evaluator."""
+    return _assign_scored(embeddings, centroids, id_col, vec_col).drop("_n")
 
 
 def ivf_topk(
@@ -217,9 +303,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    lists = ivf_assign(embeddings, centroids, id_col, vec_col).withColumn(
-        "_n", norm(F.col(vec_col))
-    )
+    lists = _assign_scored(embeddings, centroids, id_col, vec_col)
     codebook = _codebook_df(embeddings, centroids)
     probes = _rank_centroids(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")),

@@ -213,16 +213,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
 
 
-_SIMHASH_BITS = 12
+# 24-bit codes: hamming-2 banding splits into 3 bands of 8 bits, so the
+# band-join key has 256 values per band (12-bit codes gave 16 — every
+# band a mega-bucket, and at sf0.1 the "near-dup" set degenerated to
+# millions of pairs).  Token hash is materialized ONCE per token into
+# ``hvs``; inlining it would re-run md5 per bit (no CSE across lambdas).
+_SIMHASH_BITS = 24
 _TOKEN_HASH = _hex15_to_bigint("md5(t)")
 _SIMHASH_CODE = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN ({_TOKEN_HASH} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+    f"(CASE WHEN list_sum(list_transform(hvs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
     for b in range(_SIMHASH_BITS)
 )
+_SIMHASH_HVS = f"SELECT doc_id, list_transform(list_distinct({_TOKS}), t -> {_TOKEN_HASH}) AS hvs FROM documents"
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document codes (12-bit for the declared query; the
+    """SimHash document codes (24-bit for the declared query; the
     library form is parameterized).  Near-dups share codes — the
     hamming-bucket dedup path.  Registered via q_text_codes."""
     docs = _documents(spark, sf_dir)
@@ -239,7 +245,7 @@ _SH_W = _SIMHASH_BITS // _SH_BANDS
     f"""
     WITH codes AS (
         SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
-        FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+        FROM ({_SIMHASH_HVS})
     ),
     banded AS (
         SELECT doc_id, simhash, t.b AS band_idx,
@@ -259,7 +265,7 @@ _SH_W = _SIMHASH_BITS // _SH_BANDS
 )
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤2 near-dup pairs via code banding (pigeonhole:
-    3 bands of a 12-bit code — any pair within budget shares a band
+    3 bands of a 24-bit code — any pair within budget shares a band
     exactly), then exact bit_count(xor) filter.  The all-pairs hamming
     scan becomes a banded equi-join."""
     docs = _documents(spark, sf_dir)
@@ -450,7 +456,7 @@ def _fingerprint_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH codes AS (
         SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash
-        FROM (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+        FROM ({_SIMHASH_HVS})
     ),
     fps AS ({_FINGERPRINT_ORACLE})
     SELECT c.doc_id, c.simhash, f.rolling_fp, f.min_window_fp

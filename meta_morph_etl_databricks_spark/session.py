@@ -25,6 +25,11 @@ from pyspark.sql import SparkSession
 # explicit `as_of` date instead of depending on session-local today().
 _SESSION_TZ = "UTC"
 
+# 16g covers every bench/test working set with headroom; pre-touching
+# (see below) makes startup cost proportional to heap size, so bigger
+# isn't better here.  Env-overridable for larger local experiments.
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -57,7 +62,17 @@ def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> 
         # cap above still governs big inputs; this floors the split COUNT
         # so a 3-file scan doesn't serialize a 32-core stage)
         .config("spark.sql.files.minPartitionNum", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for every
+        # worker thread.  Pin it (Xms=Xmx) and pre-touch: on-demand heap
+        # commit under THP=madvise/defrag=madvise caused kernel
+        # page-fault storms (32 runnable threads at ~98% SYSTEM cpu,
+        # context switches collapsed) that randomly added 10-30s to
+        # whichever query was running.  Pre-faulting the pages once at
+        # startup removed the 1.9-29s run-to-run swings (same plan,
+        # same data) entirely.  On a real cluster the executor JVMs
+        # carry these settings' role.
+        .config("spark.driver.memory", _DRIVER_MEM)
+        .config("spark.driver.extraJavaOptions", f"-Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
