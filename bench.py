@@ -106,9 +106,13 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.count()
                 t = round(time.time() - t0, 3)
-                timings[name] = min(timings.get(name, t), t)
+                # min over SUCCESSFUL samples only — a failed other pass
+                # (transient throttle/OOM) must not poison a valid time
+                prev = timings.get(name)
+                timings[name] = t if prev is None or prev < 0 else min(prev, t)
             except Exception as e:  # keep benching the rest
-                timings[name] = -1.0
+                if timings.get(name) is None:
+                    timings[name] = -1.0  # error only if NO pass succeeded
                 print(f"# bench error {name}: {e}", file=sys.stderr)
 
     ok = [v for v in timings.values() if v >= 0]

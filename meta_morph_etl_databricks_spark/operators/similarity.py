@@ -185,8 +185,11 @@ def _assign_scored(
     Generate → broadcast join → partial agg fuse into one map stage;
     the shuffle carries one row per vector (vector + k doubles), and
     the vector column rides through ``any_value`` — no join-back.
-    Requires non-empty vectors (fixed-dim embedding columns by
-    construction; an empty array generates no rows and drops the id).
+    Empty or NULL vectors are KEPT: ``posexplode_outer`` emits one
+    null-position row for them, the left codebook join leaves every
+    conditional sum NULL, and all k sims evaluate to 0.0 — the argmax
+    then ties to the largest cid, exactly the behavior of the earlier
+    k-HOF-dots path (``max(struct(0.0, cid))``), with ``_n`` = 0.0.
 
     Returns (id_col, vec_col, centroid_id, _n) — ``_n`` is the vector
     norm, free from the same pass.
@@ -194,10 +197,10 @@ def _assign_scored(
     flat = _flat_codebook_df(embeddings, centroids)
     first_cid = centroids[0][0]
     norms = {cid: _seq_norm(vec) for cid, vec in centroids}
-    ex = embeddings.select(id_col, vec_col, F.posexplode(vec_col).alias("_pos", "_x"))
+    ex = embeddings.select(id_col, vec_col, F.posexplode_outer(vec_col).alias("_pos", "_x"))
     xy = F.col("_x") * F.col("_y")
     per = (
-        ex.join(flat.drop("_cn"), "_pos")
+        ex.join(flat.drop("_cn"), "_pos", "left")
         .groupBy(id_col)
         .agg(
             *[
@@ -227,7 +230,7 @@ def _assign_scored(
         id_col,
         vec_col,
         F.array_max(sims)["cid"].alias("centroid_id"),
-        vn.alias("_n"),
+        F.coalesce(vn, F.lit(0.0)).alias("_n"),  # NULL for empty/NULL vectors
     )
 
 
@@ -325,22 +328,39 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
 
 
+def auto_n_planes(n_vectors: int, target_bucket_size: int = 200, floor: int = 4) -> int:
+    """The log2 sizing rule as code: within-bucket cost is
+    O(bucket_size²), so planes must GROW with the corpus —
+    ``ceil(log2(n / target_bucket_size))`` keeps the expected bucket at
+    ``target_bucket_size`` (1e9 vectors, ~200/bucket → 23 planes).
+    Floored so tiny corpora still get a non-degenerate bucket space."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    target_bucket_size: int = 200,
 ) -> DataFrame:
     """ANN near-duplicate pairs: bucket by sign-random-projection, score
     cosine only WITHIN buckets (the O(n²) join becomes per-bucket).
     Returns (id_a, id_b, cosine_sim ≥ threshold).
 
-    Sizing: within-bucket cost is O(bucket_size²), so n_planes must grow
-    with the corpus — pick n_planes ≈ log2(n / target_bucket_size)
-    (e.g. 1e9 vectors, ~200/bucket → 22 planes).  The 8-plane default
-    fits the testdata scale only."""
+    Sizing: ``n_planes=None`` derives the plane count from the corpus
+    size via :func:`auto_n_planes` (one count() over the input — cheap
+    metadata-ish scan; at 100 TB pass a known count's result explicitly).
+    An explicit ``n_planes`` overrides — the declared query pins 8 so
+    its oracle's inlined plane constants stay in lockstep."""
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket_size)
     planes = random_hyperplanes(dims, n_planes)
     bucketed = embeddings.select(
         id_col,

@@ -13,4 +13,15 @@ from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 
+# LOAD-BEARING: the grading driver verifies at most the first 50
+# registered queries.  Exactly 50 means every declared query is checked;
+# a 51st would silently fall off the correctness gate.  To add a query,
+# merge or retire another (and map its bench baseline in
+# bench._MERGED_BASELINES) — this assert makes the coverage loss loud.
+DRIVER_QUERY_CAP = 50
+assert len(QUERIES) == DRIVER_QUERY_CAP, (
+    f"{len(QUERIES)} queries registered; the driver checks only the first "
+    f"{DRIVER_QUERY_CAP} — merge or retire before adding"
+)
+
 __all__ = ["QUERIES", "ORACLES", "register", "query_fns", "oracle_map"]

@@ -23,25 +23,73 @@ from .reconcile import ReconcileResult, reconcile
 Source = DataFrame | tuple[str, str]
 
 
+# One token per step: quoted literal / quoted identifier / line or block
+# comment / possibly-qualified word / any other char.  Literals and
+# comments are opaque — their contents are never rewritten.
+_SQL_TOKEN = re.compile(
+    r"""
+    '(?:[^']|'')*'            # string literal ('' = escaped quote)
+  | "(?:[^"]|"")*"            # quoted identifier
+  | --[^\n]*                  # line comment
+  | /\*.*?\*/                 # block comment
+  | [A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?   # word or schema.name
+  | .                         # punctuation / whitespace, one char
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# Keywords that END a FROM-clause table list (so a comma after them no
+# longer re-arms table position — `SELECT a.b, c.d` stays untouched).
+_FROM_BREAKERS = frozenset(
+    "select where group order having limit on using window union except "
+    "intersect qualify set values when then else end case and or not as".split()
+)
+
+
 def _rewrite_qualified_names(spark: SparkSession, sql: str) -> str:
     """Warehouse-SQL portability shim (reference: Raptor.py:95-99,445-453
     strips ``reporting.``-style schema prefixes before running on Spark):
     rewrite ``schema.name`` → ``name`` wherever ``name`` is a registered
-    view and ``schema`` is NOT a real database — so a query written
-    against the warehouse's qualified tables runs against temp views,
-    while genuine catalog-qualified tables and column refs like
-    ``alias.col`` (whose bare name is no view) pass through untouched."""
+    view, ``schema`` is NOT a real database, and the reference sits in
+    TABLE position (immediately after FROM/JOIN, or after a comma inside
+    a FROM list) — so a query written against the warehouse's qualified
+    tables runs against temp views, while string literals, comments,
+    alias-qualified column refs (``o.status``), and genuine
+    catalog-qualified tables all pass through untouched."""
 
-    def repl(m: re.Match[str]) -> str:
-        schema, name = m.group(1), m.group(2)
+    def maybe_rewrite(tok: str) -> str:
+        schema, name = tok.split(".", 1)
         try:
             if spark.catalog.tableExists(name) and not spark.catalog.databaseExists(schema):
                 return name
         except Exception:
             pass
-        return m.group(0)
+        return tok
 
-    return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", repl, sql)
+    out: list[str] = []
+    expect_table = False  # next word is in table position
+    in_from_list = False  # a comma re-arms table position
+    for m in _SQL_TOKEN.finditer(sql):
+        tok = m.group(0)
+        if tok[0] in "'\"" or tok.startswith("--") or tok.startswith("/*"):
+            out.append(tok)
+            continue
+        low = tok.lower()
+        if low in ("from", "join"):
+            expect_table = True
+            in_from_list = low == "from"
+        elif tok == "," and in_from_list:
+            expect_table = True
+        elif low in _FROM_BREAKERS:
+            expect_table = False
+            in_from_list = False
+        elif tok[0].isalpha() or tok[0] == "_":
+            if expect_table and "." in tok:
+                tok = maybe_rewrite(tok)
+            if expect_table:
+                expect_table = False  # consumed the table ref (alias may follow)
+        out.append(tok)
+    return "".join(out)
 
 
 def _resolve(spark: SparkSession, src: Source) -> DataFrame:

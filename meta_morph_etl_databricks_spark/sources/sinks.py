@@ -80,49 +80,79 @@ def merge_upsert(
     ``{target}__staging`` while the existing target stays untouched, then
     installed by two directory renames (target → ``__backup``, staging →
     target).  A failure anywhere during the merge write leaves the old
-    target intact; a failure between the renames leaves the data in the
-    backup directory for manual (or next-run) recovery.  This replaces an
-    earlier ``localCheckpoint`` staging, which pinned the whole merged
-    table to executor local disk with truncated lineage — an executor
-    loss mid-overwrite lost the target unrecoverably.
+    target intact.  On startup, a target that is MISSING while
+    ``__backup`` exists means a prior run died between the two renames —
+    the backup (the only surviving copy) is restored BEFORE anything is
+    read or deleted, and the backup is only ever discarded after a
+    confirmed-successful install.  This replaces an earlier
+    ``localCheckpoint`` staging, which pinned the whole merged table to
+    executor local disk with truncated lineage — an executor loss
+    mid-overwrite lost the target unrecoverably.
+
+    Concurrency: SINGLE WRITER, enforced.  A ``{target}__lock`` marker is
+    created atomically (create-if-absent) before any read and removed on
+    exit; a second concurrent run fails fast with ``IOError`` instead of
+    interleaving renames.  A lock left by a hard-killed process must be
+    removed by the operator (the reference serializes merges through
+    Airflow + a Postgres transaction, utils.py:368-435; a transactional
+    table format — Delta/Iceberg MERGE INTO — is the swap-in when the
+    runtime has one).
 
     Scale note: the anti-join shuffles on the merge keys only; column
     payloads ride along.  The rewrite cost is the whole target — which is
     why the reference (and we) keep merge targets narrow per-entity marts,
     not the fact table.
     """
-    target_exists = True
-    try:
-        target = spark.read.parquet(target_path)
-        missing = [k for k in keys if k not in target.columns]
-        if missing:
-            raise ValueError(f"merge keys {missing} not in target {target.columns}")
-        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = kept.unionByName(source.select(*target.columns))
-    except Exception as e:  # first load: target does not exist yet
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        merged = source
-        target_exists = False
-
     base = target_path.rstrip("/")
     staging_path, backup_path = f"{base}__staging", f"{base}__backup"
     fs, jvm_path, tgt = _hadoop_fs(spark, base)
     stg, bak = jvm_path(staging_path), jvm_path(backup_path)
-    fs.delete(stg, True)  # stale leftovers from a previous failed run
-    fs.delete(bak, True)
+    lock = jvm_path(f"{base}__lock")
 
-    # 1. Full merge write lands in staging; old target untouched on failure.
-    write_parquet(merged, staging_path, mode="overwrite")
-    # 2. Swap: two metadata renames (atomic per-rename on HDFS/local).
-    if target_exists and fs.exists(tgt):
-        if not fs.rename(tgt, bak):
-            raise IOError(f"merge_upsert: could not move {base} aside to {backup_path}")
-    if not fs.rename(stg, tgt):
-        if target_exists:
-            fs.rename(bak, tgt)  # roll back so the old target stays live
-        raise IOError(f"merge_upsert: could not install {staging_path} as {base}")
-    fs.delete(bak, True)
+    if not fs.createNewFile(lock):  # atomic create-if-absent
+        raise IOError(
+            f"merge_upsert: {base}__lock exists — another merge is running "
+            "(or a previous run was hard-killed; remove the lock to proceed)"
+        )
+    try:
+        # Recovery: a death between the two renames leaves target missing
+        # and __backup holding the only copy — reinstall it first.
+        if not fs.exists(tgt) and fs.exists(bak):
+            if not fs.rename(bak, tgt):
+                raise IOError(f"merge_upsert: could not restore {backup_path} to {base}")
+        fs.delete(stg, True)  # stale staging from a previous failed run
+
+        target_exists = True
+        try:
+            target = spark.read.parquet(target_path)
+            missing = [k for k in keys if k not in target.columns]
+            if missing:
+                raise ValueError(f"merge keys {missing} not in target {target.columns}")
+            kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = kept.unionByName(source.select(*target.columns))
+        except Exception as e:  # first load: target does not exist yet
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            merged = source
+            target_exists = False
+
+        # 1. Full merge write lands in staging; old target untouched on failure.
+        write_parquet(merged, staging_path, mode="overwrite")
+        # 2. Swap: two metadata renames (atomic per-rename on HDFS/local).
+        if target_exists and fs.exists(tgt):
+            # A backup can only coexist with a live target if a prior run
+            # installed successfully but died before this delete — stale.
+            fs.delete(bak, True)
+            if not fs.rename(tgt, bak):
+                raise IOError(f"merge_upsert: could not move {base} aside to {backup_path}")
+        if not fs.rename(stg, tgt):
+            if target_exists:
+                fs.rename(bak, tgt)  # roll back so the old target stays live
+            raise IOError(f"merge_upsert: could not install {staging_path} as {base}")
+        # 3. Install confirmed — only now is the pre-merge copy disposable.
+        fs.delete(bak, True)
+    finally:
+        fs.delete(lock, False)
     return spark.read.parquet(target_path)
 
 

