@@ -16,13 +16,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# queries merged in round 2 — a new name's baseline is the sum of the
-# old pair it replaced, so the regression gate stays comparable
+# queries merged in rounds 2/3 — a merged query's baseline is the sum of
+# the pair it replaced (the surviving name may itself be one of the
+# parts), so the regression gate stays comparable
 _MERGED_BASELINES = {
     "q_anti_joins": ["q_anti_join_parts", "q_anti_join_customers"],
     "q_order_limit": ["q_topk_orders", "q_orderby_expr_limit"],
     "q_scalar_datetime_conditional": ["q_scalar_datetime", "q_scalar_conditional"],
     "q_text_codes": ["q_text_simhash", "q_doc_fingerprint"],
+    "q_scalar_string": ["q_scalar_string", "q_scalar_array_hof"],
+    "q_quantiles_by_status": ["q_quantiles_by_status", "q_groupby_ordinal"],
 }
 
 
@@ -50,10 +53,11 @@ def _regressions(timings: dict[str, float], baseline: dict[str, float]) -> dict[
     for name, t in timings.items():
         if t < 0:
             continue
-        base = baseline.get(name)
-        if base is None and name in _MERGED_BASELINES:
+        if name in _MERGED_BASELINES:  # merged map wins even when the name persists
             parts = [baseline.get(p) for p in _MERGED_BASELINES[name]]
-            base = sum(p for p in parts if p is not None) if any(p is not None for p in parts) else None
+            base = sum(p for p in parts if p is not None) if any(p is not None for p in parts) else baseline.get(name)
+        else:
+            base = baseline.get(name)
         if base is None or base <= 0:
             continue
         if t > 1.5 * base and t - base > 1.0:

@@ -426,16 +426,26 @@ FROM agg a LEFT JOIN pay p ON a.c_custkey = p.c_custkey
 register("q_customer_metrics", CUSTOMER_METRICS_ORACLE)(customer_metrics)
 
 
-def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_sales_report(
+    spark: SparkSession, sf_dir: str, exact_quantiles: bool = True
+) -> DataFrame:
     """Mirrors m_customer_sales_report_task.py:60-253.
 
     customer ⟕ sales with the theta in the ON clause (J2, order grain:
     o_orderstatus != 'P'), inner product join (J3), computed price /
-    sale_amount columns (P4), loyalty tiers via quantile bucketing (C2,
-    exact percentiles for oracle parity — approxQuantile is the
-    documented scale path), and the cross-pipeline top-performer flag
-    sourced from supplier_performance's top products (F4 → broadcast
-    join, not the reference's driver-side isin list).
+    sale_amount columns (P4), loyalty tiers via quantile bucketing (C2),
+    and the cross-pipeline top-performer flag sourced from
+    supplier_performance's top products (F4 → broadcast join, not the
+    reference's driver-side isin list).
+
+    ``exact_quantiles`` picks the tier-cut estimator: True (default, the
+    oracle-pinned path) runs exact ``percentile_cont`` — a global sort of
+    the per-customer aggregate; False is the SCALE path, Spark's
+    ``approxQuantile`` with relativeError 0.01 (the reference's own
+    budget, m_customer_sales_report_task.py:183-186) — a mergeable
+    Greenwald-Khanna sketch, no global sort.  Both collect exactly two
+    scalars to the driver; the remaining barrier is inherent to the
+    reference's C2 semantics (cuts are data-dependent constants).
     """
     customer = read_parquet_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     orders = read_parquet_table(spark, sf_dir, "orders").select(
@@ -476,11 +486,14 @@ def customer_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     per_customer = enriched.groupBy("c_custkey").agg(F.sum(dec("sale_amount")).cast("double").alias("agg_sales_amount"))
-    cuts = per_customer.select(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("silver"),
-        F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("gold"),
-    ).first()
-    silver, gold = cuts["silver"], cuts["gold"]
+    if exact_quantiles:
+        cuts = per_customer.select(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("silver"),
+            F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("gold"),
+        ).first()
+        silver, gold = cuts["silver"], cuts["gold"]
+    else:
+        silver, gold = per_customer.approxQuantile("agg_sales_amount", [0.5, 0.8], 0.01)
     tiers = per_customer.withColumn(
         "loyalty_tier",
         F.when(F.col("agg_sales_amount") > gold, "GOLD")

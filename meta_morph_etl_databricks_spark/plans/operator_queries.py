@@ -251,34 +251,29 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- aggregates
 @register(
-    "q_groupby_ordinal",
-    "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1",
-)
-def q_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: SQL ordinal GROUP BY via spark.sql (Raptor.py:449-453)."""
-    read_parquet_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql("SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1")
-
-
-@register(
     "q_quantiles_by_status",
     """
-    SELECT o_orderstatus,
+    SELECT o_orderstatus, COUNT(*) AS cnt,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.8) AS p80,
            quantile_cont(o_totalprice, 0.95) AS p95
-    FROM orders GROUP BY o_orderstatus
+    FROM orders GROUP BY 1
     """,
 )
 def q_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 exact form: grouped percentiles (the oracle-comparable path;
-    approxQuantile with relErr 0.01 is the scale path — see
-    operators.bucketing.quantile_cutoffs)."""
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
-        F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY o_totalprice)").alias("p80"),
-        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("p95"),
+    """A10+A11 (merged from q_groupby_ordinal, r3): grouped exact
+    percentiles via SQL ordinal GROUP BY through spark.sql
+    (Raptor.py:449-453) — the oracle-comparable path; approxQuantile
+    with relErr 0.01 is the scale path (operators.bucketing)."""
+    read_parquet_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_cont(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS p80,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+        FROM orders GROUP BY 1
+        """
     )
 
 
@@ -333,14 +328,23 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(p_type, ' ')[1] AS type_head,
            upper(p_brand) AS brand_upper,
            substring(p_name, 1, 5) AS name_head,
-           CAST(length(p_name) AS INT) AS name_len
+           CAST(length(p_name) AS INT) AS name_len,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           COALESCE(array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ','), '') AS words_upper,
+           COALESCE(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), ','), '') AS long_words,
+           COALESCE(array_to_string(list_sort(string_split(p_name, ' ')), ','), '') AS words_sorted
     FROM part
     """,
 )
 def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 string family: concat_ws, trim, regexp_replace, split +
+    """§2.9 string family + array/higher-order family (merged from
+    q_scalar_array_hof, r3): concat_ws, trim, regexp_replace, split +
     1-based element_at (Raptor.py:575-577,600-605), case, substring,
-    length."""
+    length; size/transform/filter/array_sort HOFs (Catalyst-compiled, no
+    Python — the reference's lone lambda is SQL transform() through
+    expr(), Raptor.py:580-585).  Array outputs joined to strings for
+    engine-portable value comparison."""
+    words = F.split("p_name", " ")
     return read_parquet_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
@@ -350,6 +354,10 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 5).alias("name_head"),
         F.length("p_name").cast("int").alias("name_len"),
+        F.size(words).cast("int").alias("n_words"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias("words_upper"),
+        F.array_join(F.filter(words, lambda w: F.length(w) > 4), ",").alias("long_words"),
+        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
     )
 
 
@@ -412,29 +420,84 @@ def q_scalar_datetime_conditional(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------- skew
+# lineitem's l_returnflag has 3 values at ~33% each — every key is a hot
+# key relative to a uniform hash over 32+ reducers.  The salted plans
+# must be BIT-IDENTICAL to the plain GROUP BY / JOIN the oracle runs:
+# salting only relocates partial work, never changes semantics.
+_FLAG_LABELS = [("A", "Returned"), ("N", "Active"), ("R", "Refunded")]
+
+
 @register(
-    "q_scalar_array_hof",
+    "q_skewed_agg",
     """
-    SELECT p_partkey,
-           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
-           COALESCE(array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ','), '') AS words_upper,
-           COALESCE(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), ','), '') AS long_words,
-           COALESCE(array_to_string(list_sort(string_split(p_name, ' ')), ','), '') AS words_sorted
-    FROM part
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
-def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 array/higher-order family: the reference's single lambda
-    construct is SQL transform() through expr() (Raptor.py:580-585);
-    exposed here as first-class array ops + HOFs (all Catalyst-compiled,
-    no Python).  Array outputs are joined to strings for engine-portable
-    value comparison."""
-    part = read_parquet_table(spark, sf_dir, "part")
-    words = F.split("p_name", " ")
-    return part.select(
-        "p_partkey",
-        F.size(words).cast("int").alias("n_words"),
-        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias("words_upper"),
-        F.array_join(F.filter(words, lambda w: F.length(w) > 4), ",").alias("long_words"),
-        F.array_join(F.array_sort(words), ",").alias("words_sorted"),
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators.skew.salted_agg):
+    each hot key's rows spread over 16 salt buckets for the partial
+    stage, the merge stage removes the salt.  The oracle is the PLAIN
+    unsalted GROUP BY — proving salting is semantics-free.  Sums run in
+    DECIMAL so partial/merge regrouping can't shift float totals."""
+    from ..operators.skew import salted_agg
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("total_qty", "sum", F.col("l_quantity").cast("decimal(18,2)")),
+            ("n_rows", "count", F.lit(1)),
+            ("min_price", "min", F.col("l_extendedprice")),
+            ("max_price", "max", F.col("l_extendedprice")),
+        ],
+        buckets=16,
+        salt_from=["l_orderkey", "l_linenumber"],  # fine-grained, deterministic
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        "n_rows",
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
+    "q_skewed_join",
+    """
+    SELECT d.flag_label,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN (VALUES ('A', 'Returned'), ('N', 'Active'), ('R', 'Refunded'))
+         AS d(l_returnflag, flag_label)
+      USING (l_returnflag)
+    GROUP BY d.flag_label
+    """,
+)
+def q_skewed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi join (operators.skew.salted_join): the fact side
+    salts each row into 8 buckets, the dim side replicates across all 8,
+    so one hot key's rows land on 8 different reducers (the
+    beyond-broadcast-threshold shape; here the dim is tiny but the plan
+    is the at-scale one).  Oracle = the plain unsalted join + rollup."""
+    from ..operators.skew import salted_join
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dim = spark.createDataFrame(_FLAG_LABELS, "l_returnflag string, flag_label string")
+    joined = salted_join(
+        li, dim, on=["l_returnflag"], buckets=8, salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("flag_label").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
     )

@@ -70,3 +70,22 @@ def test_customer_sales_report_tiers(spark, sf_dir):
     # pairs, so sale_id is NOT unique here — PK gating is exercised by the
     # quality layer (C3), not asserted on this mart.
     assert df.filter(F.col("price").isNull() | F.col("sale_amount").isNull()).isEmpty()
+
+
+def test_customer_sales_report_approx_quantile_path(spark, sf_dir):
+    """The scale path (approxQuantile, relErr 0.01 — no global sort)
+    must produce the same report shape and nearly the same tier split as
+    the exact path: at relErr 0.01 at most ~2% of customers may straddle
+    a cut differently."""
+    exact = customer_sales_report(spark, sf_dir, exact_quantiles=True)
+    approx = customer_sales_report(spark, sf_dir, exact_quantiles=False)
+    assert exact.columns == approx.columns
+    assert exact.count() == approx.count()
+    n_cust = exact.select("customer_id").distinct().count()
+    diff = (
+        exact.select("customer_id", "loyalty_tier")
+        .distinct()
+        .subtract(approx.select("customer_id", "loyalty_tier").distinct())
+        .count()
+    )
+    assert diff <= max(2, int(0.03 * n_cust)), f"{diff}/{n_cust} customers changed tier"

@@ -128,6 +128,25 @@ def test_merge_upsert_stale_backup_beside_live_target(spark, tmp_path):
     assert not os.path.exists(f"{target_path}__backup")
 
 
+def test_merge_upsert_transactional_capability_gate(spark, tmp_path):
+    """Without delta-spark in the runtime the transactional path must
+    fail loudly at call time (never mid-job), naming the fallback."""
+    from meta_morph_etl_databricks_spark.sources.sinks import merge_upsert_transactional
+
+    try:
+        import delta  # noqa: F401
+
+        have_delta = True
+    except ImportError:
+        have_delta = False
+    src = spark.createDataFrame([(1, "a")], ["k", "v"])
+    if not have_delta:
+        with pytest.raises(NotImplementedError, match="merge_upsert"):
+            merge_upsert_transactional(spark, str(tmp_path / "d"), src, keys=["k"])
+    else:  # pragma: no cover - runtime-dependent
+        merge_upsert_transactional(spark, str(tmp_path / "d"), src, keys=["k"])
+
+
 def test_merge_upsert_lock_rejects_concurrent_run(spark, tmp_path):
     """The __lock marker makes a second concurrent merge fail fast
     instead of interleaving renames with the first."""

@@ -98,6 +98,9 @@ def test_watermark_drops_late_data(spark, tmp_path, events_batch):
     # output gains NO new row for it (late data discarded by watermark)
     new_rows = [r for r in second if r not in first]
     assert all(r.window_start != t0.replace(minute=0, second=0, microsecond=0) for r in new_rows)
+    # and finalized windows NEVER re-emit (no retraction/update in append
+    # mode): nothing in the second run touches an already-emitted window
+    assert not ({r.window_start for r in second} & emitted_windows)
 
 
 def test_stateful_running_totals_accumulates(spark, tmp_path, events_batch):

@@ -1,0 +1,81 @@
+"""Scale bench: the 5 hottest queries at sf0.1 vs the 10× synthetic
+(.scale10, built by tools/gen_scale.py), reporting wall-clock ratios.
+
+The claim under test (VERDICT r2, next-round #2): every hot plan is
+banded/bucketed/broadcast — scaling the data 10× should scale time
+near-linearly (≤ ~10–12×), with no quadratic blow-up.  Candidate pairs
+in the LSH/banding queries DO grow superlinearly when near-dup density
+rises (the 10× corpus is deliberately near-dup-rich), so pair COUNTS are
+printed alongside times — a time ratio tracking the output ratio is
+linear work per pair, not a broken plan.
+
+Writes BENCH_SCALE.json at the repo root.
+
+Usage: python tools/bench_scale.py [scale_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HOT = [
+    "q_dedup_simhash_hamming",
+    "q_similarity_ivf_topk",
+    "q_customer_sales_report",
+    "q_corpus_curation",
+    "q_dedup_ngram_jaccard",
+]
+
+
+def main() -> None:
+    scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
+    base_dir = "/root/testdata/sf0.1"
+
+    import __spark_entry__ as se
+    from meta_morph_etl_databricks_spark.session import get_spark
+
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {k: v for k, v in se.queries().items() if k in HOT}
+
+    # warm JVM/codegen/Arrow on the small sf so the timed runs measure
+    # distributed execution, not compilation
+    for fn in qs.values():
+        fn(spark, "/root/testdata/sf0.001").count()
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        rec: dict = {}
+        for label, d in (("sf0.1", base_dir), ("scale10", scale_dir)):
+            best, rows = None, None
+            for _ in range(2):  # min of 2 to shave host-throttle noise
+                t0 = time.time()
+                rows = fn(spark, d).count()
+                t = time.time() - t0
+                best = t if best is None else min(best, t)
+            rec[label] = {"sec": round(best, 2), "rows": rows}
+        rec["time_ratio"] = round(rec["scale10"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2)
+        rec["rows_ratio"] = round(rec["scale10"]["rows"] / max(rec["sf0.1"]["rows"], 1), 2)
+        results[name] = rec
+        print(f"{name}: {rec['sf0.1']['sec']}s -> {rec['scale10']['sec']}s "
+              f"({rec['time_ratio']}x time, {rec['rows_ratio']}x rows)")
+
+    payload = {
+        "data_scale_factor": 10,
+        "queries": results,
+        "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
+                "queries) = near-linear; >> that = quadratic plan",
+    }
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Synthesize an sf1-equivalent dataset (10× sf0.1) for the scale bench.
+
+The driver's testdata tops out at sf0.1 (~600k lineitem rows); the
+verdict's open question is whether the 100 TB plan-shape claims survive
+a 10× scale-up with NO quadratic query.  This tool replicates the sf0.1
+tables 10× with key offsets (facts and per-entity dims grow; catalog
+dims stay), perturbing text and vectors per copy so dedup/ANN workloads
+stay realistic — 10 identical copies of every document would turn each
+LSH bucket into a degenerate mega-clique and measure the wrong thing.
+
+Replication is pure column expressions over a ``copy`` explode — fully
+distributed, no driver materialization; the same pattern scales to
+synthesizing 100× or 1000× on a real cluster.
+
+Usage: python tools/gen_scale.py [out_dir] [copies]
+Writes {out_dir}/{table}.parquet; default out .scale10/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# key spaces in the sf0.1 data (max key rounded up) — offsets must clear
+# them so replicated keys never collide across copies
+ORDER_SPAN = 10_000_000
+CUST_SPAN = 1_000_000
+DOC_SPAN = 1_000_000
+VEC_SPAN = 1_000_000
+EVENT_SPAN = 10_000_000
+
+
+def _explode_copies(df: DataFrame, copies: int) -> DataFrame:
+    return df.withColumn("copy", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+
+
+def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- facts + per-entity dims: replicate with consistent key offsets
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    customer = spark.read.parquet(f"{SRC}/customer.parquet")
+
+    _explode_copies(customer, copies).withColumn(
+        "c_custkey", F.col("c_custkey") + F.col("copy") * CUST_SPAN
+    ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    _explode_copies(orders, copies).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("copy") * ORDER_SPAN
+    ).withColumn("o_custkey", F.col("o_custkey") + F.col("copy") * CUST_SPAN).drop(
+        "copy"
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    # part/supp keys reference the UNSCALED dims (dims stay catalog-sized;
+    # only demand grows — the usual warehouse shape)
+    _explode_copies(lineitem, copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("copy") * ORDER_SPAN
+    ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    for t in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+    # --- events: replicate with id/user offsets, jitter ts by copy*37s
+    # (ts is stored as raw nanos-since-epoch LONG in the testdata parquet;
+    # read_parquet_table normalizes it at query time — here we stay in
+    # the storage representation)
+    events = spark.read.parquet(f"{SRC}/events.parquet")
+    if dict(events.dtypes)["ts"] in ("bigint", "long"):
+        jittered = F.col("ts") + F.col("copy").cast("bigint") * F.lit(37_000_000_000)
+    else:
+        jittered = F.col("ts") + F.make_interval(secs=F.col("copy") * 37)
+    _explode_copies(events, copies).withColumn(
+        "event_id", F.col("event_id") + F.col("copy") * EVENT_SPAN
+    ).withColumn("user_id", F.col("user_id") + F.col("copy") * CUST_SPAN).withColumn(
+        "ts", jittered
+    ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # --- documents: copy 0 verbatim; copies 1+ get a per-copy suffix token
+    # so they are near-dups (real LSH work), not exact clones
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    _explode_copies(docs, copies).withColumn(
+        "text",
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" variant "),
+                F.conv(F.xxhash64("doc_id", "copy").cast("string"), 10, 16),
+            )
+        ),
+    ).withColumn("doc_id", F.col("doc_id") + F.col("copy") * DOC_SPAN).drop(
+        "copy"
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # --- embeddings: perturb each component with hash-derived noise
+    # (≈±0.5% relative) so copies are near-neighbors, not duplicates
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    noise = lambda i: (  # noqa: E731
+        (F.pmod(F.xxhash64(F.col("vec_id"), F.col("copy"), i), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+        * 0.01
+    )
+    _explode_copies(emb, copies).withColumn(
+        "embedding",
+        F.when(F.col("copy") == 0, F.col("embedding")).otherwise(
+            F.transform(F.col("embedding"), lambda x, i: (x + noise(i)).cast("float"))
+        ),
+    ).withColumn("vec_id", F.col("vec_id") + F.col("copy") * VEC_SPAN).drop(
+        "copy"
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from meta_morph_etl_databricks_spark.session import get_spark
+
+    spark = get_spark("gen_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_tables(spark, out_dir, copies)
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
