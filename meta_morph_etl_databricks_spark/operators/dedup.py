@@ -369,6 +369,26 @@ def simhash_codes(
     )
 
 
+def auto_simhash_bits(
+    n_docs: int, max_hamming: int = 2, target_bucket_size: int = 200, floor_band_bits: int = 4
+) -> int:
+    """Code-size dial for :func:`simhash_hamming_pairs` — the same log2
+    rule as ``similarity.auto_n_planes``: with ``max_hamming + 1`` bands,
+    each band needs ~log2(n / target_bucket_size) bits to keep the
+    expected band bucket at ``target_bucket_size`` (within-bucket join
+    cost is O(bucket²)).  Returns total bits = band_bits × bands,
+    capped at 63 rounded down to a multiple of bands (the code lives in
+    one signed long).  E.g. 1e9 docs, hamming≤2 → 3×23 = 69 → 63 → 21
+    bits/band (~2M buckets/band)."""
+    import math
+
+    bands = max_hamming + 1
+    band_bits = floor_band_bits
+    if n_docs > target_bucket_size:
+        band_bits = max(floor_band_bits, math.ceil(math.log2(n_docs / target_bucket_size)))
+    return min(band_bits * bands, 63 - 63 % bands)
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",

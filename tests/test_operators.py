@@ -279,6 +279,18 @@ def test_ivf_kmeans_codebook_full_probe_equals_brute_force(spark):
     assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))
 
 
+def test_auto_simhash_bits_sizing():
+    """Code size grows with the corpus by the log2 rule, stays a
+    multiple of (max_hamming+1) bands, and caps at a signed long."""
+    from meta_morph_etl_databricks_spark.operators.dedup import auto_simhash_bits
+
+    assert auto_simhash_bits(100) == 12  # floor: 4 bits × 3 bands
+    assert auto_simhash_bits(200_000) == 30  # 10 bits/band
+    assert auto_simhash_bits(2_000_000) == 42  # 10× corpus → wider code
+    assert auto_simhash_bits(10**9) == 63  # capped, divisible by 3
+    assert auto_simhash_bits(10**9, max_hamming=1) == 46  # 2 bands × 23 bits
+
+
 def test_lsh_auto_plane_sizing(spark):
     """n_planes=None derives the plane count from the corpus size by the
     log2 rule: a 10× corpus gets strictly more planes, the explicit
