@@ -54,8 +54,10 @@ def _regressions(timings: dict[str, float], baseline: dict[str, float]) -> dict[
         if t < 0:
             continue
         if name in _MERGED_BASELINES:  # merged map wins even when the name persists
-            parts = [baseline.get(p) for p in _MERGED_BASELINES[name]]
-            base = sum(p for p in parts if p is not None) if any(p is not None for p in parts) else baseline.get(name)
+            # drop -1.0 error sentinels: a failed prior-round part must not
+            # understate the base and flag a healthy merged query
+            parts = [p for p in (baseline.get(n) for n in _MERGED_BASELINES[name]) if p is not None and p >= 0]
+            base = sum(parts) if parts else baseline.get(name)
         else:
             base = baseline.get(name)
         if base is None or base <= 0:

@@ -380,12 +380,10 @@ def auto_simhash_bits(
     capped at 63 rounded down to a multiple of bands (the code lives in
     one signed long).  E.g. 1e9 docs, hamming≤2 → 3×23 = 69 → 63 → 21
     bits/band (~2M buckets/band)."""
-    import math
+    from .similarity import auto_n_planes  # the one log2 sizing rule
 
     bands = max_hamming + 1
-    band_bits = floor_band_bits
-    if n_docs > target_bucket_size:
-        band_bits = max(floor_band_bits, math.ceil(math.log2(n_docs / target_bucket_size)))
+    band_bits = auto_n_planes(n_docs, target_bucket_size, floor=floor_band_bits)
     return min(band_bits * bands, 63 - 63 % bands)
 
 

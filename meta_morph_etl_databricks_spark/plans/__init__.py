@@ -19,9 +19,10 @@ from . import ml_queries  # noqa: E402,F401
 # merge or retire another (and map its bench baseline in
 # bench._MERGED_BASELINES) — this assert makes the coverage loss loud.
 DRIVER_QUERY_CAP = 50
-assert len(QUERIES) == DRIVER_QUERY_CAP, (
-    f"{len(QUERIES)} queries registered; the driver checks only the first "
-    f"{DRIVER_QUERY_CAP} — merge or retire before adding"
-)
+if len(QUERIES) != DRIVER_QUERY_CAP:  # not assert — must survive python -O
+    raise RuntimeError(
+        f"{len(QUERIES)} queries registered; the driver checks only the first "
+        f"{DRIVER_QUERY_CAP} — merge or retire before adding"
+    )
 
 __all__ = ["QUERIES", "ORACLES", "register", "query_fns", "oracle_map"]

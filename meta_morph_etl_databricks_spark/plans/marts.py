@@ -493,7 +493,10 @@ def customer_sales_report(
         ).first()
         silver, gold = cuts["silver"], cuts["gold"]
     else:
-        silver, gold = per_customer.approxQuantile("agg_sales_amount", [0.5, 0.8], 0.01)
+        # approxQuantile returns [] on empty/all-null input; degrade to
+        # (None, None) like the exact path's .first() does
+        aq = per_customer.approxQuantile("agg_sales_amount", [0.5, 0.8], 0.01)
+        silver, gold = (aq[0], aq[1]) if len(aq) == 2 else (None, None)
     tiers = per_customer.withColumn(
         "loyalty_tier",
         F.when(F.col("agg_sales_amount") > gold, "GOLD")

@@ -24,7 +24,8 @@ Source = DataFrame | tuple[str, str]
 
 
 # One token per step: quoted literal / quoted identifier / line or block
-# comment / possibly-qualified word / any other char.  Literals and
+# comment / possibly-qualified word (up to 3 dotted parts, so
+# ``schema.table.col`` is one token) / any other char.  Literals and
 # comments are opaque — their contents are never rewritten.
 _SQL_TOKEN = re.compile(
     r"""
@@ -32,17 +33,20 @@ _SQL_TOKEN = re.compile(
   | "(?:[^"]|"")*"            # quoted identifier
   | --[^\n]*                  # line comment
   | /\*.*?\*/                 # block comment
-  | [A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?   # word or schema.name
+  | [A-Za-z_]\w*(?:\.[A-Za-z_]\w*){0,2}   # word / schema.name / schema.tbl.col
   | .                         # punctuation / whitespace, one char
     """,
     re.VERBOSE | re.DOTALL,
 )
 
-# Keywords that END a FROM-clause table list (so a comma after them no
-# longer re-arms table position — `SELECT a.b, c.d` stays untouched).
+# Keywords that END a FROM-clause table list at their own nesting depth
+# (so a comma after them no longer re-arms table position — `SELECT
+# a.b, c.d` stays untouched).  Deliberately NOT included: AS and alias
+# words (an aliased table keeps the list open: `FROM s.a AS x, s.b`),
+# and ON/USING (comma-joins may continue after a join condition).
 _FROM_BREAKERS = frozenset(
-    "select where group order having limit on using window union except "
-    "intersect qualify set values when then else end case and or not as".split()
+    "select where group order having limit window union except "
+    "intersect qualify set values".split()
 )
 
 
@@ -52,42 +56,64 @@ def _rewrite_qualified_names(spark: SparkSession, sql: str) -> str:
     rewrite ``schema.name`` → ``name`` wherever ``name`` is a registered
     view, ``schema`` is NOT a real database, and the reference sits in
     TABLE position (immediately after FROM/JOIN, or after a comma inside
-    a FROM list) — so a query written against the warehouse's qualified
-    tables runs against temp views, while string literals, comments,
-    alias-qualified column refs (``o.status``), and genuine
-    catalog-qualified tables all pass through untouched."""
+    a FROM list); 3-part ``schema.table.col`` column refs are stripped
+    in ANY position (they can only mean a qualified column).  String
+    literals, comments, 2-part alias/column refs (``o.status``), and
+    genuine catalog-qualified tables pass through untouched.
+
+    Table-position state is tracked PER PAREN DEPTH, so a subquery's
+    SELECT cannot disarm the outer FROM list, and ``extract(day FROM
+    ts)`` arming inside a function call dies with its closing paren.
+    """
+
+    def _view_for(schema: str, name: str) -> bool:
+        try:
+            return spark.catalog.tableExists(name) and not spark.catalog.databaseExists(schema)
+        except Exception:
+            return False
 
     def maybe_rewrite(tok: str) -> str:
-        schema, name = tok.split(".", 1)
-        try:
-            if spark.catalog.tableExists(name) and not spark.catalog.databaseExists(schema):
-                return name
-        except Exception:
-            pass
+        parts = tok.split(".")
+        if len(parts) == 2 and _view_for(*parts):
+            return parts[1]
         return tok
 
     out: list[str] = []
-    expect_table = False  # next word is in table position
-    in_from_list = False  # a comma re-arms table position
+    # per-depth (expect_table, in_from_list); index = paren nesting depth
+    stack: list[list[bool]] = [[False, False]]
     for m in _SQL_TOKEN.finditer(sql):
         tok = m.group(0)
         if tok[0] in "'\"" or tok.startswith("--") or tok.startswith("/*"):
             out.append(tok)
             continue
+        if tok == "(":
+            stack.append([False, False])
+            out.append(tok)
+            continue
+        if tok == ")":
+            if len(stack) > 1:
+                stack.pop()
+            out.append(tok)
+            continue
+        state = stack[-1]
         low = tok.lower()
         if low in ("from", "join"):
-            expect_table = True
-            in_from_list = low == "from"
-        elif tok == "," and in_from_list:
-            expect_table = True
+            state[0] = True
+            if low == "from":
+                state[1] = True
+        elif tok == "," and state[1]:
+            state[0] = True
         elif low in _FROM_BREAKERS:
-            expect_table = False
-            in_from_list = False
+            state[0] = False
+            state[1] = False
         elif tok[0].isalpha() or tok[0] == "_":
-            if expect_table and "." in tok:
+            parts = tok.split(".")
+            if len(parts) == 3 and _view_for(parts[0], parts[1]):
+                tok = ".".join(parts[1:])  # schema.table.col → table.col
+            elif state[0] and "." in tok:
                 tok = maybe_rewrite(tok)
-            if expect_table:
-                expect_table = False  # consumed the table ref (alias may follow)
+            if state[0]:
+                state[0] = False  # consumed the table ref (alias may follow)
         out.append(tok)
     return "".join(out)
 

@@ -98,6 +98,30 @@ def test_rewrite_skips_literals_aliases_and_comments(spark):
     assert _rewrite_qualified_names(spark, sql) == (
         "SELECT 1 FROM orders_v -- reads reporting.orders_v\n"
     )
+    # AS-aliased tables keep the FROM list armed for later commas
+    sql = "SELECT 1 FROM reporting.orders_v AS o, reporting.status AS s"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT 1 FROM orders_v AS o, status AS s"
+    )
+    # 3-part schema.table.col refs are stripped anywhere (ON clause here)
+    sql = (
+        "SELECT 1 FROM reporting.orders_v JOIN reporting.status "
+        "ON reporting.orders_v.pk = reporting.status.pk"
+    )
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT 1 FROM orders_v JOIN status ON orders_v.pk = status.pk"
+    )
+    # a FROM inside a function call dies with its paren: the SELECT-list
+    # comma after it must NOT re-arm table position for alias.col
+    sql = "SELECT extract(day FROM ts), o.status FROM reporting.status AS o"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT extract(day FROM ts), o.status FROM status AS o"
+    )
+    # a subquery's SELECT cannot disarm the OUTER from-list
+    sql = "SELECT 1 FROM (SELECT pk FROM reporting.orders_v) t, reporting.status"
+    assert _rewrite_qualified_names(spark, sql) == (
+        "SELECT 1 FROM (SELECT pk FROM orders_v) t, status"
+    )
 
 
 def test_reconcile_lazy_build_and_single_action_overview(spark):
