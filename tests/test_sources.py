@@ -75,6 +75,7 @@ def test_merge_upsert_failed_write_preserves_target(spark, tmp_path):
         merge_upsert(spark, target_path, poisoned, keys=["k"])
     got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
     assert got == {(1, "a"), (2, "b")}  # old target survives the crash
+    assert not os.path.exists(f"{target_path}__lock")  # lock released on failure
     # and a subsequent good merge cleans up the stale staging dir and lands
     source = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
     merge_upsert(spark, target_path, source, keys=["k"])

@@ -160,6 +160,61 @@ def test_stateful_running_totals_accumulates(spark, tmp_path, events_batch):
         assert abs(second.loc[uid, "max_value"] - want.loc[uid, "max_value"]) < 1e-12
 
 
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path, events_batch):
+    """Streaming exact dedup: duplicate event_ids arriving in the same
+    AND a later micro-batch (within the watermark horizon) are dropped;
+    the batch-mode path of the same builder is the oracle."""
+    from meta_morph_etl_databricks_spark.streaming import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    base = events_batch.limit(100).cache()
+    # batch 1: every row twice (same-batch duplicates)
+    base.unionAll(base).write.parquet(str(src / "b1"))
+
+    got: list = []
+
+    def run_once():
+        rows: list = []
+
+        def collect(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = read_events_stream(spark, str(src) + "/*")
+        q = (
+            dedup_stream(stream, ["event_id"], watermark_delay="10 days")
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .start()
+        )
+        q.awaitTermination(120)
+        got.extend(rows)
+        return rows
+
+    first = run_once()
+    n_base = base.count()
+    assert len(first) == n_base  # same-batch duplicates collapsed
+    assert len({r.event_id for r in first}) == n_base
+
+    # batch 2: re-deliver the same rows (cross-batch duplicates, well
+    # within the 10-day horizon) plus 5 genuinely new events
+    base.write.parquet(str(src / "b2"))
+    fresh = events_batch.orderBy(F.desc("event_id")).limit(5).cache()
+    fresh.write.parquet(str(src / "b3"))
+    second = run_once()
+    second_ids = {r.event_id for r in second}
+    first_ids = {r.event_id for r in first}
+    assert not (second_ids & first_ids), "cross-batch duplicate leaked"
+    assert {r.event_id for r in fresh.collect()} <= second_ids | first_ids
+
+    # batch parity: the same builder on a batch frame == dropDuplicates
+    assert dedup_stream(base.unionAll(base), ["event_id"]).count() == n_base
+
+
 def test_session_windows_streaming_smoke(spark, tmp_path, events_batch):
     """session_window runs as a stream (update mode + watermark)."""
     from meta_morph_etl_databricks_spark.streaming import session_user_windows
