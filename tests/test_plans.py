@@ -54,6 +54,35 @@ def test_window_topk_uses_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in _plan(marts.supplier_performance(spark, sf_dir))
 
 
+def test_salted_agg_two_stage_shape(spark, sf_dir):
+    """salted_agg must compile to two aggregate stages: the partial
+    exchange keyed on (group key, _salt) — the hot key spread over
+    buckets — and the merge exchange keyed on the group key alone.
+    One combined exchange would mean the salt silently stopped
+    spreading work."""
+    from meta_morph_etl_databricks_spark.plans.operator_queries import q_skewed_agg
+
+    plan = _plan(q_skewed_agg(spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("_salt" in e for e in exchanges), exchanges
+    assert any("_salt" not in e for e in exchanges), exchanges
+    # the salt must be hash-derived (deterministic), never rand()
+    assert "rand(" not in plan
+
+
+def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
+    """salted_join must replicate the dim across salt values (explode)
+    and include _salt in the equi-join keys on BOTH sides — that pairing
+    is what splits a hot key across reducers.  Which side builds/
+    broadcasts is stats-dependent and not asserted."""
+    from meta_morph_etl_databricks_spark.plans.operator_queries import q_skewed_join
+
+    plan = _plan(q_skewed_join(spark, sf_dir))
+    assert "Generate explode" in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join [" in ln or "Join (" in ln]
+    assert any(ln.count("_salt") >= 2 for ln in join_lines), join_lines
+
+
 def test_text_profile_has_single_token_shuffle(spark, sf_dir):
     from meta_morph_etl_databricks_spark.operators.text import profile_documents
     from meta_morph_etl_databricks_spark.sources.scans import read_parquet_table
