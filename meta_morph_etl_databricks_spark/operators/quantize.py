@@ -1,0 +1,122 @@
+"""Int8 embedding quantization — the storage/shuffle scale lever for
+the similarity stack.
+
+At 100 TB the embedding columns dominate both the parquet footprint and
+every similarity shuffle: a 64-dim float64 array is 512 bytes/row where
+an int8 code is 64.  Symmetric per-vector quantization
+(``scale = max|v| / 127``, ``q_i = round(v_i / scale)``) keeps enough
+precision that COSINE is nearly unchanged — and because cosine
+normalizes both sides, the per-vector scales cancel exactly:
+
+    cos(q_a·s_a, q_b·s_b) = (s_a s_b · q_a·q_b) / (s_a|q_a| · s_b|q_b|)
+                          = cos(q_a, q_b)
+
+so the quantized scorer never dequantizes: it runs an integer dot
+kernel over ``array<tinyint>`` and divides by integer norms.  The
+scale column is carried only for reconstruction (:func:`dequantize`).
+
+All kernels are JVM-side HOFs (zip_with/aggregate over tinyint→long) —
+no Python, no shuffle added; quantization itself is map-only.
+
+Reference parity note: the reference engine stores embeddings as raw
+float arrays only (no quantized path) — this operator is part of the
+beyond-reference training-data-pipeline surface, same tier as the IVF
+index it composes with (``ivf_topk`` accepts pre-quantized corpora the
+same way any DataFrame flows in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Add symmetric int8 codes: ``out_col: array<tinyint>`` and
+    ``scale_col: double`` with ``v_i ≈ q_i · scale``.
+
+    Map-only (one projection, no shuffle).  Zero vectors get scale 1.0
+    and an all-zero code; NULL vectors stay NULL with a NULL scale.
+    Codes are exact ±127 at the element whose magnitude set the scale,
+    so the tinyint range is never exceeded (round is half-up on the
+    positive edge: 126.5 → 127, within range)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, F.when(v.isNotNull(), scale).cast("double")).withColumn(
+        out_col, F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint"))
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Reconstruct approximate floats: element error ≤ scale/2."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 codes, accumulated in long —
+    64 dims of ±127 products peaks at ~1e6, nowhere near overflow."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qnorm(a: Column) -> Column:
+    """Euclidean norm of an int8 code (integer squares, one sqrt)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8 codes — the same plan shape as
+    ``similarity.cosine_topk`` (corpus scanned once, queries broadcast,
+    WindowGroupLimit partial top-k) with every pairwise kernel running
+    integer arithmetic over 1-byte elements.
+
+    At scale the win is twofold: the broadcast and the corpus scan move
+    4–8× fewer bytes, and the pair kernel does long multiplies instead
+    of double loads.  Scores differ from the float path only by the
+    quantization error of the ANGLE (scales cancel — see module doc);
+    recall@k against the float path is asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    q = quantize_int8(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col("q_vec").alias("_qq"),
+        qnorm(F.col("q_vec")).alias("_qn"),
+    )
+    corpus = quantize_int8(embeddings, vec_col).select(
+        id_col, F.col("q_vec"), qnorm(F.col("q_vec")).alias("_n")
+    )
+    sim = F.when(
+        (F.col("_n") > 0) & (F.col("_qn") > 0),
+        qdot(F.col("q_vec"), F.col("_qq")).cast("double") / (F.col("_n") * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col, id_col, F.round(sim, 6).alias("cosine_sim")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

@@ -382,6 +382,59 @@ def test_ivf_recall_at_10(spark):
     assert recall(emb2, q2, cents2, 8, truth2) == 1.0  # full probe is exact
 
 
+def test_quantize_int8_roundtrip_and_edges(spark):
+    """Reconstruction error is bounded by scale/2 per element; zero,
+    empty, and NULL vectors survive with sane codes."""
+    from meta_morph_etl_databricks_spark.operators.quantize import dequantize, quantize_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0]),   # zero vector → scale 1.0, zero code
+        (3, []),           # empty → empty code
+        (4, None),         # NULL → NULL code, NULL scale
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_int8(df).withColumn(
+        "recon", dequantize(F.col("q_vec"), F.col("q_scale"))
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    assert got[1].q_scale == pytest.approx(1.0 / 127.0)
+    assert max(abs(q) for q in got[1].q_vec) == 127  # the max-|v| element pins ±127
+    for orig, rec in zip(rows[0][1], got[1].recon):
+        assert abs(orig - rec) <= got[1].q_scale / 2 + 1e-12
+    assert got[2].q_scale == 1.0 and list(got[2].q_vec) == [0, 0]
+    assert list(got[3].q_vec) == []
+    assert got[4].q_vec is None and got[4].q_scale is None
+
+
+def test_quantized_cosine_matches_float_cosine(spark):
+    """Scales cancel in cosine, so the int8 score tracks the float score
+    to quantization noise (<0.02 at 16 dims), and recall@10 of the
+    quantized top-k against the float top-k is near-total."""
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.quantize import quantized_cosine_topk
+    from meta_morph_etl_databricks_spark.operators.similarity import cosine_topk
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = emb.filter("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    truth = {
+        (r.query_id, r.vec_id): r.cosine_sim
+        for r in cosine_topk(emb, q, k=10, exclude_self=True).collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id): r.cosine_sim
+        for r in quantized_cosine_topk(emb, q, k=10, exclude_self=True).collect()
+    }
+    recall = len(truth.keys() & quant.keys()) / len(truth)
+    assert recall >= 0.95, recall
+    for pair in truth.keys() & quant.keys():
+        assert abs(truth[pair] - quant[pair]) < 0.02, pair
+
+
 def test_simhash_hamming_banding_finds_all_close_pairs(spark):
     """Banding must be a SUPERSET of the hamming ball (pigeonhole) —
     verify against an exhaustive all-pairs hamming scan."""
