@@ -215,6 +215,67 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path, events_
     assert dedup_stream(base.unionAll(base), ["event_id"]).count() == n_base
 
 
+def test_interval_join_stream_matches_batch(spark, tmp_path, events_batch):
+    """Stream-stream interval join (clicks × purchases within the
+    horizon) over the staged files equals the batch plan of the SAME
+    builder — and the batch plan equals a hand-written plain join."""
+    from meta_morph_etl_databricks_spark.streaming import clicks_to_purchases_stream
+
+    src = str(tmp_path / "src")
+    sample = events_batch.limit(3000).cache()
+    sample.write.parquet(src)
+
+    got: list = []
+
+    def collect(batch_df, _bid):
+        got.extend(batch_df.collect())
+
+    stream = read_events_stream(spark, src)
+    q = (
+        clicks_to_purchases_stream(stream, horizon="30 minutes", watermark="10 days")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(collect)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = clicks_to_purchases_stream(sample, horizon="30 minutes").collect()
+    key = lambda r: (r.user_id, r.click_id, r.purchase_id)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(want) > 0, "fixture produced no click→purchase pairs; test is vacuous"
+
+    # batch oracle: the builder == a plain join with the same predicate
+    clicks = sample.filter(F.col("event_type") == "click")
+    purch = sample.filter(F.col("event_type") == "purchase")
+    plain = clicks.alias("c").join(
+        purch.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert plain.count() == len(want)
+
+
+def test_interval_join_rejects_bad_shapes(spark, events_batch):
+    from meta_morph_etl_databricks_spark.streaming import interval_join_streams
+
+    a = events_batch.select("user_id", F.col("ts").alias("a_ts"), "value")
+    b = events_batch.select("user_id", F.col("ts").alias("b_ts"), "value")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join_streams(a, b, on="user_id", left_ts="a_ts", right_ts="b_ts")
+    with pytest.raises(ValueError, match="distinct"):
+        interval_join_streams(
+            a.drop("value"), b.drop("value"), on="user_id", left_ts="a_ts", right_ts="a_ts"
+        )
+    with pytest.raises(ValueError, match="inner/leftOuter"):
+        interval_join_streams(
+            a.drop("value"), b.drop("value"), on="user_id",
+            left_ts="a_ts", right_ts="b_ts", how="fullOuter",
+        )
+
+
 def test_session_windows_streaming_smoke(spark, tmp_path, events_batch):
     """session_window runs as a stream (update mode + watermark)."""
     from meta_morph_etl_databricks_spark.streaming import session_user_windows
