@@ -79,6 +79,57 @@ def qnorm(a: Column) -> Column:
     )
 
 
+def quantized_topk_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "q_vec",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Cosine top-k over a PRE-quantized corpus — the deployment shape:
+    codes are written once at ingest (``quantize_int8`` + parquet) and
+    every query scans ``array<tinyint>``, 4–8× fewer bytes than floats.
+
+    Same plan as ``similarity.cosine_topk`` (corpus scanned once,
+    queries broadcast, WindowGroupLimit partial top-k).  The int casts
+    happen ONCE per vector in the pre-join projections — the per-pair
+    kernel is pure int multiplies with a long accumulator (64 dims of
+    ±127 products peaks ~1e6; the long accumulator keeps even 100k-dim
+    codes overflow-free).  Queries arrive as float vectors and are
+    quantized on the fly — per-query cost, negligible.
+    """
+    from pyspark.sql import Window
+
+    as_int = lambda c: F.transform(c, lambda x: x.cast("int"))  # noqa: E731
+    q = quantize_int8(queries, vec_col).select(
+        F.col(query_id_col),
+        as_int(F.col("q_vec")).alias("_qq"),
+        qnorm(F.col("q_vec")).alias("_qn"),
+    )
+    corpus = codes.select(
+        id_col, as_int(F.col(code_col)).alias("_ci"), qnorm(F.col(code_col)).alias("_n")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("_ci"), F.col("_qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("_n") > 0) & (F.col("_qn") > 0),
+        idot.cast("double") / (F.col("_n") * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col, id_col, F.round(sim, 6).alias("cosine_sim")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
 def quantized_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -88,35 +139,17 @@ def quantized_cosine_topk(
     query_id_col: str = "query_id",
     exclude_self: bool = False,
 ) -> DataFrame:
-    """Brute-force cosine top-k over int8 codes — the same plan shape as
-    ``similarity.cosine_topk`` (corpus scanned once, queries broadcast,
-    WindowGroupLimit partial top-k) with every pairwise kernel running
-    integer arithmetic over 1-byte elements.
-
-    At scale the win is twofold: the broadcast and the corpus scan move
-    4–8× fewer bytes, and the pair kernel does long multiplies instead
-    of double loads.  Scores differ from the float path only by the
-    quantization error of the ANGLE (scales cancel — see module doc);
-    recall@k against the float path is asserted in tests.
-    """
-    from pyspark.sql import Window
-
-    q = quantize_int8(queries, vec_col).select(
-        F.col(query_id_col),
-        F.col("q_vec").alias("_qq"),
-        qnorm(F.col("q_vec")).alias("_qn"),
+    """Quantize-then-score convenience over float inputs: quantizes the
+    corpus inline (map-only) and delegates to
+    :func:`quantized_topk_from_codes`.  For repeated querying, persist
+    ``quantize_int8(corpus)`` once and call the codes form directly."""
+    corpus = quantize_int8(embeddings, vec_col).select(id_col, "q_vec")
+    return quantized_topk_from_codes(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
     )
-    corpus = quantize_int8(embeddings, vec_col).select(
-        id_col, F.col("q_vec"), qnorm(F.col("q_vec")).alias("_n")
-    )
-    sim = F.when(
-        (F.col("_n") > 0) & (F.col("_qn") > 0),
-        qdot(F.col("q_vec"), F.col("_qq")).cast("double") / (F.col("_n") * F.col("_qn")),
-    ).otherwise(F.lit(0.0))
-    scored = corpus.join(F.broadcast(q)).select(
-        query_id_col, id_col, F.round(sim, 6).alias("cosine_sim")
-    )
-    if exclude_self:
-        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
