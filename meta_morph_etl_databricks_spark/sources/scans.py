@@ -57,14 +57,23 @@ def read_parquet_table(
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if min_partitions is not None:
         df = df.repartition(min_partitions)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → microsecond timestamp; DuckDB's TIMESTAMP is µs-native
-        # so both engines see equal values.  Integer `div`, not `/`:
-        # float division of an ~1.7e18 ns value rounds (53-bit mantissa)
-        # where DuckDB's ns→µs conversion floors.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → microsecond timestamp; DuckDB's TIMESTAMP is µs-native
+            # so both engines see equal values.  Integer `div`, not `/`:
+            # float division of an ~1.7e18 ns value rounds (53-bit mantissa)
+            # where DuckDB's ns→µs conversion floors.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+            # NTZ under inferTimestampNTZ; the engine's time functions
+            # (unix_micros, window, watermark) want TIMESTAMP_LTZ.  The
+            # session TZ is pinned UTC above, so this cast reinterprets
+            # the same wall-clock value as the same instant DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
