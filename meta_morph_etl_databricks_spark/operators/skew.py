@@ -78,6 +78,7 @@ def salted_join(
     buckets: int = 16,
     how: str = "inner",
     salt_from: list[str] | None = None,
+    max_replicated_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """Skew-proof equi join when the dim side is too big to broadcast:
     salt the fact rows, replicate each dim row across all ``buckets`` salt
@@ -86,7 +87,28 @@ def salted_join(
 
     Replication factor = buckets × |dim| — use only when |dim| ≪ |fact|
     but above the broadcast threshold, and keep buckets modest.
+
+    ``max_replicated_rows`` guards that blowup: a bounded ``limit(n+1)``
+    probe (same style as ``collect_small``) raises if buckets × |dim|
+    would exceed it, instead of OOMing executors mid-shuffle at scale.
+    Pass ``None`` to skip the probe (it costs one short job on dim).
     """
+    if max_replicated_rows is not None:
+        if buckets > max_replicated_rows:
+            raise ValueError(
+                f"salted_join: buckets={buckets} alone exceeds "
+                f"max_replicated_rows={max_replicated_rows}"
+            )
+        dim_cap = max_replicated_rows // buckets
+        probe = dim.limit(dim_cap + 1).count()
+        if probe > dim_cap:
+            raise ValueError(
+                f"salted_join would replicate the dim side to more than "
+                f"{max_replicated_rows:,} rows (>{dim_cap:,} dim rows x "
+                f"{buckets} buckets). Lower `buckets`, pre-filter/pre-aggregate "
+                f"the dim side, broadcast it if it fits, or raise/disable "
+                f"`max_replicated_rows` if the blowup is intended."
+            )
     salted_fact = with_salt(fact, buckets, salt_from)
     replicated = dim.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -70,10 +70,21 @@ def read_parquet_table(
         elif ts_type == "timestamp_ntz":
             # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
             # NTZ under inferTimestampNTZ; the engine's time functions
-            # (unix_micros, window, watermark) want TIMESTAMP_LTZ.  The
-            # session TZ is pinned UTC above, so this cast reinterprets
-            # the same wall-clock value as the same instant DuckDB sees.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # (unix_micros, window, watermark) want TIMESTAMP_LTZ.
+            # Cast to the explicit DataType, NOT cast("timestamp"): the
+            # string form resolves via spark.sql.timestampType, so on a
+            # session configured TIMESTAMP_NTZ it is a silent no-op.
+            # TZ invariant: the NTZ→LTZ cast binds the session time zone
+            # at ANALYSIS time (ResolveTimeZone fills zoneId when this
+            # DataFrame is built — verified empirically: switching
+            # spark.sql.session.timeZone after this line does not change
+            # collected instants).  UTC is pinned three lines up in this
+            # same call, so the wall-clock value maps to the same instant
+            # DuckDB sees regardless of later caller conf changes.
+            from pyspark.sql.types import TimestampType
+
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

@@ -197,6 +197,22 @@ def test_salted_join_matches_plain_join(spark):
     assert left.filter("k = 3").count() == 1
 
 
+def test_salted_join_guards_replication_blowup(spark):
+    from meta_morph_etl_databricks_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(i, i) for i in range(10)], "k long, payload long")
+    dim = spark.createDataFrame([(i, "x") for i in range(100)], "k long, name string")
+    # 100 dim rows x 16 buckets = 1600 replicated rows > 1000 cap -> raise
+    with pytest.raises(ValueError, match="replicate the dim side"):
+        salted_join(fact, dim, ["k"], buckets=16, max_replicated_rows=1000)
+    # under the cap: runs; probe must not change results
+    ok = salted_join(fact, dim, ["k"], buckets=16, max_replicated_rows=10_000)
+    assert ok.count() == 10
+    # probe disabled: no count job, still correct
+    off = salted_join(fact, dim, ["k"], buckets=16, max_replicated_rows=None)
+    assert off.count() == 10
+
+
 def test_deterministic_salt_spreads_and_is_stable(spark):
     from meta_morph_etl_databricks_spark.operators.skew import SALT_COL, salted_agg, with_salt
 
