@@ -46,9 +46,52 @@ def _baseline_timings() -> dict[str, float]:
         return {}
 
 
-def _regressions(timings: dict[str, float], baseline: dict[str, float]) -> dict[str, dict[str, float]]:
+def _baseline_calibration() -> float | None:
+    """The previous round's calibration-probe seconds, if recorded."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return None
+    try:
+        with open(files[-1]) as f:
+            data = json.load(f)
+        cal = (data.get("parsed") or {}).get("calibration_sec")
+        return float(cal) if cal and cal > 0 else None
+    except Exception:
+        return None
+
+
+def _calibrate(spark) -> float:
+    """Fixed-size shuffle+agg probe: 50M generated longs, hash-partition
+    on a 97-way key, algebraic aggregate.  Entirely JVM-side, pinned
+    input size, independent of $SPARK_GRAFT_SF_DIR — its wall-clock
+    tracks the HOST's momentary throughput, so the ratio of this round's
+    probe to last round's de-noises cross-round query comparisons (the
+    host throttles in multi-second bursts: identical code has swung
+    63s..131s whole-run)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 50_000_000, 1, 32)
+        .select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v"), F.count("v"), F.max("v"))
+        .count()
+    )
+    return round(time.time() - t0, 3)
+
+
+def _regressions(
+    timings: dict[str, float], baseline: dict[str, float], host_speed_ratio: float = 1.0
+) -> dict[str, dict[str, float]]:
     """Queries >1.5x their previous-round time (with a 1 s absolute
-    floor so sub-second scheduling jitter doesn't flag)."""
+    floor so sub-second scheduling jitter doesn't flag).  Baselines are
+    scaled by ``host_speed_ratio`` (this round's calibration probe over
+    last round's) so a uniformly throttled host doesn't flag every
+    query — only plan regressions beyond the host drift."""
     out: dict[str, dict[str, float]] = {}
     for name, t in timings.items():
         if t < 0:
@@ -62,6 +105,7 @@ def _regressions(timings: dict[str, float], baseline: dict[str, float]) -> dict[
             base = baseline.get(name)
         if base is None or base <= 0:
             continue
+        base = base * host_speed_ratio
         if t > 1.5 * base and t - base > 1.0:
             out[name] = {"now": t, "baseline": round(base, 3), "ratio": round(t / base, 2)}
     return out
@@ -100,12 +144,17 @@ def main() -> None:
         spark.range(64).mapInPandas(lambda it: it, "id long").count()
     except Exception:
         pass
-    # two interleaved passes, report the per-query MIN: the host this
+    _calibrate(spark)  # warm the probe's own codegen before timing it
+    # three interleaved passes, report the per-query MIN: the host this
     # runs on throttles in multi-second bursts (whole-run wall-clock
     # swung 63s..131s on identical code), and interleaving means one
-    # burst cannot inflate both samples of the same query.  Min-of-N
+    # burst cannot inflate all samples of the same query.  Min-of-N
     # is the standard wall-clock estimator under asymmetric noise.
-    for _pass in range(2):
+    # Each pass opens with the calibration probe so host drift during
+    # the run itself is visible in the samples.
+    cal_samples: list[float] = []
+    for _pass in range(3):
+        cal_samples.append(_calibrate(spark))
         for name, fn in qs.items():
             t0 = time.time()
             try:
@@ -123,18 +172,27 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    regressions = _regressions(timings, _baseline_timings())
+    calibration = round(min(cal_samples), 3)
+    prev_cal = _baseline_calibration()
+    # >1 = this host is slower than last round's; scales the gate's baselines
+    host_speed_ratio = round(calibration / prev_cal, 3) if prev_cal else 1.0
+    regressions = _regressions(timings, _baseline_timings(), host_speed_ratio)
     for name, r in regressions.items():
         print(f"# bench REGRESSION {name}: {r['now']}s vs {r['baseline']}s ({r['ratio']}x)", file=sys.stderr)
+    total = round(sum(ok), 3)
     print(
         json.dumps(
             {
                 "metric": "total_wall_clock_all_queries",
-                "value": round(sum(ok), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                "calibration_sec": calibration,
+                "calibration_samples": cal_samples,
+                "host_speed_ratio": host_speed_ratio,
+                "value_normalized": round(total / host_speed_ratio, 3) if host_speed_ratio > 0 else total,
             }
         )
     )
