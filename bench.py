@@ -26,6 +26,11 @@ _MERGED_BASELINES = {
     "q_text_codes": ["q_text_simhash", "q_doc_fingerprint"],
     "q_scalar_string": ["q_scalar_string", "q_scalar_array_hof"],
     "q_quantiles_by_status": ["q_quantiles_by_status", "q_groupby_ordinal"],
+    # r4: int8-quantized branch folded in as a tagged union.  The int8
+    # kernel had no declared-query baseline; BENCH_QUANTIZE.json measured
+    # it at kernel parity with the float branch, so the float time stands
+    # in for the missing part and the merged baseline is 2x float.
+    "q_similarity_topk": ["q_similarity_topk", "q_similarity_topk"],
 }
 
 

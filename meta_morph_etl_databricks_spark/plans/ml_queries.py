@@ -277,30 +277,78 @@ _COS = (
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+# The int8 branch replays operators/quantize.py in SQL, op for op:
+# symmetric per-vector scale max|v|/127 (1.0 for zero vectors), round →
+# integer codes, integer dot (exact in double far below 2^53), norms as
+# sqrt of the integer self-dot, division in the same order as the Spark
+# kernel — so the doubles are bit-identical and ROUND(_, 6) agrees.
 _TOPK_ORACLE = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
 scored AS (
     SELECT q.query_id, a.vec_id, ROUND({_COS.replace('b.v', 'q.v').replace('a.v', 'a.v')}, 6) AS cosine_sim
     FROM vecs a, q WHERE a.vec_id <> q.query_id
+),
+flt AS (
+    SELECT 'float' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+codes AS (
+    SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qc
+    FROM (
+        SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+        FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs)
+    )
+),
+norms AS (
+    SELECT vec_id, qc, sqrt(CAST(list_dot_product(qc, qc) AS DOUBLE)) AS n FROM codes
+),
+qn AS (SELECT vec_id AS query_id, qc AS qq, n AS nq FROM norms WHERE vec_id < 5),
+scored8 AS (
+    SELECT qn.query_id, a.vec_id,
+           ROUND(CASE WHEN a.n > 0 AND qn.nq > 0
+                      THEN CAST(list_dot_product(a.qc, qn.qq) AS DOUBLE) / (a.n * qn.nq)
+                      ELSE 0.0 END, 6) AS cosine_sim
+    FROM norms a, qn WHERE a.vec_id <> qn.query_id
+),
+i8 AS (
+    SELECT 'int8' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM scored8
+    ) WHERE rnk <= 10
 )
-SELECT query_id, vec_id, cosine_sim FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
-    FROM scored
-) WHERE rnk <= 10
+SELECT * FROM flt UNION ALL SELECT * FROM i8
 """
 
 
 @register("q_similarity_topk", _TOPK_ORACLE)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for 5 query vectors against the corpus
-    — the ANN correctness baseline.  Vector kernel is zip_with +
-    aggregate in DOUBLE (JVM codegen, no UDF)."""
+    """Cosine top-10 for 5 query vectors against the corpus, as a tagged
+    union of two kernels over the same plan shape (corpus scanned once
+    per branch, queries broadcast, WindowGroupLimit top-k):
+
+    - ``variant='float'``: brute-force DOUBLE kernel (zip_with +
+      aggregate, JVM codegen) — the ANN correctness baseline.
+    - ``variant='int8'``: the production storage/shuffle path — symmetric
+      int8 quantization + integer dot kernel (operators/quantize.py);
+      per-vector scales cancel in cosine so it never dequantizes.  The
+      oracle reproduces the integer kernel exactly, so this is a
+      bit-exact check of the quantized scorer, not a tolerance check.
+    """
+    from ..operators.quantize import quantized_cosine_topk
     from ..operators.similarity import cosine_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return cosine_topk(emb, queries, k=10, exclude_self=True).select("query_id", "vec_id", "cosine_sim")
+    flt = cosine_topk(emb, queries, k=10, exclude_self=True).select(
+        F.lit("float").alias("variant"), "query_id", "vec_id", "cosine_sim"
+    )
+    q8 = quantized_cosine_topk(emb, queries, k=10, exclude_self=True).select(
+        F.lit("int8").alias("variant"), "query_id", "vec_id", "cosine_sim"
+    )
+    return flt.unionByName(q8)
 
 
 # ANN scale path: sign-random-projection buckets.  The SAME plane
