@@ -385,7 +385,13 @@ def test_ivf_recall_at_10(spark):
     q = emb.filter("vec_id < 24").select(F.col("vec_id").alias("query_id"), "embedding")
     truth = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10, exclude_self=True).collect()}
     cents = ivf_centroids_kmeans(emb, k=8, seed=5)
-    assert recall(emb, q, cents, nprobe=2, truth=truth) >= 0.9
+    kmeans_recall = recall(emb, q, cents, nprobe=2, truth=truth)
+    assert kmeans_recall >= 0.9
+    # the learned codebook must be at least as good as the deterministic
+    # seed-rule stand-in on clustered data — the claim that k-means is
+    # the "production-quality quantizer" is measured, not asserted
+    seed_rule_recall = recall(emb, q, ivf_centroids(emb, k=8), nprobe=2, truth=truth)
+    assert kmeans_recall >= seed_rule_recall, (kmeans_recall, seed_rule_recall)
 
     rnd2 = random.Random(9)
     rows2 = [(i, [rnd2.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
