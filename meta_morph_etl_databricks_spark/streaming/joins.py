@@ -49,14 +49,21 @@ def interval_join_streams(
     overlap = (set(left.columns) & set(right.columns)) - {on}
     if overlap:
         raise ValueError(f"non-key columns must be disjoint, found {sorted(overlap)}")
+    if "_r_key" in left.columns or "_r_key" in right.columns:
+        raise ValueError("column name _r_key is reserved by interval_join_streams")
     lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    # rename the right key before joining: when both sides derive from
+    # the same source, drop(rw[on]) can resolve to the LEFT attribute
+    # after lineage dedup — a leftOuter row then surfaces the right's
+    # NULL key instead of the left's real one.  A distinct name keeps
+    # the drop unambiguous and the left key authoritative.
+    rw = right.withWatermark(right_ts, watermark).withColumnRenamed(on, "_r_key")
     cond = (
-        (lw[on] == rw[on])
+        (lw[on] == rw["_r_key"])
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {horizon}"))
     )
-    return lw.join(rw, cond, how).drop(rw[on])
+    return lw.join(rw, cond, how).drop("_r_key")
 
 
 def clicks_to_purchases_stream(

@@ -258,6 +258,98 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, events_batch):
     assert plain.count() == len(want)
 
 
+def test_interval_join_left_outer_emits_unmatched_once(spark, tmp_path, events_batch):
+    """leftOuter stream-stream interval join: an unmatched click emits a
+    NULL-purchase row EXACTLY ONCE, and only after the watermark passes
+    its join window — never while a match could still arrive.
+
+    Controlled timeline (horizon 30m, watermark 10m):
+      b1  10:00 click A(u1) + 10:05 purchase(u1)  -> matched pair
+          10:00 click B(u2), no purchase ever     -> the outer subject
+      b2  20:00 click(u3) + purchase(u4)          -> advances watermark past
+                                                     B's window (10:30)
+      b3  23:00 click(u5) + purchase(u6)          -> next batch so the b2
+                                                     watermark takes effect
+      b4  26:00 click(u7) + purchase(u8)          -> proves no re-emission
+    Emission timing is deliberately asserted loosely (b2 OR b3 — Spark
+    applies the previous batch's watermark during a micro-batch), but
+    exactly-once and not-before-watermark are strict.
+    """
+    from datetime import datetime, timedelta
+
+    from meta_morph_etl_databricks_spark.streaming import clicks_to_purchases_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda *rows: spark.createDataFrame(list(rows), schema=events_batch.schema)  # noqa: E731
+    t = lambda h, m=0: datetime(2024, 6, 1) + timedelta(hours=h, minutes=m)  # noqa: E731
+
+    mk(
+        (1, t(10, 0), 1, "click", 1.0, "{}"),
+        (2, t(10, 5), 1, "purchase", 9.0, "{}"),
+        (3, t(10, 0), 2, "click", 1.0, "{}"),
+    ).write.parquet(str(src / "b1"))
+
+    runs: list[list] = []
+
+    def run_once():
+        rows: list = []
+
+        def collect(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = read_events_stream(spark, str(src) + "/*")
+        q = (
+            clicks_to_purchases_stream(
+                stream, horizon="30 minutes", watermark="10 minutes", how="leftOuter"
+            )
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .start()
+        )
+        q.awaitTermination(120)
+        runs.append(rows)
+        return rows
+
+    first = run_once()
+    # the matched pair emits immediately; the unmatched click must NOT —
+    # its window is still open (watermark after b1 is 09:55)
+    assert [(r.click_id, r.purchase_id) for r in first if r.user_id == 1] == [(1, 2)]
+    assert [r for r in first if r.user_id == 2] == []
+
+    for i, (hour, ids) in enumerate([(20, (4, 5)), (23, (6, 7)), (26, (8, 9))]):
+        mk(
+            (ids[0], t(hour), 10 + 2 * i, "click", 1.0, "{}"),
+            (ids[1], t(hour), 11 + 2 * i, "purchase", 1.0, "{}"),
+        ).write.parquet(str(src / f"b{2 + i}"))
+        run_once()
+
+    b_rows = [r for rows in runs for r in rows if r.user_id == 2]
+    assert len(b_rows) == 1, f"unmatched left row emitted {len(b_rows)} times"
+    assert b_rows[0].click_id == 3
+    assert b_rows[0].purchase_id is None and b_rows[0].amount is None
+    # it emitted only once the watermark had passed 10:30 — i.e. not in run 1
+    assert not [r for r in runs[0] if r.user_id == 2]
+    # the matched pair never re-emits either
+    assert sum(1 for rows in runs for r in rows if r.user_id == 1) == 1
+
+    # batch parity of the outer shape: same builder on a batch frame ==
+    # plain left join (unmatched clicks surface immediately in batch)
+    batch_in = mk(
+        (1, t(10, 0), 1, "click", 1.0, "{}"),
+        (2, t(10, 5), 1, "purchase", 9.0, "{}"),
+        (3, t(10, 0), 2, "click", 1.0, "{}"),
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in clicks_to_purchases_stream(batch_in, how="leftOuter").collect()
+    }
+    assert got == {(1, 1, 2), (2, 3, None)}
+
+
 def test_interval_join_rejects_bad_shapes(spark, events_batch):
     from meta_morph_etl_databricks_spark.streaming import interval_join_streams
 
