@@ -22,6 +22,6 @@ from .windows import (  # noqa: F401
     with_watermark,
 )
 from .sources import events_schema, read_events_stream  # noqa: F401
-from .stateful import running_user_totals  # noqa: F401
+from .stateful import expiring_user_totals, running_user_totals  # noqa: F401
 from .dedup import dedup_stream, dedup_stream_exact  # noqa: F401
 from .joins import clicks_to_purchases_stream, interval_join_streams  # noqa: F401

@@ -160,6 +160,84 @@ def test_stateful_running_totals_accumulates(spark, tmp_path, events_batch):
         assert abs(second.loc[uid, "max_value"] - want.loc[uid, "max_value"]) < 1e-12
 
 
+def test_stateful_ttl_evicts_and_emits_once(spark, tmp_path, events_batch):
+    """Event-time TTL on arbitrary state (applyInPandasWithState +
+    EventTimeTimeout): an inactive user's totals emit EXACTLY ONCE after
+    the watermark passes last_event + ttl, and the state is removed —
+    active users emit nothing.  ttl=30m, watermark delay=1m.
+
+    Timeline: b1 has users 1 (two events) and 2 (one event) at ~10:00;
+    b2..b4 are single later events (12:00, 14:00, 16:00) from users
+    100..102, each advancing the watermark.  Users 1 and 2 must finalize
+    once each; drivers 100/101 later time out too (the watermark passes
+    their own TTLs), while 102's TTL (16:30) stays past the final
+    watermark (15:59) so it must remain in state, unemitted.
+    """
+    from datetime import datetime, timedelta
+
+    from meta_morph_etl_databricks_spark.streaming import expiring_user_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda *rows: spark.createDataFrame(list(rows), schema=events_batch.schema)  # noqa: E731
+    t = lambda h, m=0: datetime(2024, 6, 1) + timedelta(hours=h, minutes=m)  # noqa: E731
+
+    mk(
+        (1, t(10, 0), 1, "click", 2.0, "{}"),
+        (2, t(10, 5), 1, "click", 5.0, "{}"),
+        (3, t(10, 0), 2, "view", 7.0, "{}"),
+    ).write.parquet(str(src / "b1"))
+
+    runs: list[list] = []
+
+    def run_once():
+        rows: list = []
+
+        def collect(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = read_events_stream(spark, str(src) + "/*")
+        q = (
+            expiring_user_totals(stream, ttl="30 minutes", watermark="1 minute")
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .start()
+        )
+        q.awaitTermination(120)
+        runs.append(rows)
+        return rows
+
+    first = run_once()
+    assert first == [], "user emitted before its TTL passed"
+
+    for i, hour in enumerate((12, 14, 16)):
+        mk((10 + i, t(hour), 100 + i, "click", 1.0, "{}")).write.parquet(str(src / f"b{2 + i}"))
+        run_once()
+
+    done = [r for rows in runs for r in rows]
+    by_user = {}
+    for r in done:
+        by_user.setdefault(r.user_id, []).append(r)
+    # exactly-once finalization with the full accumulated totals; the
+    # still-live user (102) must NOT have emitted
+    assert sorted(by_user) == [1, 2, 100, 101], f"unexpected finalizations: {sorted(by_user)}"
+    (u1,) = by_user[1]
+    assert (u1.n_events, u1.total_value, u1.max_value) == (2, 7.0, 5.0)
+    assert u1.last_event_ms == int(t(10, 5).timestamp() * 1000)
+    (u2,) = by_user[2]
+    assert (u2.n_events, u2.total_value, u2.max_value) == (1, 7.0, 7.0)
+    # eviction is not re-emission: users 1/2 never appear again after
+    # their single finalized row (state was removed, not re-keyed)
+    seen = set()
+    for rows in runs:
+        for r in rows:
+            assert r.user_id not in seen, f"user {r.user_id} re-emitted after eviction"
+            seen.add(r.user_id)
+
+
 def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path, events_batch):
     """Streaming exact dedup: duplicate event_ids arriving in the same
     AND a later micro-batch (within the watermark horizon) are dropped;
