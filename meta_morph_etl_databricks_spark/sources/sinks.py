@@ -9,6 +9,8 @@ pruning instead of a full scan, and the ``legacy`` append-history layer
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,6 +68,8 @@ def merge_upsert(
     target_path: str,
     source: DataFrame,
     keys: list[str],
+    lock_retries: int = 0,
+    lock_retry_interval_sec: float = 1.0,
 ) -> DataFrame:
     """K4/C5: MERGE upsert onto plain parquet.
 
@@ -91,8 +95,13 @@ def merge_upsert(
 
     Concurrency: SINGLE WRITER, enforced.  A ``{target}__lock`` marker is
     created atomically (create-if-absent) before any read and removed on
-    exit; a second concurrent run fails fast with ``IOError`` instead of
-    interleaving renames.  A lock left by a hard-killed process must be
+    exit.  With ``lock_retries=0`` (default) a second concurrent run
+    fails fast with ``IOError`` instead of interleaving renames; with
+    ``lock_retries=N`` the loser polls every
+    ``lock_retry_interval_sec`` up to N times and then proceeds against
+    the post-merge target — concurrent merges SERIALIZE (one wins, the
+    other retries), each re-reading the freshly installed target under
+    its own lock tenure.  A lock left by a hard-killed process must be
     removed by the operator (the reference serializes merges through
     Airflow + a Postgres transaction, utils.py:368-435; a transactional
     table format — Delta/Iceberg MERGE INTO — is the swap-in when the
@@ -109,10 +118,18 @@ def merge_upsert(
     stg, bak = jvm_path(staging_path), jvm_path(backup_path)
     lock = jvm_path(f"{base}__lock")
 
-    if not fs.createNewFile(lock):  # atomic create-if-absent
+    acquired = False
+    for attempt in range(lock_retries + 1):
+        if fs.createNewFile(lock):  # atomic create-if-absent
+            acquired = True
+            break
+        if attempt < lock_retries:
+            time.sleep(lock_retry_interval_sec)
+    if not acquired:
         raise IOError(
             f"merge_upsert: {base}__lock exists — another merge is running "
-            "(or a previous run was hard-killed; remove the lock to proceed)"
+            "(or a previous run was hard-killed; remove the lock to proceed, "
+            "or pass lock_retries to wait for the holder)"
         )
     try:
         # Recovery: a death between the two renames leaves target missing
@@ -173,6 +190,15 @@ def merge_upsert_transactional(
     :func:`merge_upsert` is the portable default).  Semantics match
     merge_upsert exactly: matched rows take all source values, unmatched
     source rows insert, unmatched target rows survive.
+
+    Execution attempted 2026-08-13: ``import delta`` →
+    ModuleNotFoundError; no delta jars under pyspark/jars; the container
+    has no package network (pypi.org unresolvable: ``urlopen error
+    [Errno -2] Name or service not known``), so neither pip nor
+    ``spark.jars.packages`` can fetch it.  Until a runtime ships the
+    jar, the executable concurrent-merge story is
+    ``merge_upsert(lock_retries=N)``: one writer wins, the other waits
+    and re-merges against the installed result (serialized, tested).
     """
     try:
         from delta.tables import DeltaTable  # type: ignore[import-not-found]

@@ -129,6 +129,44 @@ def test_merge_upsert_stale_backup_beside_live_target(spark, tmp_path):
     assert not os.path.exists(f"{target_path}__backup")
 
 
+def test_merge_upsert_concurrent_one_wins_one_retries(spark, tmp_path):
+    """Two merges racing on the same target with lock_retries: they
+    SERIALIZE — the loser waits out the winner's lock tenure, then
+    re-reads the freshly installed target — so the final table contains
+    BOTH merges' rows regardless of who won (disjoint key sets make the
+    outcome order-independent)."""
+    import threading
+
+    target_path = str(tmp_path / "tgt")
+    write_parquet(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]), target_path)
+
+    src_a = spark.createDataFrame([(1, "A"), (2, "A"), (5, "A")], ["k", "v"])
+    src_b = spark.createDataFrame([(3, "B"), (6, "B")], ["k", "v"])
+    errors: list = []
+
+    def run(src):
+        try:
+            merge_upsert(spark, target_path, src, keys=["k"], lock_retries=120, lock_retry_interval_sec=0.5)
+        except Exception as e:  # pragma: no cover - surfaced by assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in (src_a, src_b)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, f"concurrent merge failed: {errors}"
+    got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
+    assert got == {(1, "A"), (2, "A"), (3, "B"), (4, "d"), (5, "A"), (6, "B")}
+    assert not os.path.exists(f"{target_path}__lock")
+    assert not os.path.exists(f"{target_path}__backup")
+    # fail-fast default unchanged: with the lock held and no retries, raise
+    open(f"{target_path}__lock", "w").close()
+    with pytest.raises(Exception, match="lock"):
+        merge_upsert(spark, target_path, src_a, keys=["k"])
+    os.remove(f"{target_path}__lock")
+
+
 def test_merge_upsert_transactional_capability_gate(spark, tmp_path):
     """Without delta-spark in the runtime the transactional path must
     fail loudly at call time (never mid-job), naming the fallback."""
