@@ -11,7 +11,14 @@ linear work per pair, not a broken plan.
 
 Writes BENCH_SCALE.json at the repo root.
 
-Usage: python tools/bench_scale.py [scale_dir] [out_json]
+Usage: python tools/bench_scale.py [scale10_dir] [out_json] [scale100_dir]
+
+When ``scale100_dir`` is given (built by ``gen_scale.py <dir> 100 ml``),
+the ML-heavy queries gain a scale100 column — documents/embeddings only,
+family-structured so dup DENSITY stays at the 10× level while corpus
+SIZE grows another 10× (see gen_scale.py).  Expected shape: time_100
+tracks rows_100 (pair-output queries) or stays ~linear in input (fixed-k
+queries); quadratic would be ~100× the sf0.1 time with flat output.
 """
 
 from __future__ import annotations
@@ -30,11 +37,20 @@ HOT = [
     "q_corpus_curation",
     "q_dedup_ngram_jaccard",
 ]
+# queries whose inputs are documents/embeddings only — eligible for the
+# scale100 pass (the others need the TPC-H tables, not generated at 100×)
+ML_ONLY = {
+    "q_dedup_simhash_hamming",
+    "q_similarity_ivf_topk",
+    "q_corpus_curation",
+    "q_dedup_ngram_jaccard",
+}
 
 
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
+    scale100_dir = sys.argv[3] if len(sys.argv) > 3 else None
     base_dir = "/root/testdata/sf0.1"
 
     import __spark_entry__ as se
@@ -52,9 +68,12 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         rec: dict = {}
-        for label, d in (("sf0.1", base_dir), ("scale10", scale_dir)):
+        passes = [("sf0.1", base_dir, 2), ("scale10", scale_dir, 2)]
+        if scale100_dir and name in ML_ONLY:
+            passes.append(("scale100", scale100_dir, 1))  # single pass: minutes-long
+        for label, d, n_passes in passes:
             best, rows = None, None
-            for _ in range(2):  # min of 2 to shave host-throttle noise
+            for _ in range(n_passes):  # min of N to shave host-throttle noise
                 t0 = time.time()
                 rows = fn(spark, d).count()
                 t = time.time() - t0
@@ -62,12 +81,20 @@ def main() -> None:
             rec[label] = {"sec": round(best, 2), "rows": rows}
         rec["time_ratio"] = round(rec["scale10"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2)
         rec["rows_ratio"] = round(rec["scale10"]["rows"] / max(rec["sf0.1"]["rows"], 1), 2)
+        if "scale100" in rec:
+            rec["time_ratio_100"] = round(rec["scale100"]["sec"] / max(rec["sf0.1"]["sec"], 1e-9), 2)
+            rec["rows_ratio_100"] = round(rec["scale100"]["rows"] / max(rec["sf0.1"]["rows"], 1), 2)
         results[name] = rec
-        print(f"{name}: {rec['sf0.1']['sec']}s -> {rec['scale10']['sec']}s "
-              f"({rec['time_ratio']}x time, {rec['rows_ratio']}x rows)")
+        msg = (f"{name}: {rec['sf0.1']['sec']}s -> {rec['scale10']['sec']}s "
+               f"({rec['time_ratio']}x time, {rec['rows_ratio']}x rows)")
+        if "scale100" in rec:
+            msg += (f" -> {rec['scale100']['sec']}s at 100x "
+                    f"({rec['time_ratio_100']}x time, {rec['rows_ratio_100']}x rows)")
+        print(msg)
 
     payload = {
         "data_scale_factor": 10,
+        "scale100": bool(scale100_dir),
         "queries": results,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",

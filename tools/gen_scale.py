@@ -41,8 +41,14 @@ def _explode_copies(df: DataFrame, copies: int) -> DataFrame:
     return df.withColumn("copy", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
 
 
-def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10) -> None:
+def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10, tables: str = "all") -> None:
+    """``tables='all'`` replicates every table; ``'ml'`` only documents +
+    embeddings (the inputs of the ML-heavy queries) — the 100× scale
+    bench needs nothing else and skips ~97% of the write volume."""
     os.makedirs(out_dir, exist_ok=True)
+    if tables == "ml":
+        _scale_ml_tables(spark, out_dir, copies)
+        return
 
     # --- facts + per-entity dims: replicate with consistent key offsets
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
@@ -85,14 +91,46 @@ def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10) -> None:
         "ts", jittered
     ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
+    _scale_ml_tables(spark, out_dir, copies)
+
+
+def _scale_ml_tables(spark: SparkSession, out_dir: str, copies: int) -> None:
     # --- documents: copy 0 verbatim; copies 1+ get a per-copy suffix token
-    # so they are near-dups (real LSH work), not exact clones
+    # so they are near-dups (real LSH work), not exact clones.
+    #
+    # Past 10 copies the single-suffix scheme would put EVERY copy of a
+    # doc within near-dup range of every other — dup DENSITY would grow
+    # quadratically with copies and the bench would measure clique
+    # explosion, not corpus scale.  So copies are structured into
+    # FAMILIES of 10: members of a family stay suffix-level near-dups
+    # (same density as the 10× set), while each family>0 additionally
+    # rewrites ~1/8 of tokens to family-specific hash tokens — token
+    # Jaccard across families drops to ~0.6, outside both the 0.8
+    # Jaccard gate and simhash hamming-2 range.  A 100× corpus is then
+    # 10 disjoint near-dup populations of 10× each: size grows, local
+    # dup structure doesn't.
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    fam = (F.col("copy") / 10).cast("int")
+    base_text = F.col("text")
+    if copies > 10:
+        base_text = F.when(fam == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.when(
+                        F.pmod(F.xxhash64(t, fam), F.lit(8)) == 0,
+                        F.concat(F.lit("f"), fam.cast("string"), F.lit("x"),
+                                 F.conv(F.xxhash64(t, fam).cast("string"), 10, 16)),
+                    ).otherwise(t),
+                ),
+                " ",
+            )
+        )
     _explode_copies(docs, copies).withColumn(
         "text",
         F.when(F.col("copy") == 0, F.col("text")).otherwise(
             F.concat(
-                F.col("text"),
+                base_text,
                 F.lit(" variant "),
                 F.conv(F.xxhash64("doc_id", "copy").cast("string"), 10, 16),
             )
@@ -121,12 +159,14 @@ def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10) -> None:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    tables = sys.argv[3] if len(sys.argv) > 3 else "all"
     from meta_morph_etl_databricks_spark.session import get_spark
 
     spark = get_spark("gen_scale")
     spark.sparkContext.setLogLevel("ERROR")
-    scale_tables(spark, out_dir, copies)
-    for t in ("lineitem", "documents", "embeddings", "events"):
+    scale_tables(spark, out_dir, copies, tables)
+    check = ("documents", "embeddings") if tables == "ml" else ("lineitem", "documents", "embeddings", "events")
+    for t in check:
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 
