@@ -9,7 +9,9 @@ pruning instead of a full scan, and the ``legacy`` append-history layer
 
 from __future__ import annotations
 
+import os
 import time
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,7 +122,7 @@ def merge_upsert(
 
     acquired = False
     for attempt in range(lock_retries + 1):
-        if fs.createNewFile(lock):  # atomic create-if-absent
+        if _try_acquire_lock(fs, lock, base):
             acquired = True
             break
         if attempt < lock_retries:
@@ -139,19 +141,27 @@ def merge_upsert(
                 raise IOError(f"merge_upsert: could not restore {backup_path} to {base}")
         fs.delete(stg, True)  # stale staging from a previous failed run
 
-        target_exists = True
-        try:
+        # Drop stale shared-FileStatusCache entries for this path: a
+        # previous lock holder rewrote the target via raw-fs renames,
+        # which Spark's listing cache never sees — without the refresh a
+        # read here can resolve to the PREVIOUS tenure's (deleted) files
+        # and misread or fail.
+        spark.catalog.refreshByPath(target_path)
+
+        # First-load is decided by an explicit existence probe under the
+        # lock — never by catching read errors (a transient listing or
+        # footer failure misdiagnosed as "first load" would silently
+        # drop every existing target row).
+        target_exists = fs.exists(tgt)
+        if target_exists:
             target = spark.read.parquet(target_path)
             missing = [k for k in keys if k not in target.columns]
             if missing:
                 raise ValueError(f"merge keys {missing} not in target {target.columns}")
             kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
             merged = kept.unionByName(source.select(*target.columns))
-        except Exception as e:  # first load: target does not exist yet
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        else:
             merged = source
-            target_exists = False
 
         # 1. Full merge write lands in staging; old target untouched on failure.
         write_parquet(merged, staging_path, mode="overwrite")
@@ -168,9 +178,30 @@ def merge_upsert(
             raise IOError(f"merge_upsert: could not install {staging_path} as {base}")
         # 3. Install confirmed — only now is the pre-merge copy disposable.
         fs.delete(bak, True)
+        spark.catalog.refreshByPath(target_path)  # our tenure's files, fresh
     finally:
         fs.delete(lock, False)
     return spark.read.parquet(target_path)
+
+
+def _try_acquire_lock(fs, lock, base: str) -> bool:
+    """Atomic create-if-absent of the ``__lock`` marker.
+
+    Hadoop's ``FileSystem.createNewFile`` is exists-then-create — on the
+    LOCAL filesystem that is a TOCTOU window in which two racing writers
+    can both "win" the lock (observed as a flaked concurrent-merge
+    test).  Local paths therefore lock via ``O_CREAT|O_EXCL``, a single
+    atomic syscall; on HDFS-like stores ``createNewFile`` maps to one
+    atomic namenode create(overwrite=false) op and is used as-is."""
+    scheme = urlparse(base).scheme
+    if scheme in ("", "file"):
+        local = base[len("file:"):] if scheme == "file" else base
+        try:
+            os.close(os.open(f"{local}__lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+    return bool(fs.createNewFile(lock))
 
 
 def merge_upsert_transactional(
