@@ -196,6 +196,9 @@ def _try_acquire_lock(fs, lock, base: str) -> bool:
     scheme = urlparse(base).scheme
     if scheme in ("", "file"):
         local = base[len("file:"):] if scheme == "file" else base
+        # first load into a nested path: Hadoop's createNewFile makes
+        # missing parents implicitly, O_CREAT does not
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
         try:
             os.close(os.open(f"{local}__lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             return True
