@@ -35,6 +35,46 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed parquet table — the CO-LOCATED JOIN lever.
+
+    Both sides of a recurring big join written with the same
+    ``bucket_cols``/``num_buckets`` carry HashPartitioning in their scan
+    metadata, so the join plans with ZERO Exchange operators: at 100 TB
+    the nightly fact-to-fact join stops re-shuffling terabytes it
+    already shuffled at ingest (the bucketed write pays that shuffle
+    exactly once).  ``sort_cols`` (default: the bucket columns) orders
+    rows within each bucket file for sorted-scan reuse.
+
+    Requires a catalog table (``saveAsTable`` — bucket metadata lives in
+    the metastore, plain ``.parquet(path)`` cannot record it); pass
+    ``path`` for an external table at a chosen location.  Read back with
+    ``spark.table(table)`` — NOT ``spark.read.parquet`` which would
+    discard the bucketing info.  Pick ``num_buckets`` so one bucket of
+    the LARGER table fits an executor core's working set (buckets are
+    the parallelism floor: a 32-bucket table scans on ≤32 cores).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read that preserves bucket metadata (shuffle-free joins);
+    the path-based parquet reader would silently drop it."""
+    return spark.table(table)
+
+
 def append_history(df: DataFrame, path: str, day_dt: str) -> None:
     """C4 history half: stamp the load date and append into the
     date-partitioned history table (reference: DAY_DT + append,

@@ -6,6 +6,7 @@ incident, not a local slowdown."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from meta_morph_etl_databricks_spark.plans import marts
 
@@ -46,6 +47,46 @@ def test_scans_prune_columns(plans):
     for chunk in sp.split("ReadSchema: ")[1:]:
         schema = chunk.splitlines()[0]
         assert "l_comment" not in schema and "l_shipinstruct" not in schema
+
+
+def test_bucketed_join_eliminates_exchanges(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators (the co-located-join contract of
+    write_bucketed) — and produce exactly the plain join's rows.  The
+    unbucketed plan over the same data shuffles both sides."""
+    from meta_morph_etl_databricks_spark.sources.scans import read_parquet_table
+    from meta_morph_etl_databricks_spark.sources.sinks import (
+        read_bucketed_table,
+        write_bucketed,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "ob"))
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "lb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        ob, lb = read_bucketed_table(spark, "t_orders_b"), read_bucketed_table(spark, "t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        joined.count()  # finalize the AQE plan before inspecting it
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # correctness: identical to the plain (shuffled) join
+        plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        assert "Exchange" in _plan(plain)
+        assert joined.count() == plain.count()
+        assert (
+            joined.agg(F.sum("l_quantity").cast("long")).first()[0]
+            == plain.agg(F.sum("l_quantity").cast("long")).first()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
 def test_window_topk_uses_group_limit(spark, sf_dir):
