@@ -16,10 +16,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# queries merged in rounds 2/3 — a merged query's baseline is the sum of
-# the pair it replaced (the surviving name may itself be one of the
-# parts), so the regression gate stays comparable
-_MERGED_BASELINES = {
+def _int8_over_float_ratio() -> float:
+    """The int8 kernel's measured cost relative to the float kernel
+    (BENCH_QUANTIZE.json, same fixture).  Used to weight the int8
+    branch's baseline component: assuming float parity would let a
+    regressed quantized branch (e.g. lost codegen) hide under a 2x-float
+    merged baseline."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_QUANTIZE.json")) as f:
+            q = json.load(f)
+        return float(q["int8_sec"]) / float(q["float_sec"])
+    except Exception:
+        return 1.05  # last measured ratio (7.45/7.11); conservative fallback
+
+
+# queries merged in rounds 2/3 — a merged query's baseline is the
+# weighted sum of the parts it replaced (the surviving name may itself
+# be one of the parts), so the regression gate stays comparable
+_MERGED_BASELINES: dict[str, list] = {
     "q_anti_joins": ["q_anti_join_parts", "q_anti_join_customers"],
     "q_order_limit": ["q_topk_orders", "q_orderby_expr_limit"],
     "q_scalar_datetime_conditional": ["q_scalar_datetime", "q_scalar_conditional"],
@@ -27,10 +42,20 @@ _MERGED_BASELINES = {
     "q_scalar_string": ["q_scalar_string", "q_scalar_array_hof"],
     "q_quantiles_by_status": ["q_quantiles_by_status", "q_groupby_ordinal"],
     # r4: int8-quantized branch folded in as a tagged union.  The int8
-    # kernel had no declared-query baseline; BENCH_QUANTIZE.json measured
-    # it at kernel parity with the float branch, so the float time stands
-    # in for the missing part and the merged baseline is 2x float.
-    "q_similarity_topk": ["q_similarity_topk", "q_similarity_topk"],
+    # kernel had no declared-query baseline; its component is the float
+    # baseline scaled by the MEASURED int8/float kernel ratio
+    # (BENCH_QUANTIZE.json), not assumed parity.
+    "q_similarity_topk": ["q_similarity_topk", ("q_similarity_topk", _int8_over_float_ratio())],
+}
+
+# tagged-union queries: (tag column, arm values).  Each arm is timed
+# separately (filter on the literal tag folds the other branch away) so
+# cross-round totals stay decomposable as unions grow; the gate itself
+# still runs on the whole-query time.
+_UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
+    "q_similarity_topk": ("variant", ["float", "int8"]),
+    "q_order_limit": ("fam", ["topk_price", "by_month_expr"]),
+    "q_anti_joins": ("side", ["parts_unsold", "customers_no_orders"]),
 }
 
 
@@ -104,7 +129,12 @@ def _regressions(
         if name in _MERGED_BASELINES:  # merged map wins even when the name persists
             # drop -1.0 error sentinels: a failed prior-round part must not
             # understate the base and flag a healthy merged query
-            parts = [p for p in (baseline.get(n) for n in _MERGED_BASELINES[name]) if p is not None and p >= 0]
+            parts = []
+            for n in _MERGED_BASELINES[name]:
+                n, w = n if isinstance(n, tuple) else (n, 1.0)
+                p = baseline.get(n)
+                if p is not None and p >= 0:
+                    parts.append(p * w)
             base = sum(parts) if parts else baseline.get(name)
         else:
             base = baseline.get(name)
@@ -175,6 +205,30 @@ def main() -> None:
                     timings[name] = -1.0  # error only if NO pass succeeded
                 print(f"# bench error {name}: {e}", file=sys.stderr)
 
+    # per-arm sub-timings for the tagged-union queries: a filter on the
+    # literal tag column constant-folds the other branch to an empty
+    # relation, so each sample times ONE arm's plan.  3 passes, min —
+    # same estimator as the main loop.  Informational only (the gate
+    # runs on whole-query times); future rounds can gate per-arm.
+    from pyspark.sql import functions as F
+
+    variants: dict[str, dict[str, float]] = {}
+    for _pass in range(3):
+        for name, (tag, arms) in _UNION_VARIANTS.items():
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            for arm in arms:
+                t0 = time.time()
+                try:
+                    fn(spark, sf_dir).filter(F.col(tag) == arm).count()
+                    t = round(time.time() - t0, 3)
+                    prev = variants.setdefault(name, {}).get(arm)
+                    variants[name][arm] = t if prev is None or prev < 0 else min(prev, t)
+                except Exception as e:
+                    variants.setdefault(name, {}).setdefault(arm, -1.0)
+                    print(f"# bench variant error {name}/{arm}: {e}", file=sys.stderr)
+
     ok = [v for v in timings.values() if v >= 0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     calibration = round(min(cal_samples), 3)
@@ -192,6 +246,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "variants": variants,
                 "sf": sf,
                 "regressions": regressions,
                 "calibration_sec": calibration,

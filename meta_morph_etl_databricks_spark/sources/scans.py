@@ -83,7 +83,16 @@ def read_parquet_table(
             # DuckDB sees regardless of later caller conf changes.
             from pyspark.sql.types import TimestampType
 
-            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            # explicit raise, not `assert`: asserts are stripped under
+            # `python -O`, which would turn this correctness guard into a
+            # no-op exactly where a non-UTC session silently shifts every
+            # collected instant
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events NTZ->LTZ cast requires a UTC session (got {tz!r}); "
+                    "the cast binds the session zone at analysis time"
+                )
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import time
-from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,6 +152,10 @@ def merge_upsert(
     payloads ride along.  The rewrite cost is the whole target — which is
     why the reference (and we) keep merge targets narrow per-entity marts,
     not the fact table.
+
+    Returns a PERSISTED snapshot of the installed target, materialized
+    before the lock is released — safe to consume after a later
+    concurrent merge rewrites the path.  Call ``.unpersist()`` when done.
     """
     base = target_path.rstrip("/")
     staging_path, backup_path = f"{base}__staging", f"{base}__backup"
@@ -162,7 +165,7 @@ def merge_upsert(
 
     acquired = False
     for attempt in range(lock_retries + 1):
-        if _try_acquire_lock(fs, lock, base):
+        if _try_acquire_lock(fs, lock):
             acquired = True
             break
         if attempt < lock_retries:
@@ -219,12 +222,26 @@ def merge_upsert(
         # 3. Install confirmed — only now is the pre-merge copy disposable.
         fs.delete(bak, True)
         spark.catalog.refreshByPath(target_path)  # our tenure's files, fresh
+        # Materialize the result INSIDE the lock tenure: with
+        # lock_retries a waiting concurrent merge can rename/rewrite the
+        # target the moment the lock drops, so a lazy
+        # spark.read.parquet handle returned here could hit
+        # FileNotFound (or see the OTHER merge's rows) when the caller
+        # finally consumes it.  persist+count pins this tenure's rows in
+        # the block manager, extending the serialization guarantee to
+        # the returned handle; callers should unpersist() when done.
+        # (Residual: losing a cached block AFTER a later merge replaced
+        # the files would recompute against the new listing — acceptable
+        # for narrow merge targets; a transactional format removes this
+        # class entirely, see merge_upsert_transactional.)
+        result = spark.read.parquet(target_path).persist()
+        result.count()
     finally:
         fs.delete(lock, False)
-    return spark.read.parquet(target_path)
+    return result
 
 
-def _try_acquire_lock(fs, lock, base: str) -> bool:
+def _try_acquire_lock(fs, lock) -> bool:
     """Atomic create-if-absent of the ``__lock`` marker.
 
     Hadoop's ``FileSystem.createNewFile`` is exists-then-create — on the
@@ -232,15 +249,26 @@ def _try_acquire_lock(fs, lock, base: str) -> bool:
     can both "win" the lock (observed as a flaked concurrent-merge
     test).  Local paths therefore lock via ``O_CREAT|O_EXCL``, a single
     atomic syscall; on HDFS-like stores ``createNewFile`` maps to one
-    atomic namenode create(overwrite=false) op and is used as-is."""
-    scheme = urlparse(base).scheme
-    if scheme in ("", "file"):
-        local = base[len("file:"):] if scheme == "file" else base
+    atomic namenode create(overwrite=false) op and is used as-is.
+
+    Locality is decided by the RESOLVED filesystem, not the raw path
+    string: Hadoop resolves scheme-less paths against ``fs.defaultFS``,
+    so on a cluster whose default FS is HDFS/S3 a scheme-less target
+    must lock on that REMOTE store — keying on ``urlparse(path).scheme``
+    would create the O_EXCL file on the driver's local disk (no mutual
+    exclusion between drivers) while every other fs op ran remotely,
+    and the finally-block delete would then target the nonexistent
+    remote lock, stranding the local one forever."""
+    if str(fs.getUri().getScheme() or "") == "file":
+        # scheme-free absolute path of the lock on the local disk — the
+        # SAME location Hadoop's LocalFileSystem ops (exists/delete)
+        # resolve, so release via fs.delete(lock) removes this file
+        local = lock.toUri().getPath()
         # first load into a nested path: Hadoop's createNewFile makes
         # missing parents implicitly, O_CREAT does not
         os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
         try:
-            os.close(os.open(f"{local}__lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            os.close(os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             return True
         except FileExistsError:
             return False

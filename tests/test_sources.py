@@ -143,14 +143,17 @@ def test_merge_upsert_concurrent_one_wins_one_retries(spark, tmp_path):
     src_a = spark.createDataFrame([(1, "A"), (2, "A"), (5, "A")], ["k", "v"])
     src_b = spark.createDataFrame([(3, "B"), (6, "B")], ["k", "v"])
     errors: list = []
+    handles: dict[str, object] = {}
 
-    def run(src):
+    def run(tag, src):
         try:
-            merge_upsert(spark, target_path, src, keys=["k"], lock_retries=120, lock_retry_interval_sec=0.5)
+            handles[tag] = merge_upsert(
+                spark, target_path, src, keys=["k"], lock_retries=120, lock_retry_interval_sec=0.5
+            )
         except Exception as e:  # pragma: no cover - surfaced by assert below
             errors.append(e)
 
-    threads = [threading.Thread(target=run, args=(s,)) for s in (src_a, src_b)]
+    threads = [threading.Thread(target=run, args=(t, s)) for t, s in (("a", src_a), ("b", src_b))]
     for t in threads:
         t.start()
     for t in threads:
@@ -158,6 +161,14 @@ def test_merge_upsert_concurrent_one_wins_one_retries(spark, tmp_path):
     assert not errors, f"concurrent merge failed: {errors}"
     got = {(r.k, r.v) for r in spark.read.parquet(target_path).collect()}
     assert got == {(1, "A"), (2, "A"), (3, "B"), (4, "d"), (5, "A"), (6, "B")}
+    # The returned handles are persisted SNAPSHOTS of each merge's own
+    # tenure — consuming them only now, after the other merge has
+    # renamed/rewritten the target path, must neither FileNotFound nor
+    # show the other tenure's rows for this tenure's keys.
+    for tag, src_rows in (("a", {(1, "A"), (2, "A"), (5, "A")}), ("b", {(3, "B"), (6, "B")})):
+        snap = {(r.k, r.v) for r in handles[tag].collect()}
+        assert src_rows <= snap, f"merge {tag}'s snapshot lost its own rows: {snap}"
+        handles[tag].unpersist()
     assert not os.path.exists(f"{target_path}__lock")
     assert not os.path.exists(f"{target_path}__backup")
     # fail-fast default unchanged: with the lock held and no retries, raise
