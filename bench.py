@@ -46,6 +46,10 @@ _MERGED_BASELINES: dict[str, list] = {
     # baseline scaled by the MEASURED int8/float kernel ratio
     # (BENCH_QUANTIZE.json), not assumed parity.
     "q_similarity_topk": ["q_similarity_topk", ("q_similarity_topk", _int8_over_float_ratio())],
+    # r5: bucketed arm folded in.  The arm re-runs the same logical plan
+    # over a bucketed round-trip, PLUS pays the bucketed write each run —
+    # weight 2x the direct arm (write ≈ one extra pass over orders).
+    "q_self_join_agg": ["q_self_join_agg", ("q_self_join_agg", 2.0)],
 }
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
@@ -56,6 +60,10 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_similarity_topk": ("variant", ["float", "int8"]),
     "q_order_limit": ("fam", ["topk_price", "by_month_expr"]),
     "q_anti_joins": ("side", ["parts_unsold", "customers_no_orders"]),
+    # NB: q_self_join_agg's bucketed-table WRITE is an eager side effect
+    # of the callable, so it is paid in BOTH arm timings — the 'direct'
+    # sub-timing is (write + direct plan), not the direct plan alone.
+    "q_self_join_agg": ("variant", ["direct", "bucketed"]),
 }
 
 

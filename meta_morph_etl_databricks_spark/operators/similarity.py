@@ -304,10 +304,125 @@ def ivf_topk(
     centroid_id (queries exploded to nprobe rows); per-query top-k via
     window (WindowGroupLimit keeps partial top-k map-side).
     """
+    lists = _assign_scored(embeddings, centroids, id_col, vec_col)
+    return ivf_topk_indexed(
+        lists,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """Build the IVF index — the inverted lists (id, vector, centroid_id,
+    _n) — as a first-class artifact to persist/write once and serve many
+    queries from (:func:`ivf_topk_indexed`).  :func:`ivf_topk` folds the
+    build into every call, which is fine for one-shot analytics but
+    charges the O(n·nlist) assignment to every query batch; a production
+    ANN deployment builds at ingest and amortizes.
+
+    ``method``: ``'scored'`` = the one-shuffle conditional-sum codegen
+    path (bit-exact with the declared-query oracle, best for small
+    nlist); ``'numpy'`` = Arrow-batched BLAS matmul (best for wide
+    codebooks — the codegen path materializes k conditional sums per
+    vector, which stops paying past ~64 lists); ``'auto'`` picks by
+    codebook width.
+    """
+    if method == "auto":
+        method = "numpy" if len(centroids) > 64 else "scored"
+    if method == "scored":
+        return _assign_scored(embeddings, centroids, id_col, vec_col)
+    if method == "numpy":
+        return _assign_numpy(embeddings, centroids, id_col, vec_col)
+    raise ValueError(f"unknown assignment method {method!r}")
+
+
+def _assign_numpy(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as one numpy matmul per Arrow batch
+    against the task-broadcast centroid matrix — O(n·nlist·dim) flops at
+    BLAS speed, the kernel for wide codebooks (nlist ≈ √n at scale).
+
+    Matches :func:`_assign_scored`'s contract: cosine rounded to 6dp,
+    argmax ties to the LARGER cid (centroids sorted ascending, last-max
+    argmax), empty/NULL vectors get sim 0.0 everywhere → largest cid,
+    ``_n`` 0.0.  mapInPandas (vectorized, Arrow batches), never
+    row-at-a-time.
+    """
+    import numpy as np
+
+    cents = sorted(centroids)  # cid ascending → last-max == largest cid
+    C = np.asarray([vec for _, vec in cents], dtype=np.float64)  # (L, d)
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1))  # (L,)
+    dim = C.shape[1]
+    schema = f"{id_col} long, {vec_col} array<double>, centroid_id long, _n double"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = [
+                np.zeros(dim) if v is None or not len(v) else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ]
+            M = np.stack(vecs)  # (b, d)
+            vn = np.sqrt((M * M).sum(axis=1))  # (b,)
+            denom = np.outer(vn, cn)  # (b, L)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (M @ C.T) / denom, 0.0)
+            sims = np.round(sims, 6)
+            # last-max argmax: reverse columns, argmax picks FIRST max
+            # of the reversed row = LAST max of the original = largest
+            # cid among ties (cids ascend)
+            last_max = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid_id"] = cids[last_max]
+            out["_n"] = vn
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The IVF serve path over a pre-built index (:func:`ivf_index`):
+    rank the (broadcast) codebook per query, explode to ``nprobe`` probe
+    rows, equi-join the inverted lists on centroid_id, score, window
+    top-k (WindowGroupLimit keeps partial top-k map-side).
+
+    Per-query scan cost is O(n·nprobe/nlist); with ``auto_nlist`` (√n)
+    and a fixed probe FRACTION this is the sublinear serve path the
+    scale bench measures — the O(n·nlist) assignment is the index's
+    one-time build cost, not a per-query charge.
+    """
     from pyspark.sql import Window
 
-    lists = _assign_scored(embeddings, centroids, id_col, vec_col)
-    codebook = _codebook_df(embeddings, centroids)
+    codebook = _codebook_df(index, centroids)
     probes = _rank_centroids(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
         codebook,
@@ -315,7 +430,7 @@ def ivf_topk(
         keep=nprobe,
         key_cols=[query_id_col],
     ).withColumnRenamed("_n", "_qn").select(query_id_col, "_qvec", "_qn", "centroid_id")
-    scored = lists.join(probes, "centroid_id").select(
+    scored = index.join(probes, "centroid_id").select(
         query_id_col,
         id_col,
         F.round(
@@ -326,6 +441,29 @@ def ivf_topk(
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def auto_nlist(n_vectors: int, floor: int = 16, cap: int = 65536) -> int:
+    """IVF list-count dial: nlist ≈ √n (the standard IVF sizing — list
+    build cost n·nlist and per-query probe cost n·nprobe/nlist balance
+    at √n), floored at 16 so tiny corpora keep a non-degenerate list
+    space (the declared query pins nlist=16 for its static oracle; this
+    rule is the scale-path dial), capped so the
+    broadcast codebook stays tiny (65536 lists × dim doubles ≈ 32 MiB
+    at dim 64)."""
+    import math
+
+    return max(floor, min(cap, math.isqrt(max(n_vectors, 0))))
+
+
+def auto_nprobe(nlist: int, frac: float = 0.05, floor: int = 2) -> int:
+    """Probe-count companion to :func:`auto_nlist`: a fixed FRACTION of
+    the list space (default 5%) keeps recall roughly constant as nlist
+    grows with the corpus, while scanned rows stay n·frac·(1/√n-ish of
+    the fixed-nlist path)."""
+    import math
+
+    return max(floor, math.ceil(nlist * frac))
 
 
 def auto_n_planes(n_vectors: int, target_bucket_size: int = 200, floor: int = 4) -> int:

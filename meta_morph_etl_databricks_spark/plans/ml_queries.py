@@ -265,11 +265,23 @@ _SH_W = _SIMHASH_BITS // _SH_BANDS
 )
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤2 near-dup pairs via code banding (pigeonhole:
-    3 bands of a 24-bit code — any pair within budget shares a band
-    exactly), then exact bit_count(xor) filter.  The all-pairs hamming
-    scan becomes a banded equi-join."""
+    3 bands — any pair within budget shares a band exactly), then exact
+    bit_count(xor) filter.  The all-pairs hamming scan becomes a banded
+    equi-join.
+
+    Code width is corpus-size-derived (``auto_simhash_bits``, same log2
+    rule as ``auto_n_planes``) with the band floor pinned at the
+    declared-query width ``_SH_W`` (8): every corpus up to
+    ``target_bucket_size * 2**8`` = 51,200 docs (incl. sf0.01/sf0.1, so
+    the static oracle above stays bit-exact) uses 24 bits, and
+    beyond that the band space grows so candidate density stays constant
+    — the fix for the 100x band-saturation cliff (VERDICT r4: 2.44B
+    pairs at 500k docs with a fixed 24-bit code).  The sizing count() is
+    a metadata-scale parquet job, negligible next to the banded join.
+    """
     docs = _documents(spark, sf_dir)
-    return D.simhash_hamming_pairs(docs, bits=_SIMHASH_BITS, max_hamming=_SH_MAXH)
+    bits = D.auto_simhash_bits(docs.count(), max_hamming=_SH_MAXH, floor_band_bits=_SH_W)
+    return D.simhash_hamming_pairs(docs, bits=bits, max_hamming=_SH_MAXH)
 
 
 # ------------------------------------------------------------ similarity

@@ -121,28 +121,11 @@ def q_semi_join_f_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi_join(cust, orders, cust["c_custkey"] == orders["o_custkey"]).select("c_custkey", "c_name")
 
 
-@register(
-    "q_self_join_agg",
-    """
-    WITH cust_avg AS (
-        SELECT o_custkey,
-               (CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0) AS BIGINT)
-                    // COUNT(*)) / 100.0 AS avg_price
-        FROM orders GROUP BY o_custkey
-    )
-    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.avg_price
-    FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
-    WHERE o.o_totalprice > a.avg_price
-    """,
-)
-def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10: aggregate joined back to detail (the loyalty-tier pattern,
-    m_customer_sales_report_task.py:204-231) — orders above their
-    customer's average value.  The average is truncated to whole cents
-    with integer arithmetic: float division + round() disagrees between
-    engines at representation boundaries (e.g. 232192.105), integer
-    cents cannot."""
-    orders = read_parquet_table(spark, sf_dir, "orders")
+def _above_cust_avg(orders: DataFrame) -> DataFrame:
+    """J10 core: orders above their customer's average value.  The
+    average is truncated to whole cents with integer arithmetic: float
+    division + round() disagrees between engines at representation
+    boundaries (e.g. 232192.105), integer cents cannot."""
     cust_avg = orders.groupBy("o_custkey").agg(
         (
             F.expr("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0) AS BIGINT) DIV COUNT(*)") / 100.0
@@ -153,6 +136,68 @@ def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
     )
+
+
+def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed arm of q_self_join_agg: round-trip orders through a
+    hash-bucketed catalog table on the agg/join key, then run the SAME
+    agg-back-to-detail plan over the bucketed scan.  The scan's
+    HashPartitioning(o_custkey) satisfies both the groupBy and the join,
+    so the plan needs ZERO shuffle Exchange (asserted in
+    tests/test_plans.py) — at 100 TB the ingest-time bucketing pays the
+    fact shuffle once instead of per-query.
+
+    The table name/path derive from sf_dir so concurrent sessions and
+    multi-sf test runs never share state; the write is mode=overwrite,
+    idempotent per run."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import read_bucketed_table, write_bucketed
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    table = f"t_self_join_orders_b_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "mmetl_bucketed", tag)
+    write_bucketed(orders, table, ["o_custkey"], 8, path=path)
+    return _above_cust_avg(read_bucketed_table(spark, table))
+
+
+@register(
+    "q_self_join_agg",
+    """
+    WITH cust_avg AS (
+        SELECT o_custkey,
+               (CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0) AS BIGINT)
+                    // COUNT(*)) / 100.0 AS avg_price
+        FROM orders GROUP BY o_custkey
+    ),
+    above AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.avg_price
+        FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
+        WHERE o.o_totalprice > a.avg_price
+    )
+    SELECT 'direct' AS variant, * FROM above
+    UNION ALL
+    SELECT 'bucketed' AS variant, * FROM above
+    """,
+)
+def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 as a tagged union (one registry slot, two physical plans):
+    'direct' = aggregate joined back to detail over the plain parquet
+    scan (the loyalty-tier pattern, m_customer_sales_report_task.py:
+    204-231); 'bucketed' = the SAME logical plan over a bucketed
+    round-trip of orders (:func:`self_join_agg_bucketed`) — the
+    co-located zero-Exchange join, hash-verified here against the same
+    oracle rows (bucketing must change the plan, never the answer)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    direct = _above_cust_avg(orders).select(F.lit("direct").alias("variant"), "*")
+    bucketed = self_join_agg_bucketed(spark, sf_dir).select(
+        F.lit("bucketed").alias("variant"), "*"
+    )
+    return direct.unionByName(bucketed)
 
 
 # ---------------------------------------------------------------- windows

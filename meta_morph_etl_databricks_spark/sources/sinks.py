@@ -293,11 +293,13 @@ def merge_upsert_transactional(
     merge_upsert exactly: matched rows take all source values, unmatched
     source rows insert, unmatched target rows survive.
 
-    Execution attempted 2026-08-13: ``import delta`` →
-    ModuleNotFoundError; no delta jars under pyspark/jars; the container
-    has no package network (pypi.org unresolvable: ``urlopen error
-    [Errno -2] Name or service not known``), so neither pip nor
-    ``spark.jars.packages`` can fetch it.  Until a runtime ships the
+    Execution attempted 2026-08-13 and re-attempted 2026-08-14
+    (``pip install delta-spark==4.0.0`` → "No matching distribution
+    found"; ``import delta`` → ModuleNotFoundError; filesystem-wide
+    search for ``*delta*jar`` / a vendored wheel → nothing): no delta
+    jars under pyspark/jars and the container has no package network,
+    so neither pip nor ``spark.jars.packages`` can fetch it.  Until a
+    runtime ships the
     jar, the executable concurrent-merge story is
     ``merge_upsert(lock_retries=N)``: one writer wins, the other waits
     and re-merges against the installed result (serialized, tested).

@@ -82,7 +82,15 @@ def test_jdbc_partitioned_scan(spark, derby_url):
     # changing the result set (reference forwards numPartitions=4,
     # utils.py:197-205)
     assert got.rdd.getNumPartitions() == 4
-    assert got.count() == 10
+    # the split is real: rows actually land in more than one partition
+    # (each partition issues its own bounded WHERE to Derby), and the
+    # partitioned result is row-identical to the single-stream read
+    sizes = got.rdd.glom().map(len).collect()
+    assert sum(1 for s in sizes if s > 0) > 1, sizes
+    assert sum(sizes) == 10
+    single = read_jdbc_table(spark, derby_url, "people_part", properties=DRIVER)
+    key = lambda r: (r.id, r.name, r.score)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, single.collect()))
 
 
 def test_jdbc_pushdown_query(spark, derby_url):

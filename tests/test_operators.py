@@ -404,6 +404,107 @@ def test_ivf_recall_at_10(spark):
     assert recall(emb2, q2, cents2, 8, truth2) == 1.0  # full probe is exact
 
 
+def test_auto_nlist_nprobe_sizing():
+    """nlist ≈ √n floored at the declared-query 16, capped; nprobe is a
+    fixed fraction of the list space with a floor of 2."""
+    from meta_morph_etl_databricks_spark.operators.similarity import auto_nlist, auto_nprobe
+
+    assert auto_nlist(200) == 16       # floor: tiny corpora keep ≥16 lists
+    assert auto_nlist(500) == 22       # √500
+    assert auto_nlist(2_000) == 44     # √2000
+    assert auto_nlist(200_000) == 447  # scale100 embeddings
+    assert auto_nlist(10**10) == 65536  # capped: broadcast codebook stays tiny
+    assert auto_nprobe(16) == 2        # floor (ceil(0.8) < 2)
+    assert auto_nprobe(447) == 23      # 5% of the list space
+    # scanned fraction nprobe/nlist stays ~constant as the corpus grows
+    for n in (10_000, 1_000_000, 100_000_000):
+        nl = auto_nlist(n)
+        assert 0.04 <= auto_nprobe(nl) / nl <= 0.13
+
+
+def test_assign_numpy_matches_scored_kernel(spark):
+    """The Arrow/BLAS assignment kernel (wide-codebook path) agrees with
+    the conditional-sum codegen kernel on every vector — including the
+    larger-cid tie-break and empty/NULL vectors."""
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        _assign_numpy,
+        _assign_scored,
+        ivf_centroids,
+    )
+
+    import random
+
+    rnd = random.Random(21)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    rows += [(80, [0.0] * 8), (81, []), (82, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    cents = ivf_centroids(emb, k=6)
+    scored = {r.vec_id: (r.centroid_id, round(r._n, 9)) for r in _assign_scored(emb, cents, "vec_id", "embedding").collect()}
+    numpy_ = {r.vec_id: (r.centroid_id, round(r._n, 9)) for r in _assign_numpy(emb, cents, "vec_id", "embedding").collect()}
+    assert scored == numpy_
+
+
+def test_ivf_indexed_serve_path(spark):
+    """ivf_topk_indexed over a pre-built ivf_index returns exactly what
+    the fused ivf_topk returns, for both assignment kernels — the
+    build/serve split changes amortization, not answers."""
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    import random
+
+    rnd = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = ivf_centroids(emb, k=5)
+    q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    fused = ivf_topk(emb, q, cents, k=6, nprobe=2, exclude_self=True)
+    key = lambda r: (r.query_id, r.vec_id, r.cosine_sim)  # noqa: E731
+    want = sorted(map(key, fused.collect()))
+    for method in ("scored", "numpy"):
+        idx = ivf_index(emb, cents, method=method).cache()
+        got = ivf_topk_indexed(idx, q, cents, k=6, nprobe=2, exclude_self=True)
+        assert sorted(map(key, got.collect())) == want, method
+
+
+def test_ivf_auto_sized_recall(spark):
+    """The auto-sized (nlist=√n, nprobe=5%) indexed path holds recall@10
+    ≥ 0.9 on clustered data — the geometry ANN serves at scale."""
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        auto_nlist,
+        auto_nprobe,
+        cosine_topk,
+        ivf_centroids_kmeans,
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    import random
+
+    rnd = random.Random(17)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(24)]
+    rows = [(i, [v + rnd.gauss(0, 0.04) for v in centers[i % 24]]) for i in range(1200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    n = emb.count()
+    nlist, nprobe = auto_nlist(n), auto_nprobe(auto_nlist(n))
+    assert nlist == 34 and nprobe == 2
+    cents = ivf_centroids_kmeans(emb, k=nlist, seed=29)
+    idx = ivf_index(emb, cents).cache()
+    q = emb.filter("vec_id < 30").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10, exclude_self=True).collect()}
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_indexed(idx, q, cents, k=10, nprobe=nprobe, exclude_self=True).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+
+
 def test_quantize_int8_roundtrip_and_edges(spark):
     """Reconstruction error is bounded by scale/2 per element; zero,
     empty, and NULL vectors survive with sane codes."""

@@ -89,6 +89,33 @@ def test_bucketed_join_eliminates_exchanges(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_self_join_agg_bucketed_arm_zero_exchange(spark, sf_dir):
+    """The 'bucketed' arm of q_self_join_agg must plan with ZERO
+    Exchange: the bucketed scan's HashPartitioning(o_custkey) feeds both
+    the groupBy and the join-back (broadcast disabled so the small side
+    can't hide the claim behind a BroadcastExchange) — and return
+    exactly the direct arm's rows."""
+    from meta_morph_etl_databricks_spark.plans.operator_queries import (
+        _above_cust_avg,
+        self_join_agg_bucketed,
+    )
+    from meta_morph_etl_databricks_spark.sources.scans import read_parquet_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = self_join_agg_bucketed(spark, sf_dir)
+        bucketed.count()  # finalize the AQE plan before inspecting it
+        plan = _plan(bucketed)
+        assert "Exchange" not in plan, plan
+        direct = _above_cust_avg(read_parquet_table(spark, sf_dir, "orders"))
+        assert "Exchange" in _plan(direct)  # the shuffle the bucket write prepaid
+        key = lambda r: (r.o_orderkey, r.o_custkey, r.o_totalprice, r.avg_price)  # noqa: E731
+        assert sorted(map(key, bucketed.collect())) == sorted(map(key, direct.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_window_topk_uses_group_limit(spark, sf_dir):
     """row_number top-1 must compile to WindowGroupLimit (partial top-k
     map-side) — not a full per-group sort of all rows."""

@@ -12,7 +12,7 @@ Replication is pure column expressions over a ``copy`` explode — fully
 distributed, no driver materialization; the same pattern scales to
 synthesizing 100× or 1000× on a real cluster.
 
-Usage: python tools/gen_scale.py [out_dir] [copies]
+Usage: python tools/gen_scale.py [out_dir] [copies] [all|ml|tpch]
 Writes {out_dir}/{table}.parquet; default out .scale10/ (gitignored).
 """
 
@@ -49,8 +49,36 @@ def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10, tables: st
     if tables == "ml":
         _scale_ml_tables(spark, out_dir, copies)
         return
+    if tables == "tpch":
+        _scale_tpch_tables(spark, out_dir, copies)
+        return
 
-    # --- facts + per-entity dims: replicate with consistent key offsets
+    _scale_tpch_tables(spark, out_dir, copies)
+
+    # --- events: replicate with id/user offsets, jitter ts by copy*37s
+    # (ts is stored as raw nanos-since-epoch LONG in the testdata parquet;
+    # read_parquet_table normalizes it at query time — here we stay in
+    # the storage representation)
+    events = spark.read.parquet(f"{SRC}/events.parquet")
+    if dict(events.dtypes)["ts"] in ("bigint", "long"):
+        jittered = F.col("ts") + F.col("copy").cast("bigint") * F.lit(37_000_000_000)
+    else:
+        jittered = F.col("ts") + F.make_interval(secs=F.col("copy") * 37)
+    _explode_copies(events, copies).withColumn(
+        "event_id", F.col("event_id") + F.col("copy") * EVENT_SPAN
+    ).withColumn("user_id", F.col("user_id") + F.col("copy") * CUST_SPAN).withColumn(
+        "ts", jittered
+    ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    _scale_ml_tables(spark, out_dir, copies)
+
+
+def _scale_tpch_tables(spark: SparkSession, out_dir: str, copies: int) -> None:
+    """The lineitem-heavy subset: facts + per-entity dims replicate with
+    consistent key offsets; catalog dims stay at catalog size (only
+    demand grows — the usual warehouse shape).  Exactly what the mart
+    queries (q_supplier_performance / q_customer_metrics / ...) read, so
+    the 100× mart bench can skip the ML tables' write volume."""
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
     customer = spark.read.parquet(f"{SRC}/customer.parquet")
@@ -75,23 +103,6 @@ def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10, tables: st
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
-
-    # --- events: replicate with id/user offsets, jitter ts by copy*37s
-    # (ts is stored as raw nanos-since-epoch LONG in the testdata parquet;
-    # read_parquet_table normalizes it at query time — here we stay in
-    # the storage representation)
-    events = spark.read.parquet(f"{SRC}/events.parquet")
-    if dict(events.dtypes)["ts"] in ("bigint", "long"):
-        jittered = F.col("ts") + F.col("copy").cast("bigint") * F.lit(37_000_000_000)
-    else:
-        jittered = F.col("ts") + F.make_interval(secs=F.col("copy") * 37)
-    _explode_copies(events, copies).withColumn(
-        "event_id", F.col("event_id") + F.col("copy") * EVENT_SPAN
-    ).withColumn("user_id", F.col("user_id") + F.col("copy") * CUST_SPAN).withColumn(
-        "ts", jittered
-    ).drop("copy").write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
-
-    _scale_ml_tables(spark, out_dir, copies)
 
 
 def _scale_ml_tables(spark: SparkSession, out_dir: str, copies: int) -> None:
@@ -165,7 +176,10 @@ def main() -> None:
     spark = get_spark("gen_scale")
     spark.sparkContext.setLogLevel("ERROR")
     scale_tables(spark, out_dir, copies, tables)
-    check = ("documents", "embeddings") if tables == "ml" else ("lineitem", "documents", "embeddings", "events")
+    check = {
+        "ml": ("documents", "embeddings"),
+        "tpch": ("lineitem", "orders", "customer"),
+    }.get(tables, ("lineitem", "documents", "embeddings", "events"))
     for t in check:
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
