@@ -456,3 +456,70 @@ def test_session_windows_streaming_smoke(spark, tmp_path, events_batch):
     out = session_user_windows(with_watermark(stream, "1 hour"), gap="30 minutes")
     _run_until_done(out.writeStream.outputMode("append"), "t_session")
     assert spark.sql("SELECT count(*) FROM t_session").collect()[0][0] >= 0
+
+
+def test_session_stream_merges_sessions_and_finalizes_once(spark, tmp_path):
+    """The session-window STATE discipline, on a real stream:
+    1) two bursts 50 min apart (gap 30 min) are two open sessions —
+       nothing emits while the watermark is behind them;
+    2) a bridging event arriving in a LATER micro-batch (still inside
+       the watermark) merges them into ONE session;
+    3) once the watermark passes end+gap, exactly one merged session row
+       emits (start = first burst, end = last event + gap, all 3 events);
+    4) data later than the watermark neither re-emits nor reopens the
+       finalized session."""
+    from datetime import datetime, timedelta
+
+    from meta_morph_etl_databricks_spark.streaming import session_user_windows
+    from meta_morph_etl_databricks_spark.streaming.sources import EVENTS_SCHEMA
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    m = lambda mins: t0 + timedelta(minutes=mins)  # noqa: E731
+
+    def stage(name, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(src / name))
+
+    def run_once():
+        got: list = []
+        stream = read_events_stream(spark, str(src) + "/*")
+        out = session_user_windows(with_watermark(stream, "1 hour"), gap="30 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda bdf, _bid: got.extend(bdf.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # two bursts of user 1, 50 min apart; user 99's event pins the
+    # watermark at 13:00 - 1h = 12:00 — behind both open sessions
+    stage("b1", [(1, m(0), 1, "click", 1.0, "{}"),
+                 (2, m(50), 1, "click", 2.0, "{}"),
+                 (90, m(60), 99, "view", 0.0, "{}")])
+    first = run_once()
+    assert [r for r in first if r.user_id == 1] == []
+
+    # the bridge lands at 12:25 (within watermark): 25 min from burst 1,
+    # 25 min before burst 2 — the two sessions must merge; user 99's
+    # 16:00 event then pushes the watermark to 15:00, past the merged
+    # session's end+gap, forcing exactly-once emission
+    stage("b2", [(3, m(25), 1, "click", 4.0, "{}"),
+                 (91, m(240), 99, "view", 0.0, "{}")])
+    second = run_once()
+    mine = [r for r in second if r.user_id == 1]
+    assert len(mine) == 1, mine
+    s = mine[0]
+    assert s.session_start == m(0) and s.session_end == m(80)  # last event 12:50 + 30 min gap
+    assert s.n_events == 3 and s.session_value == 7.0
+
+    # an event inside the finalized session but behind the watermark is
+    # discarded: no re-emission, no reopened session
+    stage("b3", [(4, m(40), 1, "click", 8.0, "{}"),
+                 (92, m(300), 99, "view", 0.0, "{}")])
+    third = run_once()
+    assert [r for r in third if r.user_id == 1] == []
