@@ -303,8 +303,12 @@ def ivf_topk(
     Shape: assignment is map-only; the probe is an equi-join on
     centroid_id (queries exploded to nprobe rows); per-query top-k via
     window (WindowGroupLimit keeps partial top-k map-side).
+
+    Assignment kernel is auto-picked (:func:`ivf_index`): the bit-exact
+    conditional-sum codegen path up to 64 lists (covers the declared
+    query's oracle-pinned nlist=16), the Arrow/BLAS matmul past that.
     """
-    lists = _assign_scored(embeddings, centroids, id_col, vec_col)
+    lists = ivf_index(embeddings, centroids, id_col, vec_col, method="auto")
     return ivf_topk_indexed(
         lists,
         queries,
