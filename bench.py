@@ -50,6 +50,9 @@ _MERGED_BASELINES: dict[str, list] = {
     # over a bucketed round-trip, PLUS pays the bucketed write each run —
     # weight 2x the direct arm (write ≈ one extra pass over orders).
     "q_self_join_agg": ["q_self_join_agg", ("q_self_join_agg", 2.0)],
+    # r5: the LSH-candidates stage folded into the two-stage dedup query
+    # (it already ran inside it as stage 1; the union adds its output).
+    "q_dedup_ngram_jaccard": ["q_dedup_ngram_jaccard", "q_dedup_minhash_lsh"],
 }
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
@@ -64,6 +67,8 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     # of the callable, so it is paid in BOTH arm timings — the 'direct'
     # sub-timing is (write + direct plan), not the direct plan alone.
     "q_self_join_agg": ("variant", ["direct", "bucketed"]),
+    "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified"]),
+    "q_train_prep": ("variant", ["decontaminate", "pack"]),
 }
 
 

@@ -449,3 +449,53 @@ def simhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         a.join(b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), F.col("a.simhash").alias("simhash"))
     )
+
+
+# ------------------------------------------------------- decontamination
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination — the training-pipeline step that drops
+    corpus documents overlapping a benchmark/eval set (the GPT-3/Pile/
+    Llama recipe: flag any document sharing a word ``shingle_n``-gram
+    with an eval document; 13 is the published default).
+
+    Shape for 100 TB: eval sets are MB-scale next to the corpus, so the
+    distinct eval shingle-hash set broadcasts and the check is a
+    map-side hash join on the corpus's exploded shingles — one pass,
+    one per-doc aggregation, no all-pairs anything.  Hashes are the
+    60-bit md5 prefix (no mod-P fold): collision odds at 1e12 shingles
+    are ~1e-5 per shingle, and a collision only ever over-flags.
+
+    Returns one row per corpus document: (id, n_hits = distinct shared
+    shingles, contaminated).  Documents shorter than ``shingle_n``
+    tokens have no shingles and are never flagged (standard caveat —
+    pair with exact-dedup for short-text overlap).
+    """
+    hash60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s")
+        ).select(id_col, hash60(F.col("_s")).alias("_h"))
+
+    eval_h = shingle_hashes(eval_docs).select("_h").distinct()
+    if broadcast_eval:
+        eval_h = F.broadcast(eval_h)
+    hits = shingle_hashes(docs).join(eval_h, "_h").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

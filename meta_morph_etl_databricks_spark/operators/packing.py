@@ -1,0 +1,76 @@
+"""Sequence packing: assemble variable-length documents into
+fixed-token-budget training samples — the batch-construction step of an
+LLM data pipeline (padding waste shrinks from ~50% to a few percent).
+
+Exact first-fit bin packing is inherently sequential, so at corpus
+scale every production packer shards the stream and packs each shard
+independently; bins never cross shards, so shards are embarrassingly
+parallel.  This module implements the deterministic variant of that:
+shards are FIXED id ranges (``id DIV shard_span``), within a shard
+documents pack in id order by the running token count, and a document
+joins the bin its FIRST token falls in ("start-fit") — so a bin can
+overflow by at most one document's tokens, the standard
+streaming-packer contract (the trainer truncates or wraps the tail).
+
+Everything is window arithmetic over one hash-partitioned sort — no
+UDF, no driver loop, and the output is invariant to parallelism because
+shard boundaries are data-derived, not partition-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_span: int = 100_000,
+) -> DataFrame:
+    """Assign every document to a pack (training sample) of roughly
+    ``budget_tokens`` whitespace tokens.
+
+    Returns (id_col, n_tokens, shard, pack_in_shard, pack_id) with
+    ``pack_id`` globally unique and stable: shard * ceil(shard_span) +
+    pack index — reruns and different cluster sizes produce identical
+    assignments, which matters for resumable preprocessing jobs.
+
+    Scale shape: ONE shuffle (hash on shard for the window sort); each
+    shard's window is independent, so parallelism = number of live
+    shards.  Pick ``shard_span`` so one shard's rows sort comfortably
+    in an executor core (1e5 docs ≈ tens of MB of (id, count) pairs).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    n_tok: Column = F.size(tokens(text_col))
+    shard = (F.col(id_col) / shard_span).cast("bigint")
+    sized = docs.select(
+        F.col(id_col), n_tok.cast("bigint").alias("n_tokens"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    tokens_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack_in_shard = F.floor(tokens_before / budget_tokens)
+    return sized.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        pack_in_shard.alias("pack_in_shard"),
+        # a shard of shard_span docs can have at most shard_span packs,
+        # so shard * shard_span + pack_in_shard never collides
+        (F.col("shard") * shard_span + pack_in_shard).alias("pack_id"),
+    )
+
+
+def pack_rollup(packed: DataFrame) -> DataFrame:
+    """Per-pack summary of a :func:`pack_sequences` result: document
+    count and token total — the sanity surface (every pack's total sits
+    in [budget, budget + max_doc_tokens) except each shard's tail)."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -182,21 +182,15 @@ _MINHASH_PAIRS = f"""
 """
 
 
-@register("q_dedup_minhash_lsh", _MINHASH_PAIRS)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands
-    → band-key equi-self-join.  All-pairs similarity becomes a banded
-    equi-join (SURVEY.md M6; the scale path for 100 TB dedup)."""
-    docs = _documents(spark, sf_dir)
-    return D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
-
-
 @register(
     "q_dedup_ngram_jaccard",
     f"""
     WITH cand AS ({_MINHASH_PAIRS}),
     sets AS (SELECT doc_id, list_distinct(s) AS sh FROM ({_SHINGLES}))
-    SELECT c.id_a, c.id_b,
+    SELECT 'candidates' AS variant, id_a, id_b, CAST(NULL AS DOUBLE) AS jaccard
+    FROM cand
+    UNION ALL
+    SELECT 'verified' AS variant, c.id_a, c.id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
     FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
@@ -205,12 +199,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verification over the LSH candidate pairs —
-    the two-stage shape (cheap recall stage, exact precision stage)
-    every production dedup pipeline uses."""
+    """The two-stage near-dup pipeline as a tagged union (one registry
+    slot — the driver checks only the first 50 queries; formerly also
+    registered as q_dedup_minhash_lsh):
+
+    - ``variant='candidates'`` — MinHash+LSH recall stage: shingle → 16
+      minhashes → 4 bands → band-key equi-self-join.  All-pairs
+      similarity becomes a banded equi-join (SURVEY.md M6; the scale
+      path for 100 TB dedup).  jaccard is NULL here.
+    - ``variant='verified'`` — exact n-gram Jaccard precision stage over
+      those candidates (threshold 0.2) — the cheap-recall /
+      exact-precision shape every production dedup pipeline uses.
+    """
     docs = _documents(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
-    return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands)
+    stage1 = cands.select(
+        F.lit("candidates").alias("variant"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    stage2 = D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands).select(
+        F.lit("verified").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    return stage1.unionByName(stage2)
 
 
 # 24-bit codes: hamming-2 banding splits into 3 bands of 8 bits, so the
@@ -691,3 +703,96 @@ def q_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "signup_id", "left")
         .select("signup_id", F.coalesce("clicks_within_hour", F.lit(0)).alias("clicks_within_hour"))
     )
+
+
+# ------------------------------------------------- decontamination / packing
+def _ngram_sql(n: int) -> str:
+    """Distinct word n-grams per document, DuckDB side (the generic form
+    of ``_SHINGLES``' fixed trigram)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                                 i -> {concat})) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    """
+
+
+_DECON_N = 3  # testdata docs are 10-100 tokens; the 13-gram production
+# default (operators.dedup.decontaminate) would flag ~nothing here
+_DECON_EVAL = "doc_id % 97 = 0"  # deterministic stand-in eval set
+
+
+_PACK_BUDGET, _PACK_SPAN = 256, 200
+
+# the two training-batch-preparation steps share one registry slot (the
+# driver checks only the first 50 queries — plans/__init__.py) as a
+# tagged union with a harmonized (variant, doc_id, metric, bucket)
+# schema: decontaminate → metric = n_hits, bucket = contaminated (0/1);
+# pack → metric = n_tokens, bucket = pack_id.
+_TRAIN_PREP_SQL = f"""
+    WITH sh AS ({_ngram_sql(_DECON_N)}),
+    hv AS (SELECT doc_id, list_transform(s, x -> {_hex15_to_bigint('md5(x)')}) AS h FROM sh),
+    ev AS (SELECT DISTINCT unnest(h) AS g FROM hv WHERE {_DECON_EVAL}),
+    corpus AS (SELECT doc_id, unnest(h) AS g FROM hv WHERE NOT ({_DECON_EVAL})),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corpus JOIN ev USING (g) GROUP BY doc_id),
+    sized AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(doc_id // {_PACK_SPAN} AS BIGINT) AS shard
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens AS tokens_before
+        FROM sized
+    )
+    SELECT 'decontaminate' AS variant, d.doc_id,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS metric,
+           CAST(CASE WHEN COALESCE(hits.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+    FROM (SELECT doc_id FROM documents WHERE NOT ({_DECON_EVAL})) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    UNION ALL
+    SELECT 'pack' AS variant, doc_id, n_tokens AS metric,
+           CAST(shard * {_PACK_SPAN}
+                + FLOOR(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS bucket
+    FROM cum
+"""
+
+
+@register("q_train_prep", _TRAIN_PREP_SQL)
+def q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch preparation, tagged union (LLM-pipeline extension;
+    no reference analog):
+
+    - ``variant='decontaminate'`` — eval-set decontamination (the
+      GPT-3/Pile/Llama pre-training step): flag every corpus document
+      sharing a word n-gram with the held-out eval slice (deterministic
+      doc_id % 97).  Eval shingle hashes broadcast; the check is a
+      map-side hash join over the corpus's exploded shingles — linear,
+      never all-pairs (operators/dedup.py decontaminate).
+      metric = distinct shared shingles, bucket = contaminated 0/1.
+    - ``variant='pack'`` — sequence packing for batch construction:
+      documents pack into ~256-token samples, sharded by fixed id
+      ranges so shards pack independently and in parallel — one
+      shuffle, window arithmetic only, output invariant to cluster
+      parallelism (operators/packing.py).  metric = n_tokens,
+      bucket = pack_id.
+    """
+    from ..operators.packing import pack_sequences
+
+    docs = _documents(spark, sf_dir)
+    eval_docs = docs.filter(F.expr(_DECON_EVAL))
+    corpus = docs.filter(~F.expr(_DECON_EVAL))
+    decon = D.decontaminate(corpus, eval_docs, shingle_n=_DECON_N).select(
+        F.lit("decontaminate").alias("variant"),
+        "doc_id",
+        F.col("n_hits").alias("metric"),
+        F.col("contaminated").cast("bigint").alias("bucket"),
+    )
+    packed = pack_sequences(docs, budget_tokens=_PACK_BUDGET, shard_span=_PACK_SPAN).select(
+        F.lit("pack").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("metric"),
+        F.col("pack_id").alias("bucket"),
+    )
+    return decon.unionByName(packed)

@@ -688,3 +688,56 @@ def test_range_join_matches_nested_loop(spark):
     # inclusive end picks up boundary hits
     inc = range_join(pts, ivs, "v", "s", "e", bucket_width=64, end_inclusive=True).count()
     assert inc >= got.count()
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing any word n-gram with the eval set is
+    flagged with the distinct-shingle hit count; disjoint docs and
+    docs shorter than the shingle width never flag."""
+    from meta_morph_etl_databricks_spark.operators.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox today"),  # shares 2 trigrams
+            (2, "completely different words here entirely"),
+            (3, "quick brown"),  # shorter than the shingle width
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(corpus, eval_docs, shingle_n=3).collect()}
+    assert got[1].contaminated and got[1].n_hits == 2  # 'the quick brown', 'quick brown fox'
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert not got[3].contaminated
+    assert len(got) == 3  # every corpus doc reported, flagged or not
+
+
+def test_pack_sequences_start_fit_and_shards(spark):
+    """Start-fit packing: a doc joins the bin its first token falls in
+    (bins overflow by at most one doc); shards pack independently; ids
+    and totals are deterministic."""
+    from meta_morph_etl_databricks_spark.operators.packing import (
+        pack_rollup,
+        pack_sequences,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    rows = [(0, mk(4)), (1, mk(4)), (2, mk(4)), (3, mk(2)),  # shard 0
+            (10, mk(9)), (11, mk(3))]                         # shard 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(docs, budget_tokens=10, shard_span=10).collect()}
+    # shard 0 cumsums-before: 0,4,8,12 → bins 0,0,0,1 (doc 2 overflows bin 0 to 12 tokens)
+    assert [got[i].pack_in_shard for i in (0, 1, 2, 3)] == [0, 0, 0, 1]
+    # shard 1 restarts: before = 0, 9 → bins 0, 0
+    assert got[10].shard == 1 and [got[i].pack_in_shard for i in (10, 11)] == [0, 0]
+    assert got[3].pack_id == 1 and got[10].pack_id == 10  # shard*span + bin
+    roll = {r.pack_id: r for r in pack_rollup(
+        pack_sequences(docs, budget_tokens=10, shard_span=10)).collect()}
+    assert roll[0].n_docs == 3 and roll[0].total_tokens == 12
+    assert roll[1].n_docs == 1 and roll[1].total_tokens == 2
+    assert roll[10].n_docs == 2 and roll[10].total_tokens == 12
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, budget_tokens=0)
