@@ -134,7 +134,14 @@ def _regressions(
     floor so sub-second scheduling jitter doesn't flag).  Baselines are
     scaled by ``host_speed_ratio`` (this round's calibration probe over
     last round's) so a uniformly throttled host doesn't flag every
-    query — only plan regressions beyond the host drift."""
+    query — only plan regressions beyond the host drift.
+
+    The normalization is one-sided: a RAW time at or below last round's
+    never flags.  The probe measures pure shuffle+agg throughput, but
+    multi-second queries carry fixed costs (plan compile, stage launch,
+    broadcast build) that don't shrink with a faster host — on an
+    unusually fast round a 2x probe speedup would otherwise flag
+    queries that are absolutely FASTER than before."""
     out: dict[str, dict[str, float]] = {}
     for name, t in timings.items():
         if t < 0:
@@ -153,8 +160,11 @@ def _regressions(
             base = baseline.get(name)
         if base is None or base <= 0:
             continue
-        base = base * host_speed_ratio
-        if t > 1.5 * base and t - base > 1.0:
+        raw_base = base
+        # one-sided (see docstring): a throttled host (ratio > 1)
+        # inflates the baseline; a fast host (ratio < 1) keeps it raw
+        base = base * max(host_speed_ratio, 1.0)
+        if t > 1.5 * base and t - base > 1.0 and t > raw_base:
             out[name] = {"now": t, "baseline": round(base, 3), "ratio": round(t / base, 2)}
     return out
 
