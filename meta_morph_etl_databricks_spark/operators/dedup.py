@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, tokens
+from .text import fingerprint, shingles, tokens  # noqa: F401 — shingles re-exported (moved to text.py for repetition_profile)
 
 
 # ------------------------------------------------------------- exact
@@ -34,22 +34,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .drop("_fp")
     )
-
-
-# ------------------------------------------------------------- shingles
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles via sequence+transform HOFs (no UDF):
-    tokens t₀..tₖ → [t₀..tₙ₋₁], [t₁..tₙ], ...  Empty when < n tokens.
-
-    The k < n case MUST be gated before building the index sequence:
-    Spark's sequence(1, 0) yields a DESCENDING [1, 0], and element_at
-    then throws under ANSI mode (when/otherwise evaluates lazily, so the
-    guarded branch never runs for short docs)."""
-    toks = tokens(text)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(1), k - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
-    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 # MinHash hash family: ONE portable base hash per shingle (md5 hex →

@@ -34,6 +34,21 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles via sequence+transform HOFs (no UDF):
+    tokens t₀..tₖ → [t₀..tₙ₋₁], [t₁..tₙ], ...  Empty when < n tokens.
+
+    The k < n case MUST be gated before building the index sequence:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], and element_at
+    then throws under ANSI mode (when/otherwise evaluates lazily, so the
+    guarded branch never runs for short docs)."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), k - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text))
@@ -161,3 +176,44 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality score, fingerprint.  Delegates to the distributed
     :func:`profile_documents` shape."""
     return profile_documents(docs, text_col)
+
+
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the corpus-quality
+    rules that catch boilerplate and spam which length/punct ratios
+    miss: ``dup_gram_frac`` = fraction of n-gram occurrences that are
+    repeats (1 - distinct/total), ``top_gram_frac`` = share of the
+    single most frequent n-gram.
+
+    Distributed shape: explode n-grams → count per (doc, gram) → per-doc
+    max/total/distinct — two hash aggregations with map-side combine,
+    never a per-doc O(len²) HOF mode-scan.  Documents shorter than ``n``
+    tokens have no grams and report 0.0 fractions.
+    """
+    grams = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_g"))
+    per = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    stats = per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.max("_c").alias("_top"),
+        F.count("*").alias("_distinct"),
+    )
+    total = F.col("n_grams").cast("double")
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.round(
+                F.coalesce(F.lit(1.0) - F.col("_distinct").cast("double") / total, F.lit(0.0)), 4
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.coalesce(F.col("_top").cast("double") / total, F.lit(0.0)), 4
+            ).alias("top_gram_frac"),
+        )
+    )

@@ -52,7 +52,17 @@ _LANG_CASE = (
 )
 
 _TEXT_PROFILE_ORACLE = f"""
-WITH base AS (
+WITH bigrams AS (
+    SELECT doc_id, unnest(s) AS g
+    FROM (SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                        i -> t[i] || ' ' || t[i+1]) AS s
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+), per_gram AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+), rep AS (
+    SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS topg, COUNT(*) AS dist
+    FROM per_gram GROUP BY doc_id
+), base AS (
     SELECT doc_id, lang, source,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
@@ -68,22 +78,29 @@ WITH base AS (
            CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio
     FROM base
 )
-SELECT doc_id, lang, n_tokens, n_bpe_tokens,
+SELECT s.doc_id, lang, n_tokens, n_bpe_tokens,
        {_LANG_CASE} AS detected_lang,
        ROUND((CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END
-              + (1.0 - punct_ratio) + alpha_ratio) / 3.0, 4) AS quality
-FROM scored
+              + (1.0 - punct_ratio) + alpha_ratio) / 3.0, 4) AS quality,
+       ROUND(COALESCE(1.0 - CAST(dist AS DOUBLE) / CAST(n_grams AS DOUBLE), 0.0), 4) AS dup_gram_frac,
+       ROUND(COALESCE(CAST(topg AS DOUBLE) / CAST(n_grams AS DOUBLE), 0.0), 4) AS top_gram_frac
+FROM scored s LEFT JOIN rep ON s.doc_id = rep.doc_id
 """
 
 
 @register("q_text_profile", _TEXT_PROFILE_ORACLE)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts (whitespace + BPE-ish regex),
-    language-ID heuristic, quality score — one map-only projection."""
+    language-ID heuristic, quality score, and since r5 the Gopher-style
+    repetition signals (duplicate-bigram and top-bigram fractions —
+    operators/text.py repetition_profile, two map-side-combining hash
+    aggregations joined back on doc_id)."""
     docs = _documents(spark, sf_dir)
-    return T.profile_documents(docs).select(
+    profile = T.profile_documents(docs).select(
         "doc_id", "lang", "n_tokens", "n_bpe_tokens", "detected_lang", "quality"
     )
+    rep = T.repetition_profile(docs).select("doc_id", "dup_gram_frac", "top_gram_frac")
+    return profile.join(rep, "doc_id")
 
 
 @register(

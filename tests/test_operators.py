@@ -741,3 +741,60 @@ def test_pack_sequences_start_fit_and_shards(spark):
 
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, budget_tokens=0)
+
+
+def test_repetition_profile_gopher_signals(spark):
+    """dup/top bigram fractions: a document that is one phrase repeated
+    scores high on both; unique text scores 0; sub-bigram docs are kept
+    with zero fractions."""
+    from meta_morph_etl_databricks_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),      # 4 bigrams, all 'spam spam'
+            (2, "one two three four five"),        # 4 unique bigrams
+            (3, "word"),                           # shorter than a bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert got[1].n_grams == 4 and got[1].dup_gram_frac == 0.75 and got[1].top_gram_frac == 1.0
+    assert got[2].dup_gram_frac == 0.0 and got[2].top_gram_frac == 0.25
+    assert got[3].n_grams == 0 and got[3].dup_gram_frac == 0.0 and got[3].top_gram_frac == 0.0
+
+
+def test_quantized_corpus_flows_through_ivf(spark):
+    """The int8-quantized corpus composes with the IVF index exactly as
+    any DataFrame (the quantize.py claim): dequantized vectors through
+    ivf_index + ivf_topk_indexed give near-total recall vs the float
+    index at full probe."""
+    from meta_morph_etl_databricks_spark.operators.quantize import dequantize, quantize_int8
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    import random
+
+    rnd = random.Random(31)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    deq = quantize_int8(emb).select(
+        "vec_id", dequantize(F.col("q_vec"), F.col("q_scale")).alias("embedding")
+    ).cache()
+    cents = ivf_centroids(emb, k=4)
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    want = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_indexed(ivf_index(emb, cents), q, cents, k=10, nprobe=4,
+                                  exclude_self=True).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_indexed(ivf_index(deq, cents), q, cents, k=10, nprobe=4,
+                                  exclude_self=True).collect()
+    }
+    assert len(got & want) / len(want) >= 0.9  # int8 rounding may flip distant ranks
