@@ -97,3 +97,29 @@ def clicks_to_purchases_stream(
         watermark=watermark,
         how=how,
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream (the Databricks bronze→silver step; the reference does
+    the same join batch-side in every mart, e.g. orders→customer).
+
+    Stream-static joins need NO state or watermark — Spark re-plans the
+    static side per micro-batch, so a broadcast-sized dim costs one
+    broadcast per batch and the stream side never buffers.  The static
+    side is explicitly broadcast: at 100 TB/day of stream the dim join
+    must never become a per-batch shuffle.  The same call works in
+    batch mode (broadcast hash join), which is the test oracle.
+
+    ``how`` is restricted to the stream-preserving joins ('inner',
+    'left'): right/full would need the full stream history against the
+    static side, which streaming cannot express.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"enrich_stream supports inner/left, got {how!r}")
+    return stream.join(F.broadcast(dim), on, how)

@@ -1,0 +1,78 @@
+"""Streaming sinks beyond the built-in file/memory writers — the
+foreachBatch compositions that close the loop between the streaming
+surface and the batch sink library (sources/sinks.py).
+
+The flagship is the streaming MERGE upsert: the reference's daily
+Airflow MERGE (ETL-Airflow/dags/tasks/utils.py:368-433) becomes a
+continuous upsert — each micro-batch merges into the target by key.
+foreachBatch is the standard shape for this on Spark: the batch sink
+code is reused verbatim per micro-batch, and exactly-once comes from
+the checkpoint's batch-id idempotence plus the sink's own atomicity
+(merge_upsert's staged rename; MERGE INTO when a transactional format
+is available).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.sinks import merge_upsert
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    dedup_batch: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Continuously upsert a stream into a parquet target: one
+    :func:`~..sources.sinks.merge_upsert` per micro-batch, keyed on
+    ``keys`` — the streaming form of the reference's daily MERGE.
+
+    ``dedup_batch`` keeps the LAST row per key within each micro-batch
+    before merging (a batch can carry several updates for one key;
+    MERGE semantics need one).  "Last" = max monotonically increasing
+    struct over the remaining columns — deterministic, no event-time
+    assumption; pass False to apply a caller-side policy instead.
+
+    Returns the started StreamingQuery (caller awaits/stops).  Restart
+    safety: replays of a committed batch re-merge the same rows — the
+    merge is idempotent per (key, values), so the target converges.
+    """
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if dedup_batch:
+            others = [c for c in batch_df.columns if c not in keys]
+            batch_df = (
+                batch_df.groupBy(*keys)
+                .agg(F.max(F.struct(*others)).alias("_row"))
+                .select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+            )
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, target_path, batch_df, keys)
+
+    writer = stream.writeStream.foreachBatch(upsert).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_foreach_batch_sink(
+    stream: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Generic foreachBatch adapter: run any batch sink from the sink
+    library per micro-batch under a checkpoint (the composition point
+    for dual_write / append_history / write_jdbc on a stream)."""
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -523,3 +523,59 @@ def test_session_stream_merges_sessions_and_finalizes_once(spark, tmp_path):
                  (92, m(300), 99, "view", 0.0, "{}")])
     third = run_once()
     assert [r for r in third if r.user_id == 1] == []
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path, events_batch):
+    """Stream-static enrichment: the dim broadcast-joins onto the live
+    stream without state/watermark, and the stream output equals the
+    batch join of the same builder."""
+    from meta_morph_etl_databricks_spark.streaming import enrich_stream
+
+    src = str(tmp_path / "src")
+    base = events_batch.limit(300).cache()
+    base.write.parquet(src)
+    dim = (
+        base.select("user_id").distinct().limit(50)
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "gold").otherwise("basic"))
+        .cache()
+    )
+    out = enrich_stream(read_events_stream(spark, src), dim, on="user_id", how="left")
+    _run_until_done(out.writeStream.outputMode("append"), "t_enrich")
+    got = spark.sql("SELECT event_id, user_id, tier FROM t_enrich")
+    want = enrich_stream(base, dim, on="user_id", how="left").select("event_id", "user_id", "tier")
+    key = lambda r: (r.event_id, r.user_id, r.tier)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    with pytest.raises(ValueError, match="inner/left"):
+        enrich_stream(base, dim, on="user_id", how="right")
+
+
+def test_stream_merge_upsert_converges(spark, tmp_path):
+    """The streaming MERGE: each micro-batch upserts into the parquet
+    target by key — updates win, inserts land, untouched keys survive,
+    and within-batch duplicate keys collapse to one row before merging."""
+    from meta_morph_etl_databricks_spark.streaming import stream_merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long"
+
+    def run(batch_name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / batch_name))
+        q = stream_merge_upsert(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            target, keys=["k"], checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run("b1", [(1, "a", 1), (2, "b", 1)])
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1)}
+
+    # update k=2 (two in-batch versions — the later struct wins), insert k=3
+    run("b2", [(2, "mid", 2), (2, "new", 3), (3, "c", 1)])
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("new", 3), 3: ("c", 1)}
