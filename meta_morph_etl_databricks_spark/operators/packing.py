@@ -48,7 +48,9 @@ def pack_sequences(
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     n_tok: Column = F.size(tokens(text_col))
-    shard = (F.col(id_col) / shard_span).cast("bigint")
+    # FLOOR division, not cast-truncation: negative ids must shard the
+    # same way as the oracle's `//` (floor) — trunc rounds toward zero
+    shard = F.floor(F.col(id_col) / shard_span).cast("bigint")
     sized = docs.select(
         F.col(id_col), n_tok.cast("bigint").alias("n_tokens"), shard.alias("shard")
     )

@@ -93,6 +93,26 @@ def test_jdbc_partitioned_scan(spark, derby_url):
     assert sorted(map(key, got.collect())) == sorted(map(key, single.collect()))
 
 
+def test_jdbc_tuning_options_forwarded(spark, derby_url):
+    """The reference's Postgres tuning options (fetchsize, isolation —
+    utils.py:197-205) ride through the properties dict to the JDBC
+    reader/writer; exercised with values Derby honors."""
+    write_jdbc(
+        _people(spark),
+        derby_url,
+        "people_opts",
+        mode="overwrite",
+        properties={**DRIVER, "createTableColumnTypes": "name VARCHAR(64)", "batchsize": "3"},
+    )
+    got = read_jdbc_table(
+        spark,
+        derby_url,
+        "people_opts",
+        properties={**DRIVER, "fetchsize": "2", "isolationLevel": "READ_COMMITTED"},
+    )
+    assert got.count() == 10
+
+
 def test_jdbc_pushdown_query(spark, derby_url):
     write_jdbc(
         _people(spark),

@@ -798,3 +798,15 @@ def test_quantized_corpus_flows_through_ivf(spark):
                                   exclude_self=True).collect()
     }
     assert len(got & want) / len(want) >= 0.9  # int8 rounding may flip distant ranks
+
+
+def test_pack_sequences_negative_ids_floor_shard(spark):
+    """Negative ids shard by FLOOR division (oracle `//` semantics), not
+    trunc-toward-zero: -1 belongs to shard -1, not shard 0."""
+    from meta_morph_etl_databricks_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(-1, "a b c"), (0, "d e f")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.shard for r in pack_sequences(docs, budget_tokens=10, shard_span=10).collect()}
+    assert got == {-1: -1, 0: 0}

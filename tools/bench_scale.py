@@ -52,6 +52,7 @@ ML_ONLY = {
 TPCH_HEAVY = {
     "q_supplier_performance",
     "q_customer_metrics",
+    "q_customer_sales_report",
 }
 
 
