@@ -36,9 +36,15 @@ def pack_sequences(
     ``budget_tokens`` whitespace tokens.
 
     Returns (id_col, n_tokens, shard, pack_in_shard, pack_id) with
-    ``pack_id`` globally unique and stable: shard * ceil(shard_span) +
-    pack index — reruns and different cluster sizes produce identical
-    assignments, which matters for resumable preprocessing jobs.
+    ``pack_id`` globally unique and stable: shard * 2^32 + pack index.
+    The pack INDEX within a shard is bounded by the shard's token mass
+    over the budget (NOT by shard_span — long documents mean far more
+    packs than documents), so the composite uses a fixed 2^32 stride: a
+    collision would need one shard to exceed 2^32 packs ≈ budget·2^32
+    tokens (8.8e12 at budget 2048), and the id stays in a signed long
+    for shards < 2^30.  Reruns and different cluster sizes produce
+    identical assignments, which matters for resumable preprocessing
+    jobs.
 
     Scale shape: ONE shuffle (hash on shard for the window sort); each
     shard's window is independent, so parallelism = number of live
@@ -62,9 +68,9 @@ def pack_sequences(
         "n_tokens",
         "shard",
         pack_in_shard.alias("pack_in_shard"),
-        # a shard of shard_span docs can have at most shard_span packs,
-        # so shard * shard_span + pack_in_shard never collides
-        (F.col("shard") * shard_span + pack_in_shard).alias("pack_id"),
+        # fixed 2^32 stride, NOT shard_span: pack count per shard is
+        # bounded by token mass / budget, which shard_span does not cap
+        (F.col("shard") * F.lit(1 << 32) + pack_in_shard).alias("pack_id"),
     )
 
 

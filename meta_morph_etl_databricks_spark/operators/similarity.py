@@ -362,11 +362,21 @@ def _assign_numpy(
     against the task-broadcast centroid matrix — O(n·nlist·dim) flops at
     BLAS speed, the kernel for wide codebooks (nlist ≈ √n at scale).
 
-    Matches :func:`_assign_scored`'s contract: cosine rounded to 6dp,
+    Matches :func:`_assign_scored`'s contract: cosine rounded to 6dp
+    with sign-aware HALF_UP (mirroring Spark's ``round``; plain
+    ``np.round`` is half-even and would flip exact .5 boundaries),
     argmax ties to the LARGER cid (centroids sorted ascending, last-max
     argmax), empty/NULL vectors get sim 0.0 everywhere → largest cid,
     ``_n`` 0.0.  mapInPandas (vectorized, Arrow batches), never
     row-at-a-time.
+
+    Parity caveat (why the declared query stays on the scored kernel):
+    agreement is floating-point-practical, not guaranteed bit-exact —
+    numpy's matmul/pairwise sums can differ from the JVM's sequential
+    fold in the last ulp, which can cross a 6dp rounding boundary for
+    adversarial values.  Assignments that flip on such a boundary were
+    near-ties between centroids to begin with; the parity test pins
+    agreement on real data.
     """
     import numpy as np
 
@@ -390,7 +400,9 @@ def _assign_numpy(
             denom = np.outer(vn, cn)  # (b, L)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom > 0, (M @ C.T) / denom, 0.0)
-            sims = np.round(sims, 6)
+            # sign-aware HALF_UP at 6dp (Spark round semantics); np.round
+            # is banker's rounding and diverges on exact .5 boundaries
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
             # last-max argmax: reverse columns, argmax picks FIRST max
             # of the reversed row = LAST max of the original = largest
             # cid among ties (cids ascend)

@@ -230,16 +230,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _documents(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
-    stage1 = cands.select(
+    # ONE pass: score every candidate pair (threshold=-1 keeps all),
+    # then per-row explode into its union arms — a plain unionByName of
+    # the two stages would evaluate the whole minhash/banding/jaccard
+    # subtree twice (verified: zero ReusedExchange in the executed plan)
+    scored = D.ngram_jaccard_pairs(docs, threshold=-1.0, candidates=cands)
+    cand_row = F.struct(
         F.lit("candidates").alias("variant"),
-        "id_a",
-        "id_b",
+        F.col("id_a"),
+        F.col("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    stage2 = D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands).select(
-        F.lit("verified").alias("variant"), "id_a", "id_b", "jaccard"
+    verified_row = F.struct(
+        F.lit("verified").alias("variant"), F.col("id_a"), F.col("id_b"), F.col("jaccard")
     )
-    return stage1.unionByName(stage2)
+    arms = F.when(F.col("jaccard") >= 0.2, F.array(cand_row, verified_row)).otherwise(
+        F.array(cand_row)
+    )
+    return scored.select(F.explode(arms).alias("r")).select("r.*")
 
 
 # 24-bit codes: hamming-2 banding splits into 3 bands of 8 bits, so the
@@ -770,7 +778,7 @@ _TRAIN_PREP_SQL = f"""
     LEFT JOIN hits ON d.doc_id = hits.doc_id
     UNION ALL
     SELECT 'pack' AS variant, doc_id, n_tokens AS metric,
-           CAST(shard * {_PACK_SPAN}
+           CAST(shard * {1 << 32}
                 + FLOOR(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS bucket
     FROM cum
 """

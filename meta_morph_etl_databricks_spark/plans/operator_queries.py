@@ -147,10 +147,13 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py) — at 100 TB the ingest-time bucketing pays the
     fact shuffle once instead of per-query.
 
-    The table name/path derive from sf_dir so concurrent sessions and
-    multi-sf test runs never share state; the write is mode=overwrite,
-    idempotent per run."""
+    The table name/path derive from (sf_dir, Spark applicationId) so
+    multi-sf runs within a session AND concurrent sessions on the same
+    host never share state (two sessions on one sf_dir would otherwise
+    race overwrite-vs-scan on a fixed temp path); the write is
+    mode=overwrite, idempotent per run."""
     import os
+    import re
     import tempfile
 
     from ..sources.sinks import read_bucketed_table, write_bucketed
@@ -158,7 +161,8 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_") + "_" + app
     table = f"t_self_join_orders_b_{tag}"
     path = os.path.join(tempfile.gettempdir(), "mmetl_bucketed", tag)
     write_bucketed(orders, table, ["o_custkey"], 8, path=path)

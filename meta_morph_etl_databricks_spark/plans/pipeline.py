@@ -128,4 +128,7 @@ def run_daily(
         keys=["customer_id"],
     )
     stats["current.customer_metrics"] = current.count()
+    # release the snapshot cache merge_upsert materialized under its
+    # lock — a daily driver loop must not pin one target copy per day
+    current.unpersist()
     return stats

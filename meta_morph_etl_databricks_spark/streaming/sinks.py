@@ -27,35 +27,50 @@ def stream_merge_upsert(
     target_path: str,
     keys: list[str],
     checkpoint: str,
-    dedup_batch: bool = True,
+    order_col: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Continuously upsert a stream into a parquet target: one
     :func:`~..sources.sinks.merge_upsert` per micro-batch, keyed on
     ``keys`` — the streaming form of the reference's daily MERGE.
 
-    ``dedup_batch`` keeps the LAST row per key within each micro-batch
-    before merging (a batch can carry several updates for one key;
-    MERGE semantics need one).  "Last" = max monotonically increasing
-    struct over the remaining columns — deterministic, no event-time
-    assumption; pass False to apply a caller-side policy instead.
+    A micro-batch can carry several updates for one key and MERGE
+    semantics need exactly one, so each batch collapses to one row per
+    key first.  ``order_col`` names the version column (sequence
+    number, update timestamp) — the row with the GREATEST value wins,
+    ties broken by the lexicographic max of the remaining columns.
+    Without ``order_col`` the policy is the deterministic lexicographic
+    max over non-key columns in schema order — NOT arrival order (Spark
+    aggregation has no row order); pass ``order_col`` whenever updates
+    are versioned.
 
     Returns the started StreamingQuery (caller awaits/stops).  Restart
     safety: replays of a committed batch re-merge the same rows — the
     merge is idempotent per (key, values), so the target converges.
+    The merged-snapshot handle merge_upsert materializes under its lock
+    is unpersisted immediately: a long-running stream must not pin one
+    full-target cache per micro-batch.
     """
+    if order_col is not None and order_col in keys:
+        raise ValueError(f"order_col {order_col!r} cannot be a merge key")
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        if dedup_batch:
-            others = [c for c in batch_df.columns if c not in keys]
+        others = [c for c in batch_df.columns if c not in keys]
+        if order_col is not None and order_col not in others:
+            raise ValueError(f"order_col {order_col!r} not in batch columns {batch_df.columns}")
+        if others:  # all-key schemas are already one row per key after distinct
+            lead = [order_col] if order_col else []
+            rest = [c for c in others if c not in lead]
             batch_df = (
                 batch_df.groupBy(*keys)
-                .agg(F.max(F.struct(*others)).alias("_row"))
+                .agg(F.max(F.struct(*lead, *rest)).alias("_row"))
                 .select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
             )
+        else:
+            batch_df = batch_df.distinct()
         if batch_df.isEmpty():
             return
-        merge_upsert(batch_df.sparkSession, target_path, batch_df, keys)
+        merge_upsert(batch_df.sparkSession, target_path, batch_df, keys).unpersist()
 
     writer = stream.writeStream.foreachBatch(upsert).option("checkpointLocation", checkpoint)
     if trigger_available_now:

@@ -732,12 +732,23 @@ def test_pack_sequences_start_fit_and_shards(spark):
     assert [got[i].pack_in_shard for i in (0, 1, 2, 3)] == [0, 0, 0, 1]
     # shard 1 restarts: before = 0, 9 → bins 0, 0
     assert got[10].shard == 1 and [got[i].pack_in_shard for i in (10, 11)] == [0, 0]
-    assert got[3].pack_id == 1 and got[10].pack_id == 10  # shard*span + bin
+    # pack_id stride is 2^32, NOT shard_span: pack count per shard is
+    # bounded by token mass / budget, which shard_span does not cap
+    assert got[3].pack_id == 1 and got[10].pack_id == (1 << 32)
     roll = {r.pack_id: r for r in pack_rollup(
         pack_sequences(docs, budget_tokens=10, shard_span=10)).collect()}
     assert roll[0].n_docs == 3 and roll[0].total_tokens == 12
     assert roll[1].n_docs == 1 and roll[1].total_tokens == 2
-    assert roll[10].n_docs == 2 and roll[10].total_tokens == 12
+    assert roll[1 << 32].n_docs == 2 and roll[1 << 32].total_tokens == 12
+    # cross-shard uniqueness even when packs-per-shard exceeds shard_span:
+    # 3 docs of 8 tokens at budget 2 in one span-2 shard -> pack indices
+    # 0,4,8 all > span; none may collide with shard 1's ids
+    many = spark.createDataFrame(
+        [(0, mk(8)), (1, mk(8)), (2, mk(8)), (3, mk(1))], "doc_id long, text string"
+    )
+    packed = pack_sequences(many, budget_tokens=2, shard_span=2).collect()
+    ids = [(r.shard, r.pack_in_shard, r.pack_id) for r in packed]
+    assert len({p for _, _, p in ids}) == len({(s, b) for s, b, _ in ids})
 
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, budget_tokens=0)

@@ -566,7 +566,7 @@ def test_stream_merge_upsert_converges(spark, tmp_path):
         spark.createDataFrame(rows, schema).write.parquet(str(src / batch_name))
         q = stream_merge_upsert(
             spark.readStream.schema(schema).parquet(str(src) + "/*"),
-            target, keys=["k"], checkpoint=ckpt,
+            target, keys=["k"], checkpoint=ckpt, order_col="seq",
         )
         q.awaitTermination(120)
         assert not q.isActive
@@ -575,7 +575,9 @@ def test_stream_merge_upsert_converges(spark, tmp_path):
     got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1), 2: ("b", 1)}
 
-    # update k=2 (two in-batch versions — the later struct wins), insert k=3
-    run("b2", [(2, "mid", 2), (2, "new", 3), (3, "c", 1)])
+    # update k=2 with two in-batch versions whose lexicographic order
+    # CONTRADICTS the sequence order ('aaa-new' < 'zzz-old'): order_col
+    # must pick seq=3, proving version order wins, not column order
+    run("b2", [(2, "zzz-old", 2), (2, "aaa-new", 3), (3, "c", 1)])
     got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
-    assert got == {1: ("a", 1), 2: ("new", 3), 3: ("c", 1)}
+    assert got == {1: ("a", 1), 2: ("aaa-new", 3), 3: ("c", 1)}
