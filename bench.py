@@ -53,6 +53,9 @@ _MERGED_BASELINES: dict[str, list] = {
     # r5: the LSH-candidates stage folded into the two-stage dedup query
     # (it already ran inside it as stage 1; the union adds its output).
     "q_dedup_ngram_jaccard": ["q_dedup_ngram_jaccard", "q_dedup_minhash_lsh"],
+    # r5: domain-mixing arm folded in — roughly one more pass over
+    # documents (weight ladder + hash draw + explode + rollup).
+    "q_corpus_split": ["q_corpus_split", ("q_corpus_split", 1.0)],
 }
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
@@ -69,6 +72,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_self_join_agg": ("variant", ["direct", "bucketed"]),
     "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified"]),
     "q_train_prep": ("variant", ["decontaminate", "pack"]),
+    "q_corpus_split": ("variant", ["split", "mix"]),
 }
 
 

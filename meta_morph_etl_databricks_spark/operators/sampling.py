@@ -53,3 +53,45 @@ def split_column(key: Column | str, test_fraction: float = 0.1, seed: int = 0) -
     for labelling in place instead of splitting into two frames."""
     cut = int(round(test_fraction * BUCKETS))
     return F.when(hash_bucket(key, seed) < cut, F.lit("test")).otherwise(F.lit("train"))
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-weighted corpus mixing — the sampling-proportions step of
+    pre-training data assembly (each source consumed at its own epoch
+    rate): a document from source s appears ``floor(w_s)`` times, plus
+    one more when its hash bucket falls under ``frac(w_s)`` — so w=2.5
+    means 2 guaranteed epochs + a stable 50% third, w=0.5 a 50%
+    downsample, w=0 drops the source.
+
+    Deterministic like everything in this module: the fractional draw is
+    :func:`hash_bucket` of (seed, id) — membership is a pure function of
+    the row, reproducible on any cluster/partitioning/engine.  Shape:
+    map-only (a when-ladder for the weight, one sequence-explode for the
+    copies); negative weights are rejected, rows with 0 copies are
+    filtered before the explode.
+
+    Returns the input rows replicated, plus ``copy_idx`` (1-based) to
+    disambiguate epochs downstream (e.g. for per-epoch shuffling salt).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        bad = {k: w for k, w in weights.items() if w < 0}
+        raise ValueError(f"negative mix weights: {bad or default_weight}")
+    w: Column = F.lit(float(default_weight))
+    for s, v in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(v))).otherwise(w)
+    whole = F.floor(w).cast("bigint")
+    frac_cut = ((w - F.floor(w)) * BUCKETS).cast("int")
+    copies = whole + F.when(hash_bucket(id_col, seed) < frac_cut, 1).otherwise(0)
+    return (
+        docs.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )

@@ -618,29 +618,78 @@ _SPLIT_MD5 = f"md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR))"
 _BUCKET_SQL = f"({_hex15_to_bigint(_SPLIT_MD5)} % 10000)"
 
 
+_MIX_SEED = 7
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}  # default 1.0
+_MIX_MD5 = f"md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR))"
+_MIX_BUCKET_SQL = f"({_hex15_to_bigint(_MIX_MD5)} % 10000)"
+_MIX_W_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    + " ELSE 1.0 END"
+)
+
+
 @register(
     "q_corpus_split",
     f"""
-    SELECT lang,
-           CASE WHEN {_BUCKET_SQL} < {_TEST_BP} THEN 'test' ELSE 'train' END AS split,
+    SELECT 'split' AS variant, lang AS grp,
+           CASE WHEN {_BUCKET_SQL} < {_TEST_BP} THEN 'test' ELSE 'train' END AS bucket,
            COUNT(*) AS n_docs
     FROM documents
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'mix' AS variant, source AS grp, 'mixed' AS bucket,
+           CAST(SUM(CAST(FLOOR(w) AS BIGINT)
+                    + CASE WHEN bh < CAST((w - FLOOR(w)) * 10000 AS INT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM (SELECT source, {_MIX_W_SQL} AS w, {_MIX_BUCKET_SQL} AS bh FROM documents)
+    GROUP BY 2
+    HAVING SUM(CAST(FLOOR(w) AS BIGINT)
+               + CASE WHEN bh < CAST((w - FLOOR(w)) * 10000 AS INT)
+                      THEN 1 ELSE 0 END) > 0
     """,
 )
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/test assignment: membership is a pure
-    function of (doc_id, seed) — identical on any cluster, any
-    partitioning, any engine (the reproducibility property df.sample()
-    lacks).  Rolled up per language for the oracle check."""
-    from ..operators.sampling import split_column
+    """Corpus assembly, tagged union (one registry slot):
+
+    - ``variant='split'`` — deterministic train/test assignment:
+      membership is a pure function of (doc_id, seed) — identical on
+      any cluster, any partitioning, any engine (the reproducibility
+      property df.sample() lacks).  Rolled up per language.
+    - ``variant='mix'`` — domain-weighted mixing
+      (operators/sampling.py mix_corpus): sources consumed at their own
+      epoch rates (src0 2.5 epochs, src1 halved, src2 dropped, rest
+      1.0), the fractional epoch a stable hash draw.  Rolled up per
+      source as the count of emitted copies; the rollup COUNTs the
+      actually-exploded rows, so the oracle checks the replication
+      itself, not just the arithmetic.
+    """
+    from ..operators.sampling import mix_corpus, split_column
 
     docs = _documents(spark, sf_dir)
-    return (
+    split = (
         docs.select("lang", split_column("doc_id", test_fraction=_TEST_BP / 10000, seed=_SPLIT_SEED).alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("split").alias("variant"),
+            F.col("lang").alias("grp"),
+            F.col("split").alias("bucket"),
+            "n_docs",
+        )
     )
+    mixed = (
+        mix_corpus(docs, _MIX_WEIGHTS, seed=_MIX_SEED)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("mix").alias("variant"),
+            F.col("source").alias("grp"),
+            F.lit("mixed").alias("bucket"),
+            "n_docs",
+        )
+    )
+    return split.unionByName(mixed)
 
 
 # ------------------------------------------------------------ as-of join

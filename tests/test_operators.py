@@ -821,3 +821,32 @@ def test_pack_sequences_negative_ids_floor_shard(spark):
     )
     got = {r.doc_id: r.shard for r in pack_sequences(docs, budget_tokens=10, shard_span=10).collect()}
     assert got == {-1: -1, 0: 0}
+
+
+def test_mix_corpus_epoch_weights(spark):
+    """Domain mixing: floor(w) guaranteed epochs + stable fractional
+    draw; w=0 drops the source; default weight 1.0; negatives rejected;
+    copy_idx enumerates epochs."""
+    from meta_morph_etl_databricks_spark.operators.sampling import BUCKETS, hash_bucket, mix_corpus
+
+    rows = [(i, f"src{i % 4}", "t") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_corpus(docs, {"src0": 3.0, "src1": 0.5, "src2": 0.0}, seed=7).cache()
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == 300  # 3 epochs exactly, no fractional draw
+    assert per.get("src2") is None  # dropped
+    assert per["src3"] == 100  # default weight 1.0
+    assert 20 <= per["src1"] <= 80  # ~50% of 100, deterministic given seed
+    # the fractional draw is exactly the hash-bucket rule, row by row
+    want = docs.filter(
+        (F.col("source") == "src1") & (hash_bucket("doc_id", 7) < BUCKETS // 2)
+    ).count()
+    assert per["src1"] == want
+    # copy_idx enumerates epochs 1..3 for src0
+    idx = sorted(
+        r.copy_idx for r in out.filter("source = 'src0' AND doc_id = 0").collect()
+    )
+    assert idx == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpus(docs, {"src0": -1.0})
