@@ -69,8 +69,25 @@ def pack_sequences(
         "shard",
         pack_in_shard.alias("pack_in_shard"),
         # fixed 2^32 stride, NOT shard_span: pack count per shard is
-        # bounded by token mass / budget, which shard_span does not cap
-        (F.col("shard") * F.lit(1 << 32) + pack_in_shard).alias("pack_id"),
+        # bounded by token mass / budget, which shard_span does not cap.
+        # Guarded: |shard| >= 2^31 would silently wrap the signed-long
+        # composite (e.g. 60-bit hash-family ids with a small span) —
+        # raise instead of corrupting ids; callers with such ids pick a
+        # larger shard_span.
+        F.when(
+            F.abs(F.col("shard")) < F.lit(1 << 31),
+            F.col("shard") * F.lit(1 << 32) + pack_in_shard,
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: shard "),
+                    F.col("shard").cast("string"),
+                    F.lit(f" out of the +/-2^31 id-composite range; raise shard_span (= {shard_span})"),
+                )
+            )
+        )
+        .alias("pack_id"),
     )
 
 

@@ -83,11 +83,24 @@ def mix_corpus(
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         bad = {k: w for k, w in weights.items() if w < 0}
         raise ValueError(f"negative mix weights: {bad or default_weight}")
-    w: Column = F.lit(float(default_weight))
+
+    # whole/fractional parts resolved in PYTHON, per source, and baked
+    # into the when-ladder as exact int literals — computing
+    # (w - floor(w)) * BUCKETS column-side on binary doubles truncates
+    # 0.3*10000 to 2999 under cast('int') (the module convention is
+    # int(round(...)), e.g. deterministic_sample)
+    import math
+
+    def parts(v: float) -> tuple[int, int]:
+        return math.floor(v), int(round((v - math.floor(v)) * BUCKETS))
+
+    d_whole, d_cut = parts(default_weight)
+    whole: Column = F.lit(d_whole).cast("bigint")
+    frac_cut: Column = F.lit(d_cut)
     for s, v in sorted(weights.items()):
-        w = F.when(F.col(source_col) == s, F.lit(float(v))).otherwise(w)
-    whole = F.floor(w).cast("bigint")
-    frac_cut = ((w - F.floor(w)) * BUCKETS).cast("int")
+        s_whole, s_cut = parts(v)
+        whole = F.when(F.col(source_col) == s, F.lit(s_whole).cast("bigint")).otherwise(whole)
+        frac_cut = F.when(F.col(source_col) == s, F.lit(s_cut)).otherwise(frac_cut)
     copies = whole + F.when(hash_bucket(id_col, seed) < frac_cut, 1).otherwise(0)
     return (
         docs.withColumn("_copies", copies)

@@ -400,8 +400,10 @@ def _assign_numpy(
             denom = np.outer(vn, cn)  # (b, L)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom > 0, (M @ C.T) / denom, 0.0)
-            # sign-aware HALF_UP at 6dp (Spark round semantics); np.round
-            # is banker's rounding and diverges on exact .5 boundaries
+            # sign-aware HALF_UP at 6dp — closer to Spark's round than
+            # np.round's half-even, but NOT exact parity: Spark rounds
+            # the shortest-decimal rendering (BigDecimal.valueOf) while
+            # this rounds the scaled binary double (see docstring caveat)
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
             # last-max argmax: reverse columns, argmax picks FIRST max
             # of the reversed row = LAST max of the original = largest

@@ -183,6 +183,7 @@ def repetition_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    dense: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition signals per document — the corpus-quality
     rules that catch boilerplate and spam which length/punct ratios
@@ -193,7 +194,10 @@ def repetition_profile(
     Distributed shape: explode n-grams → count per (doc, gram) → per-doc
     max/total/distinct — two hash aggregations with map-side combine,
     never a per-doc O(len²) HOF mode-scan.  Documents shorter than ``n``
-    tokens have no grams and report 0.0 fractions.
+    tokens have no grams and report 0.0 fractions (``dense=True``); with
+    ``dense=False`` they are simply absent — the cheaper form for
+    callers that already hold a full-coverage frame to left-join onto
+    (it skips one extra scan of ``docs`` and the coverage join).
     """
     grams = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_g"))
     per = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
@@ -203,17 +207,21 @@ def repetition_profile(
         F.count("*").alias("_distinct"),
     )
     total = F.col("n_grams").cast("double")
+    fracs = stats.select(
+        id_col,
+        "n_grams",
+        F.round(F.lit(1.0) - F.col("_distinct").cast("double") / total, 4).alias("dup_gram_frac"),
+        F.round(F.col("_top").cast("double") / total, 4).alias("top_gram_frac"),
+    )
+    if not dense:
+        return fracs
     return (
         docs.select(id_col)
-        .join(stats, id_col, "left")
+        .join(fracs, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
-            F.round(
-                F.coalesce(F.lit(1.0) - F.col("_distinct").cast("double") / total, F.lit(0.0)), 4
-            ).alias("dup_gram_frac"),
-            F.round(
-                F.coalesce(F.col("_top").cast("double") / total, F.lit(0.0)), 4
-            ).alias("top_gram_frac"),
+            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+            F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
         )
     )

@@ -11,6 +11,8 @@ operators/{text,dedup}.py and are exercised by tests instead.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,8 +101,21 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = T.profile_documents(docs).select(
         "doc_id", "lang", "n_tokens", "n_bpe_tokens", "detected_lang", "quality"
     )
-    rep = T.repetition_profile(docs).select("doc_id", "dup_gram_frac", "top_gram_frac")
-    return profile.join(rep, "doc_id")
+    # sparse stats + left join: profile already covers every doc_id, so
+    # the dense form's coverage join would re-scan documents a third time
+    rep = T.repetition_profile(docs, dense=False).select(
+        "doc_id", "dup_gram_frac", "top_gram_frac"
+    )
+    return profile.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_bpe_tokens",
+        "detected_lang",
+        "quality",
+        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+    )
 
 
 @register(
@@ -622,11 +637,20 @@ _MIX_SEED = 7
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}  # default 1.0
 _MIX_MD5 = f"md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR))"
 _MIX_BUCKET_SQL = f"({_hex15_to_bigint(_MIX_MD5)} % 10000)"
-_MIX_W_SQL = (
-    "CASE source "
-    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
-    + " ELSE 1.0 END"
-)
+
+
+def _mix_case(value_of) -> str:
+    """Whole-epochs / fractional-cut ladders with EXACT int literals
+    resolved in Python (mirroring mix_corpus) — FLOOR(w)/CAST((w -
+    FLOOR(w)) * 10000) on binary doubles truncates 0.3*10000 to 2999."""
+    arms = " ".join(
+        f"WHEN '{s}' THEN {value_of(w)}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE source {arms} ELSE {value_of(1.0)} END"
+
+
+_MIX_WHOLE_SQL = _mix_case(lambda w: math.floor(w))
+_MIX_CUT_SQL = _mix_case(lambda w: int(round((w - math.floor(w)) * 10000)))
 
 
 @register(
@@ -639,14 +663,12 @@ _MIX_W_SQL = (
     GROUP BY 2, 3
     UNION ALL
     SELECT 'mix' AS variant, source AS grp, 'mixed' AS bucket,
-           CAST(SUM(CAST(FLOOR(w) AS BIGINT)
-                    + CASE WHEN bh < CAST((w - FLOOR(w)) * 10000 AS INT)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
-    FROM (SELECT source, {_MIX_W_SQL} AS w, {_MIX_BUCKET_SQL} AS bh FROM documents)
+           CAST(SUM(whole + CASE WHEN bh < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM (SELECT source, {_MIX_WHOLE_SQL} AS whole, {_MIX_CUT_SQL} AS cut,
+                 {_MIX_BUCKET_SQL} AS bh
+          FROM documents)
     GROUP BY 2
-    HAVING SUM(CAST(FLOOR(w) AS BIGINT)
-               + CASE WHEN bh < CAST((w - FLOOR(w)) * 10000 AS INT)
-                      THEN 1 ELSE 0 END) > 0
+    HAVING SUM(whole + CASE WHEN bh < cut THEN 1 ELSE 0 END) > 0
     """,
 )
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -164,7 +164,21 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_") + "_" + app
     table = f"t_self_join_orders_b_{tag}"
-    path = os.path.join(tempfile.gettempdir(), "mmetl_bucketed", tag)
+    root = os.path.join(tempfile.gettempdir(), "mmetl_bucketed")
+    path = os.path.join(root, tag)
+    # per-application tags fix the concurrent overwrite-vs-scan race but
+    # would otherwise accumulate one orders copy per run; prune sibling
+    # tags untouched for a day (any live concurrent session is younger)
+    try:
+        import shutil
+        import time
+
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            full = os.path.join(root, d)
+            if d != tag and time.time() - os.path.getmtime(full) > 86400:
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
     write_bucketed(orders, table, ["o_custkey"], 8, path=path)
     return _above_cust_avg(read_bucketed_table(spark, table))
 

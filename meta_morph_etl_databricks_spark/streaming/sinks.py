@@ -53,11 +53,16 @@ def stream_merge_upsert(
     """
     if order_col is not None and order_col in keys:
         raise ValueError(f"order_col {order_col!r} cannot be a merge key")
+    if order_col is not None and order_col not in stream.columns:
+        # fail HERE, not wrapped in a StreamingQueryException after the
+        # checkpoint dir exists — the stream's schema is known now
+        raise ValueError(f"order_col {order_col!r} not in stream columns {stream.columns}")
+    missing = [k for k in keys if k not in stream.columns]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in stream columns {stream.columns}")
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         others = [c for c in batch_df.columns if c not in keys]
-        if order_col is not None and order_col not in others:
-            raise ValueError(f"order_col {order_col!r} not in batch columns {batch_df.columns}")
         if others:  # all-key schemas are already one row per key after distinct
             lead = [order_col] if order_col else []
             rest = [c for c in others if c not in lead]

@@ -848,5 +848,13 @@ def test_mix_corpus_epoch_weights(spark):
     )
     assert idx == [1, 2, 3]
 
+    # the 0.3 fractional cut resolves EXACTLY to bucket 3000 — the
+    # column-side (w - floor(w)) * 10000 double product truncates to 2999
+    frac = mix_corpus(docs, {"src0": 0.3}, seed=7).filter("source = 'src0'").count()
+    want_frac = docs.filter(
+        (F.col("source") == "src0") & (hash_bucket("doc_id", 7) < 3000)
+    ).count()
+    assert frac == want_frac
+
     with pytest.raises(ValueError, match="negative"):
         mix_corpus(docs, {"src0": -1.0})
