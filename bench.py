@@ -52,7 +52,14 @@ _MERGED_BASELINES: dict[str, list] = {
     "q_self_join_agg": ["q_self_join_agg", ("q_self_join_agg", 2.0)],
     # r5: the LSH-candidates stage folded into the two-stage dedup query
     # (it already ran inside it as stage 1; the union adds its output).
-    "q_dedup_ngram_jaccard": ["q_dedup_ngram_jaccard", "q_dedup_minhash_lsh"],
+    # The connected-components arm checkpoints the verified pairs up
+    # front — one extra evaluation of the scoring subtree (≈ the
+    # original query's own cost) plus a few tiny star rounds.
+    "q_dedup_ngram_jaccard": [
+        "q_dedup_ngram_jaccard",
+        "q_dedup_minhash_lsh",
+        ("q_dedup_ngram_jaccard", 1.0),
+    ],
     # r5: domain-mixing arm folded in — roughly one more pass over
     # documents (weight ladder + hash draw + explode + rollup).
     "q_corpus_split": ["q_corpus_split", ("q_corpus_split", 1.0)],
@@ -70,7 +77,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     # of the callable, so it is paid in BOTH arm timings — the 'direct'
     # sub-timing is (write + direct plan), not the direct plan alone.
     "q_self_join_agg": ("variant", ["direct", "bucketed"]),
-    "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified"]),
+    "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified", "components"]),
     "q_train_prep": ("variant", ["decontaminate", "pack"]),
     "q_corpus_split": ("variant", ["split", "mix"]),
 }

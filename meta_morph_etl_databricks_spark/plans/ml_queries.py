@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as T
+from ..operators.components import connected_components
 from ..operators.similarity import lsh_bucketed_pairs, random_hyperplanes
 from ..sources.scans import read_parquet_table
 from .registry import register
@@ -217,22 +218,36 @@ _MINHASH_PAIRS = f"""
 @register(
     "q_dedup_ngram_jaccard",
     f"""
-    WITH cand AS ({_MINHASH_PAIRS}),
-    sets AS (SELECT doc_id, list_distinct(s) AS sh FROM ({_SHINGLES}))
+    WITH RECURSIVE cand AS ({_MINHASH_PAIRS}),
+    sets AS (SELECT doc_id, list_distinct(s) AS sh FROM ({_SHINGLES})),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.2
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM ver
+            UNION SELECT id_b, id_a FROM ver),
+    walk(n, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, w.r FROM walk w JOIN sym s ON s.u = w.n
+    )
     SELECT 'candidates' AS variant, id_a, id_b, CAST(NULL AS DOUBLE) AS jaccard
     FROM cand
     UNION ALL
-    SELECT 'verified' AS variant, c.id_a, c.id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-    FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(a.sh || b.sh)) >= 0.2
+    SELECT 'verified' AS variant, id_a, id_b, jaccard FROM ver
+    UNION ALL
+    SELECT 'components' AS variant, n AS id_a, MIN(r) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM walk GROUP BY n
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-stage near-dup pipeline as a tagged union (one registry
-    slot — the driver checks only the first 50 queries; formerly also
+    """The full near-dup pipeline as a tagged union (one registry slot —
+    the driver checks only the first 50 queries; formerly also
     registered as q_dedup_minhash_lsh):
 
     - ``variant='candidates'`` — MinHash+LSH recall stage: shingle → 16
@@ -242,6 +257,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``variant='verified'`` — exact n-gram Jaccard precision stage over
       those candidates (threshold 0.2) — the cheap-recall /
       exact-precision shape every production dedup pipeline uses.
+    - ``variant='components'`` — pairs→groups: distributed connected
+      components (alternating large-star/small-star,
+      operators/components.py) over the verified pairs; id_a = member,
+      id_b = its component's min doc_id (the canonical representative).
+      The oracle recomputes it with a recursive min-label CTE — fine at
+      oracle scale, O(diameter · |component|²) at corpus scale, which
+      is exactly why the Spark side iterates stars instead.
     """
     docs = _documents(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
@@ -262,7 +284,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = F.when(F.col("jaccard") >= 0.2, F.array(cand_row, verified_row)).otherwise(
         F.array(cand_row)
     )
-    return scored.select(F.explode(arms).alias("r")).select("r.*")
+    pair_rows = scored.select(F.explode(arms).alias("r")).select("r.*")
+    # components arm: iterative — connected_components checkpoints the
+    # verified pairs up front (one extra evaluation of the scoring
+    # subtree) and each star round is actions over that materialized
+    # edge set, so the iteration never re-runs the minhash chain.
+    comp = connected_components(scored.where(F.col("jaccard") >= 0.2), id_a="id_a", id_b="id_b")
+    comp_rows = comp.select(
+        F.lit("components").alias("variant"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_rows.unionByName(comp_rows)
 
 
 # 24-bit codes: hamming-2 banding splits into 3 bands of 8 bits, so the

@@ -858,3 +858,69 @@ def test_mix_corpus_epoch_weights(spark):
 
     with pytest.raises(ValueError, match="negative"):
         mix_corpus(docs, {"src0": -1.0})
+
+
+def test_connected_components_path_graph(spark):
+    """A 64-node path is the worst case for label propagation
+    (diameter 63); alternating star must still collapse it to one
+    component labeled by the min id within max_rounds."""
+    from meta_morph_etl_databricks_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    out = connected_components(pairs).collect()
+    assert len(out) == 64
+    assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_multi_and_orientation(spark):
+    """Triangle given in mixed/reversed orientations with duplicate
+    edges, plus a second component — labels are per-component minima."""
+    from meta_morph_etl_databricks_spark.operators.components import connected_components
+
+    rows = [(5, 3), (3, 9), (9, 5), (9, 5), (20, 21), (21, 20), (22, 21), (7, 7)]
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(rows, "id_a long, id_b long")
+        ).collect()
+    }
+    # the (7,7) self-loop carries no connectivity and 7 is a singleton → absent
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_and_hub_determinism(spark):
+    """Empty input keeps the (node, component) schema; a 2000-edge hub
+    star (the skewed shape) resolves identically under different input
+    partitionings — the labels are data-derived, not partition-derived."""
+    from meta_morph_etl_databricks_spark.operators.components import connected_components
+
+    empty = connected_components(spark.createDataFrame([], "id_a long, id_b long"))
+    assert empty.columns == ["node", "component"]
+    assert empty.count() == 0
+
+    hub = spark.createDataFrame([(0, i) for i in range(1, 2000)], "id_a long, id_b long")
+    o1 = {(r.node, r.component) for r in connected_components(hub.repartition(16)).collect()}
+    o2 = {(r.node, r.component) for r in connected_components(hub.coalesce(1)).collect()}
+    assert o1 == o2
+    assert len(o1) == 2000 and all(c == 0 for _, c in o1)
+
+
+def test_connected_components_max_rounds_raises(spark):
+    """Non-convergence within the round budget is an error, never a
+    wrong answer."""
+    from meta_morph_etl_databricks_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, max_rounds=1)
+
+
+def test_dedup_by_components_keeps_canonical_and_singletons(spark):
+    """Component losers drop; min-id member and never-paired docs
+    survive untouched."""
+    from meta_morph_etl_databricks_spark.operators.components import dedup_by_components
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
