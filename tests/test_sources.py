@@ -385,3 +385,65 @@ def test_feedgen_daily_landing_roundtrip(spark, tmp_path):
         ["supplier_id", "supplier_name", "contact_details", "region"],
     )
     assert df.count() == 10 and df.columns[0] == "supplier_id"
+
+
+def test_zorder_key_interleaves_and_clamps(spark):
+    """Known-value Morton interleave (x bits at even positions, y at
+    odd), clamping for out-of-range/NULL, degenerate ranges, and the
+    62-bit budget guard."""
+    from meta_morph_etl_databricks_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(2.0, 1.0), (-5.0, 99.0), (None, 0.0)], "x double, y double"
+    )
+    # lo=0, hi=4 with bits=2 makes quantization the identity on 0..3
+    z = [
+        r.z
+        for r in df.select(
+            zorder_key([("x", 0.0, 4.0), ("y", 0.0, 4.0)], bits=2).alias("z")
+        ).collect()
+    ]
+    # x=2 (10b) at positions 0,2; y=1 (01b) at positions 1,3 → 0b0110
+    assert z[0] == 6
+    # x clamps to 0, y clamps to 3 (11b at odd positions → 0b1010)
+    assert z[1] == 10
+    # NULL x clamps to top code 3 (11b at even positions), y=0
+    assert z[2] == 5
+
+    # degenerate range contributes constant zero bits
+    zc = df.select(zorder_key([("x", 1.0, 1.0), ("y", 0.0, 4.0)], bits=2).alias("z"))
+    assert [r.z for r in zc.collect()][0] == 2  # y=1 alone at odd positions
+
+    with pytest.raises(ValueError, match="62-bit"):
+        zorder_key([("x", 0, 1), ("y", 0, 1), ("x", 0, 1)], bits=21)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([], bits=8)
+
+
+def test_zorder_layout_multi_column_file_skipping(spark, tmp_path):
+    """The layout claim itself, measured from per-file min/max (the
+    same stats a parquet reader prunes on): a linear sort on x cannot
+    skip files for a y-only slice; the Morton layout skips most files
+    for EITHER single-column slice and nearly all for the box."""
+    from meta_morph_etl_databricks_spark.sources.layout import (
+        file_pruning_fraction,
+        write_zordered,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 10_000).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("y"),
+    )
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zord")
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.parquet(linear)
+    write_zordered(df, zpath, ["x", "y"], bits=12, num_files=32)
+
+    assert spark.read.parquet(zpath).count() == n  # layout, not content
+
+    y_slice = {"y": (5_000.0, 5_099.0)}
+    assert file_pruning_fraction(spark, linear, y_slice) <= 0.1
+    assert file_pruning_fraction(spark, zpath, y_slice) >= 0.5
+    assert file_pruning_fraction(spark, zpath, {"x": (1_000.0, 1_099.0)}) >= 0.5
+    box = {"x": (1_000.0, 1_099.0), "y": (5_000.0, 5_099.0)}
+    assert file_pruning_fraction(spark, zpath, box) >= 0.8
