@@ -45,7 +45,15 @@ _MERGED_BASELINES: dict[str, list] = {
     # kernel had no declared-query baseline; its component is the float
     # baseline scaled by the MEASURED int8/float kernel ratio
     # (BENCH_QUANTIZE.json), not assumed parity.
-    "q_similarity_topk": ["q_similarity_topk", ("q_similarity_topk", _int8_over_float_ratio())],
+    # r5: PQ/ADC branch folded in — a third kernel branch over the same
+    # corpus scan + topk shape; each prior branch was ~half the 2-arm
+    # whole, so the addition is ~0.5x the previous whole (encode is a
+    # bounded 16-centroid integer argmin per row, LUT build is per-query).
+    "q_similarity_topk": [
+        "q_similarity_topk",
+        ("q_similarity_topk", _int8_over_float_ratio()),
+        ("q_similarity_topk", 0.5),
+    ],
     # r5: bucketed arm folded in.  The arm re-runs the same logical plan
     # over a bucketed round-trip, PLUS pays the bucketed write each run —
     # weight 2x the direct arm (write ≈ one extra pass over orders).
@@ -70,7 +78,7 @@ _MERGED_BASELINES: dict[str, list] = {
 # cross-round totals stay decomposable as unions grow; the gate itself
 # still runs on the whole-query time.
 _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
-    "q_similarity_topk": ("variant", ["float", "int8"]),
+    "q_similarity_topk": ("variant", ["float", "int8", "pq"]),
     "q_order_limit": ("fam", ["topk_price", "by_month_expr"]),
     "q_anti_joins": ("side", ["parts_unsold", "customers_no_orders"]),
     # NB: q_self_join_agg's bucketed-table WRITE is an eager side effect

@@ -153,3 +153,336 @@ def quantized_cosine_topk(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization: the compression tier BELOW int8.  int8 cuts a
+# 64-dim float64 vector 512→64 bytes; PQ cuts it to m CODES (m=8 →
+# 8 bytes, 64×) by splitting the vector into m subspaces and snapping
+# each subvector to its nearest entry in a tiny per-subspace codebook.
+# Scoring never reconstructs: ADC (asymmetric distance computation)
+# precomputes, per query, the dot of the query's subvector with every
+# codebook entry — a m×ksub lookup table — and a corpus vector's score
+# is m table lookups + adds.  At 100 TB this is what makes exhaustive
+# re-rank candidate generation affordable: the scan reads m bytes per
+# vector and the kernel does no multiplies at all.
+#
+# Everything here runs over int8 CODES (quantize_int8 output), so
+# distances, argmins, LUT entries, and approximate norms are exact
+# 64-bit integers — bit-for-bit reproducible in the DuckDB oracle,
+# same contract as the int8 kernel above.
+
+
+def pq_codebooks_from_codes(
+    codes: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    code_col: str = "q_vec",
+) -> list[list[list[int]]]:
+    """Per-subspace codebooks from the corpus's own int8 codes —
+    deterministic seed rule (the ksub lowest-id vectors, split into m
+    subvectors), mirroring ``similarity.ivf_centroids``: reproducible
+    and oracle-checkable; swap in :func:`pq_codebooks_kmeans` for the
+    learned variant and nothing downstream changes.
+
+    Returns ``cb[s][c]`` = centroid c of subspace s (ints).
+    """
+    rows = codes.select(id_col, code_col).orderBy(id_col).limit(ksub).collect()
+    if not rows:
+        raise ValueError("pq_codebooks_from_codes: empty corpus")
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [[int(v) for v in r[1][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_codebooks_kmeans(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> list[list[list[int]]]:
+    """Learned per-subspace codebooks: MLlib k-means|| on each
+    subvector slice of the int8-quantized corpus, centroids rounded
+    back to ints so the integer ADC kernel (and its oracle) apply
+    unchanged.  m small fits over projected slices — each fit scans
+    one narrow projection, no join."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover - mllib ships with pyspark
+        raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
+
+    q = quantize_int8(embeddings, vec_col)
+    first = q.select(F.size("q_vec").alias("n")).first()
+    if first is None:
+        raise ValueError("pq_codebooks_kmeans: empty corpus")
+    dim = first["n"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sub = q.select(
+            array_to_vector(
+                F.slice(F.transform("q_vec", lambda x: x.cast("double")), s * d + 1, d)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + s, maxIter=max_iter).fit(sub)
+        books.append([[int(round(float(v))) for v in c] for c in model.clusterCenters()])
+    return books
+
+
+def _lit_ints(vals: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)) for v in vals])
+
+
+# The m·ksub distance/dot kernels below are generated as ONE SQL string
+# per output column and handed to F.expr: building the same tree out of
+# nested Column operations costs thousands of py4j round-trips and
+# seconds of DRIVER time per query construction (measured 3.5 s for the
+# encode tree alone at m=4, ksub=16), where the parser takes the whole
+# string in a single call.  Execution is identical either way.
+
+
+def _bigint_slice_sql(col: str, start: int, d: int) -> str:
+    return f"slice(transform({col}, t -> cast(t AS bigint)), {start}, {d})"
+
+
+def _int_array_sql(vals: list[int]) -> str:
+    return "array(" + ", ".join(str(int(v)) for v in vals) + ")"
+
+
+def pq_encode(
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    code_col: str = "q_vec",
+) -> DataFrame:
+    """Encode int8 codes to PQ: ``pq_code[s] = argmin_c ||sub_s(v) −
+    cb[s][c]||²`` (exact integer distances, ties to the lower centroid
+    index) plus ``pq_norm_sq = Σ_s ||cb[s][pq_code[s]]||²`` — the
+    reconstruction's squared norm, carried so ADC cosine needs no
+    second pass.
+
+    Map-only (one projection per row, no shuffle); the m·ksub distance
+    aggregations are JVM-side integer HOFs.  NULL input vectors yield
+    NULL codes."""
+    m, ksub, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    norms_sq = [[sum(v * v for v in c) for c in book] for book in codebooks]
+
+    def argmin_sql(s: int) -> str:
+        structs = ", ".join(
+            "named_struct('d', aggregate(zip_with("
+            f"_sub{s}, {_int_array_sql(codebooks[s][c])}, "
+            "(x, y) -> (x - y) * (x - y)), cast(0 AS bigint), (a, v) -> a + v), "
+            f"'c', {c})"
+            for c in range(ksub)
+        )
+        return f"element_at(array_sort(array({structs})), 1).c"
+
+    with_subs = codes.select(
+        id_col,
+        code_col,
+        *[
+            F.expr(_bigint_slice_sql(code_col, s * d + 1, d)).alias(f"_sub{s}")
+            for s in range(m)
+        ],
+    )
+    encoded = with_subs.select(
+        id_col,
+        F.when(
+            F.col(code_col).isNotNull(),
+            F.array(*[F.expr(argmin_sql(s)).cast("tinyint") for s in range(m)]),
+        ).alias("pq_code"),
+    )
+    norm_tables = F.array(*[_lit_ints(norms_sq[s]) for s in range(m)])
+    return encoded.withColumn(
+        "pq_norm_sq",
+        F.when(
+            F.col("pq_code").isNotNull(),
+            F.aggregate(
+                F.zip_with(
+                    "pq_code",
+                    norm_tables,
+                    lambda c, tbl: F.element_at(tbl, c.cast("int") + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over a PQ-encoded corpus.
+
+    Per query (float in, int8-quantized on the fly): LUT[s][c] =
+    sub_s(q)·cb[s][c] — m·ksub integer dots computed ONCE per query,
+    broadcast.  Per corpus row: score = Σ_s LUT[s][pq_code[s]] — m
+    array lookups, zero multiplies; cosine divides by the exact
+    integer-derived norms (√pq_norm_sq · ‖q‖).  Same plan shape as
+    every top-k here: corpus scanned once, queries broadcast,
+    WindowGroupLimit partial top-k, ties to the lower vec_id.
+    """
+    from pyspark.sql import Window
+
+    m, ksub, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+
+    def lut_sql() -> str:
+        per_sub = []
+        for s in range(m):
+            dots = ", ".join(
+                f"aggregate(zip_with(_qsub{s}, {_int_array_sql(codebooks[s][c])}, "
+                "(x, y) -> x * y), cast(0 AS bigint), (a, v) -> a + v)"
+                for c in range(ksub)
+            )
+            per_sub.append(f"array({dots})")
+        return "array(" + ", ".join(per_sub) + ")"
+
+    q = (
+        quantize_int8(queries, vec_col)
+        .select(
+            query_id_col,
+            "q_vec",
+            *[
+                F.expr(_bigint_slice_sql("q_vec", s * d + 1, d)).alias(f"_qsub{s}")
+                for s in range(m)
+            ],
+        )
+        .select(
+            query_id_col,
+            qnorm("q_vec").alias("_qn"),
+            F.expr(lut_sql()).alias("_lut"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "pq_code", "_lut", lambda c, tbl: F.element_at(tbl, c.cast("int") + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("pq_norm_sq") > 0) & (F.col("_qn") > 0),
+        adc.cast("double") / (F.sqrt(F.col("pq_norm_sq").cast("double")) * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = encoded.join(F.broadcast(q)).select(
+        query_id_col, id_col, F.round(sim, 6).alias("cosine_sim")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def pq_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Quantize→train→encode→ADC convenience over float inputs.  For
+    repeated querying, persist ``pq_encode(quantize_int8(corpus))``
+    once and call :func:`pq_adc_topk` directly — encoding is the
+    expensive half and amortizes exactly like the IVF index build."""
+    codes = quantize_int8(embeddings, vec_col).select(id_col, "q_vec")
+    cb = codebooks if codebooks is not None else pq_codebooks_from_codes(
+        codes, m=m, ksub=ksub, id_col=id_col
+    )
+    encoded = pq_encode(codes, cb, id_col=id_col)
+    return pq_adc_topk(
+        encoded,
+        queries,
+        cb,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    encoded: DataFrame | None = None,
+    k: int = 10,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-stage retrieve→re-rank — how PQ is actually deployed: the
+    m-byte ADC scan nominates ``k·rerank_factor`` candidates per query
+    (reads pq_code only, never the vectors), then the exact float
+    kernel re-scores JUST those candidates and keeps k.  Recall lost to
+    code collisions comes back in the re-rank while the full-precision
+    column is read for ~k·factor rows per query instead of the corpus.
+
+    The candidate→vector join shuffles only the candidate ids (tiny);
+    at 100 TB the float fetch is the point — PQ turns "scan 512 bytes ×
+    N" into "scan m bytes × N + fetch 512 bytes × k·factor".
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_with_norms, norm
+
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(
+            quantize_int8(embeddings, vec_col).select(id_col, "q_vec"), codebooks, id_col=id_col
+        )
+    )
+    cands = pq_adc_topk(
+        enc,
+        queries,
+        codebooks,
+        k=k * rerank_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    ).select(query_id_col, id_col)
+    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+    )
+    rescored = (
+        cands.join(corpus, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

@@ -416,8 +416,66 @@ i8 AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
         FROM scored8
     ) WHERE rnk <= 10
+),
+-- PQ arm: m=4 subspaces × 16-dim slices, ksub=16 centroids (the int8
+-- codes of the 16 lowest vec_ids — operators/quantize.py seed rule).
+-- All distances/LUT entries are exact integers (dot values ≤ 16·127²
+-- are exactly representable even through DOUBLE intermediates), so
+-- argmin, ADC, and the final rounded cosine are bit-identical to the
+-- Spark integer kernel.
+cbs AS (
+    SELECT c, s,
+           list_slice(qc, s*16 + 1, (s+1)*16) AS cv,
+           list_dot_product(list_slice(qc, s*16 + 1, (s+1)*16),
+                            list_slice(qc, s*16 + 1, (s+1)*16)) AS cn
+    FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qc
+          FROM codes ORDER BY vec_id LIMIT 16),
+         (SELECT unnest(range(4)) AS s)
+),
+assign AS (
+    SELECT vec_id, s, c, cn FROM (
+        SELECT a.vec_id, b.s, b.c, b.cn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id, b.s
+                   ORDER BY b.cn - 2*list_dot_product(
+                       list_slice(a.qc, b.s*16 + 1, (b.s+1)*16), b.cv), b.c
+               ) AS rk
+        FROM codes a, cbs b
+    ) WHERE rk = 1
+),
+pqenc AS (
+    SELECT vec_id, list(c ORDER BY s) AS pq_code,
+           CAST(SUM(cn) AS BIGINT) AS pn
+    FROM assign GROUP BY vec_id
+),
+qlut AS (
+    SELECT q.vec_id AS query_id, b.s, b.c,
+           list_dot_product(list_slice(q.qc, b.s*16 + 1, (b.s+1)*16), b.cv) AS dotv
+    FROM codes q, cbs b WHERE q.vec_id < 5
+),
+adc AS (
+    SELECT l.query_id, e.vec_id,
+           CAST(SUM(l.dotv) AS BIGINT) AS dot, ANY_VALUE(e.pn) AS pn
+    FROM pqenc e, qlut l
+    WHERE l.c = e.pq_code[l.s + 1]
+    GROUP BY l.query_id, e.vec_id
+),
+pq AS (
+    SELECT 'pq' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM (
+            SELECT a.query_id, a.vec_id,
+                   ROUND(CASE WHEN a.pn > 0 AND n.n > 0
+                              THEN CAST(a.dot AS DOUBLE) / (sqrt(CAST(a.pn AS DOUBLE)) * n.n)
+                              ELSE 0.0 END, 6) AS cosine_sim
+            FROM adc a JOIN norms n ON n.vec_id = a.query_id
+            WHERE a.vec_id <> a.query_id
+        )
+    ) WHERE rnk <= 10
 )
-SELECT * FROM flt UNION ALL SELECT * FROM i8
+SELECT * FROM flt UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
 """
 
 
@@ -434,8 +492,22 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-vector scales cancel in cosine so it never dequantizes.  The
       oracle reproduces the integer kernel exactly, so this is a
       bit-exact check of the quantized scorer, not a tolerance check.
+    - ``variant='pq'``: product quantization (m=4 subspaces, ksub=16,
+      seed-rule codebooks over the int8 codes) scored by ADC — m table
+      lookups per corpus row, zero multiplies, m bytes per vector on
+      disk.  Integer distances/LUTs end-to-end, so this arm too is
+      bit-exact against the oracle.  The deployment form adds the
+      retrieve→re-rank stage (operators/quantize.py pq_topk_rerank,
+      recall-tested in pytest); the declared query pins the raw ADC
+      ranking, which is the part with exactness to check.
     """
-    from ..operators.quantize import quantized_cosine_topk
+    from ..operators.quantize import (
+        pq_adc_topk,
+        pq_codebooks_from_codes,
+        pq_encode,
+        quantize_int8,
+        quantized_cosine_topk,
+    )
     from ..operators.similarity import cosine_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -446,7 +518,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q8 = quantized_cosine_topk(emb, queries, k=10, exclude_self=True).select(
         F.lit("int8").alias("variant"), "query_id", "vec_id", "cosine_sim"
     )
-    return flt.unionByName(q8)
+    codes = quantize_int8(emb).select("vec_id", "q_vec")
+    cb = pq_codebooks_from_codes(codes, m=4, ksub=16)
+    pq = pq_adc_topk(pq_encode(codes, cb), queries, cb, k=10, exclude_self=True).select(
+        F.lit("pq").alias("variant"), "query_id", "vec_id", "cosine_sim"
+    )
+    return flt.unionByName(q8).unionByName(pq)
 
 
 # ANN scale path: sign-random-projection buckets.  The SAME plane
