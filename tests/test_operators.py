@@ -1030,3 +1030,60 @@ def test_pq_kmeans_codebooks_beat_or_match_seed_rule(spark):
     seed = recall(pq_codebooks_from_codes(codes, m=4, ksub=16))
     learned = recall(pq_codebooks_kmeans(emb, m=4, ksub=16))
     assert learned >= seed - 0.05  # parity floor; typically strictly better
+
+
+def test_sketch_distinct_merge_equals_whole(spark):
+    """HLL mergeability — the property the incremental-stats pattern
+    rests on: per-slice sketches unioned give (a) the same estimate as
+    sketching the whole, and (b) an estimate within ~2% of the exact
+    distinct at lgk=12.  Overlapping slices must NOT double-count."""
+    from meta_morph_etl_databricks_spark.operators.sketches import (
+        merged_distinct,
+        sketch_distinct,
+    )
+
+    # 3 "days", overlapping user populations: day d holds users
+    # [500*d, 500*d + 2000) → union = [0, 3000), 3000 distinct
+    df = (
+        spark.range(3 * 2000)
+        .select(
+            (F.col("id") / 2000).cast("int").alias("day"),
+            (F.pmod(F.col("id"), 2000) + (F.col("id") / 2000).cast("int") * 500).alias("user_id"),
+        )
+    )
+    per_day = sketch_distinct(df, "user_id", by=["day"])
+    assert per_day.count() == 3
+    merged = merged_distinct(per_day).first()
+    exact = df.select("user_id").distinct().count()
+    assert exact == 3000
+    assert abs(merged.approx_distinct - exact) / exact < 0.02
+
+    # union-of-parts is not bit-identical to sketch-of-whole (the union
+    # operator may carry its own internal mode) but both sit inside the
+    # same error envelope
+    whole = merged_distinct(sketch_distinct(df, "user_id")).first()
+    assert abs(whole.approx_distinct - merged.approx_distinct) / exact < 0.01
+
+    # windowed merge: days {0,1} only → union [0, 2500)
+    window = merged_distinct(per_day.filter("day < 2")).first()
+    assert abs(window.approx_distinct - 2500) / 2500 < 0.02
+
+
+def test_heavy_hitters_exact_membership_and_counts(spark):
+    """Two-pass frequent items: membership and counts are EXACT despite
+    the approximate first pass — heavy keys found, tail excluded,
+    counts equal groupBy truth."""
+    from meta_morph_etl_databricks_spark.operators.sketches import heavy_hitters
+
+    # 10k rows: 'a' 30%, 'b' 15%, 400 distinct tail items sharing 55%
+    rows = (
+        [("a",)] * 3000
+        + [("b",)] * 1500
+        + [(f"t{i % 400}",) for i in range(5500)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r.item: (r.n_rows, round(r.frequency, 4)) for r in heavy_hitters(df, "k", support=0.1).collect()}
+    assert got == {"a": (3000, 0.3), "b": (1500, 0.15)}
+
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, "k", support=0.0)

@@ -104,3 +104,44 @@ def test_reconcile_separator_injection_safe(spark):
     tgt = spark.createDataFrame([(1, "a", "bc")], "pk int, a string, b string")
     r = reconcile(src, tgt, keys=["pk"])
     assert r.cells.count() == 2  # both columns differ
+
+
+@_slow
+@given(edges=st.lists(st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=30))
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed alternating-star result equals a sequential
+    union-find ground truth for ANY small graph — including self-loops
+    (no connectivity), duplicate and reversed edges, and multiple
+    components."""
+    from meta_morph_etl_databricks_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                nodes.add(n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in nodes}
+    assert got == want
