@@ -270,8 +270,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass: score every candidate pair (threshold=-1 keeps all),
     # then per-row explode into its union arms — a plain unionByName of
     # the two stages would evaluate the whole minhash/banding/jaccard
-    # subtree twice (verified: zero ReusedExchange in the executed plan)
-    scored = D.ngram_jaccard_pairs(docs, threshold=-1.0, candidates=cands)
+    # subtree twice (verified: zero ReusedExchange in the executed plan).
+    # The scored pairs are checkpointed ONCE here: the components arm is
+    # iterative (its rounds are actions), so without this the minhash/
+    # jaccard chain would run once to seed the edge set and AGAIN when
+    # the returned union is collected.  Pair sets are tiny relative to
+    # the corpus (the whole point of LSH), so the materialization is
+    # cheap; blocks are freed by the ContextCleaner when the plan is
+    # garbage-collected.
+    scored = D.ngram_jaccard_pairs(docs, threshold=-1.0, candidates=cands).localCheckpoint(
+        eager=True
+    )
     cand_row = F.struct(
         F.lit("candidates").alias("variant"),
         F.col("id_a"),

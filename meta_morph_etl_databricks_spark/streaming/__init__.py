@@ -25,4 +25,9 @@ from .sources import events_schema, read_events_stream  # noqa: F401
 from .stateful import expiring_user_totals, running_user_totals  # noqa: F401
 from .dedup import dedup_stream, dedup_stream_exact  # noqa: F401
 from .joins import clicks_to_purchases_stream, enrich_stream, interval_join_streams  # noqa: F401
-from .sinks import stream_foreach_batch_sink, stream_merge_upsert  # noqa: F401
+from .sinks import (  # noqa: F401
+    stream_foreach_batch_sink,
+    stream_merge_upsert,
+    stream_sketch_distinct,
+    update_sketch_table,
+)

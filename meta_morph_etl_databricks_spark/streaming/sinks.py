@@ -96,3 +96,87 @@ def stream_foreach_batch_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def update_sketch_table(
+    batch_df: DataFrame,
+    sketch_path: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    lgk: int = 12,
+) -> None:
+    """Fold one batch of events into a per-day HLL sketch table at
+    ``sketch_path`` (parquet partitioned by ``day``: day date,
+    hll_sketch binary, n_rows long).
+
+    Only the batch's days are touched (dynamic partition overwrite);
+    existing days merge via ``hll_union``.  The merged slice is
+    materialized (localCheckpoint) before the write — overwriting a
+    path that the same plan reads is otherwise rejected/unsafe.
+
+    Idempotence: HLL register merge is a MAX — re-folding the same
+    events leaves every distinct estimate unchanged, so batch replays
+    are exactly-once for the sketch itself; ``n_rows`` is a plain sum
+    and is at-least-once under replay (treat it as diagnostic).
+    """
+    daily = batch_df.groupBy(F.to_date(time_col).alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lgk)).alias("hll_sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    spark = batch_df.sparkSession
+    try:
+        existing = spark.read.parquet(sketch_path).select(
+            "day",
+            F.col("hll_sketch").alias("_old_sketch"),
+            F.col("n_rows").alias("_old_n"),
+        )
+        merged = daily.join(existing, "day", "left").select(
+            "day",
+            F.when(
+                F.col("_old_sketch").isNull(), F.col("hll_sketch")
+            ).otherwise(F.hll_union("_old_sketch", "hll_sketch")).alias("hll_sketch"),
+            (F.coalesce("_old_n", F.lit(0)) + F.col("n_rows")).alias("n_rows"),
+        )
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        merged = daily
+    merged = merged.localCheckpoint(eager=True)
+    if not merged.take(1):
+        return
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(sketch_path)
+    )
+
+
+def stream_sketch_distinct(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    lgk: int = 12,
+    trigger_available_now: bool = True,
+):
+    """Continuously maintain the per-day distinct-key sketch table from
+    an event stream: :func:`update_sketch_table` per micro-batch.
+    Downstream, ``operators.sketches.merged_distinct`` answers
+    distinct-over-any-window from the kilobyte sketch blobs without
+    rescanning history — the incremental-statistics pattern (daily
+    uniques, rolling 30-day uniques) at 100 TB event volume.
+    Exactly-once for the estimates comes free from HLL merge
+    idempotence (see update_sketch_table), independent of the
+    checkpoint's replay semantics."""
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        update_sketch_table(
+            batch_df, sketch_path, key_col=key_col, time_col=time_col, lgk=lgk
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -581,3 +581,65 @@ def test_stream_merge_upsert_converges(spark, tmp_path):
     run("b2", [(2, "zzz-old", 2), (2, "aaa-new", 3), (3, "c", 1)])
     got = {r.k: (r.v, r.seq) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1), 2: ("aaa-new", 3), 3: ("c", 1)}
+
+
+def test_stream_sketch_distinct_incremental_and_idempotent(spark, tmp_path):
+    """The incremental-statistics pipeline: per-day HLL sketches folded
+    micro-batch by micro-batch; any window answers from the sketch
+    table within the error envelope; re-folding the same events leaves
+    estimates unchanged (HLL merge is a register max — replay-safe)."""
+    import datetime
+
+    from meta_morph_etl_databricks_spark.operators.sketches import merged_distinct
+    from meta_morph_etl_databricks_spark.streaming import (
+        stream_sketch_distinct,
+        update_sketch_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def rows(day, users):
+        return [(u, datetime.datetime(2026, 8, day, 12, 0, 0)) for u in users]
+
+    def run(batch_name, data):
+        spark.createDataFrame(data, schema).write.parquet(str(src / batch_name))
+        q = stream_sketch_distinct(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            table, checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # batch 1: day 1 users 0..999, day 2 users 500..1499
+    run("b1", rows(1, range(1000)) + rows(2, range(500, 1500)))
+    per_day = {
+        r.day.day: r.approx_distinct
+        for r in merged_distinct(spark.read.parquet(table), by=["day"]).collect()
+    }
+    assert abs(per_day[1] - 1000) / 1000 < 0.03
+    assert abs(per_day[2] - 1000) / 1000 < 0.03
+
+    # batch 2 extends day 2 (overlap 1000..1499 must not double-count)
+    run("b2", rows(2, range(1000, 2000)))
+    day2 = merged_distinct(
+        spark.read.parquet(table).filter("day = date'2026-08-02'")
+    ).first().approx_distinct
+    assert abs(day2 - 1500) / 1500 < 0.03
+
+    # the whole-history window: union of days ≈ distinct(0..1999) = 2000
+    overall = merged_distinct(spark.read.parquet(table)).first().approx_distinct
+    assert abs(overall - 2000) / 2000 < 0.03
+
+    # replay idempotence: fold the SAME batch again directly
+    before = merged_distinct(spark.read.parquet(table), by=["day"]).collect()
+    update_sketch_table(
+        spark.createDataFrame(rows(2, range(1000, 2000)), schema), table
+    )
+    after = merged_distinct(spark.read.parquet(table), by=["day"]).collect()
+    assert {(r.day, r.approx_distinct) for r in before} == {
+        (r.day, r.approx_distinct) for r in after
+    }
