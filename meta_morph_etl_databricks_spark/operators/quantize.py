@@ -156,7 +156,9 @@ def quantized_cosine_topk(
 
 
 # ------------------------------------------------------------------ PQ
-# Product quantization: the compression tier BELOW int8.  int8 cuts a
+# Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011 — public paper): the
+# compression tier BELOW int8.  int8 cuts a
 # 64-dim float64 vector 512→64 bytes; PQ cuts it to m CODES (m=8 →
 # 8 bytes, 64×) by splitting the vector into m subspaces and snapping
 # each subvector to its nearest entry in a tiny per-subspace codebook.

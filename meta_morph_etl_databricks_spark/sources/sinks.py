@@ -333,6 +333,9 @@ def publish_partition(
     reporting_path: str,
     day_dt: str,
     repartition: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 12,
+    zorder_files: int = 32,
 ) -> int:
     """C7: partition hand-off — push ONE day's slice of a mart to the
     reporting store (reference filters ``DAY_DT == current_date()`` then
@@ -344,7 +347,16 @@ def publish_partition(
     overwrite of that day (not an append), so re-publishing a day —
     retries, backfills — replaces its slice instead of duplicating it.
     Returns rows published.
+
+    ``zorder_by`` additionally clusters the day's files along the
+    Morton curve of those columns (sources/layout.py) so the
+    reporting store's selective dashboard predicates — which hit
+    arbitrary dimensions, not the partition key — skip most files from
+    footer stats.  Mutually exclusive with ``repartition`` (z-order
+    fixes its own file count).
     """
+    if zorder_by and repartition:
+        raise ValueError("pass either repartition or zorder_by, not both")
     day = F.to_date(F.lit(day_dt))
     slice_df = spark.read.parquet(mart_path).filter(F.col("day_dt") == day)
     if repartition:
@@ -353,8 +365,26 @@ def publish_partition(
     try:
         n = slice_df.count()
         if n:
+            out = slice_df
+            if zorder_by:
+                from .layout import zorder_key
+
+                stats = slice_df.agg(
+                    *[F.min(c).cast("double").alias(f"_lo_{c}") for c in zorder_by],
+                    *[F.max(c).cast("double").alias(f"_hi_{c}") for c in zorder_by],
+                ).first()
+                ranges = [
+                    (c, stats[f"_lo_{c}"] or 0.0, stats[f"_hi_{c}"] or 0.0)
+                    for c in zorder_by
+                ]
+                out = (
+                    slice_df.withColumn("_z", zorder_key(ranges, bits=zorder_bits))
+                    .repartitionByRange(zorder_files, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
             (
-                slice_df.write.mode("overwrite")
+                out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("day_dt")
                 .parquet(reporting_path)

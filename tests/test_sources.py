@@ -447,3 +447,41 @@ def test_zorder_layout_multi_column_file_skipping(spark, tmp_path):
     assert file_pruning_fraction(spark, zpath, {"x": (1_000.0, 1_099.0)}) >= 0.5
     box = {"x": (1_000.0, 1_099.0), "y": (5_000.0, 5_099.0)}
     assert file_pruning_fraction(spark, zpath, box) >= 0.8
+
+
+def test_publish_partition_zordered(spark, tmp_path):
+    """Publishing with zorder_by clusters the day's files so a
+    selective predicate on EITHER dimension skips most files — and the
+    published rows are identical to a plain publish."""
+    from meta_morph_etl_databricks_spark.sources.layout import file_pruning_fraction
+    from meta_morph_etl_databricks_spark.sources.sinks import publish_partition, write_parquet
+
+    mart_path = str(tmp_path / "mart")
+    rep_plain = str(tmp_path / "rep_plain")
+    rep_z = str(tmp_path / "rep_z")
+    df = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("cust"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("prod"),
+        F.to_date(F.lit("2024-01-01")).alias("day_dt"),
+    )
+    write_parquet(df, mart_path, partition_by=["day_dt"])
+
+    assert publish_partition(spark, mart_path, rep_plain, "2024-01-01") == 100_000
+    assert publish_partition(
+        spark, mart_path, rep_z, "2024-01-01", zorder_by=["cust", "prod"], zorder_files=16
+    ) == 100_000
+
+    plain = {(r.cust, r.prod) for r in spark.read.parquet(rep_plain).collect()}
+    z = {(r.cust, r.prod) for r in spark.read.parquet(rep_z).collect()}
+    assert plain == z
+
+    day_dir_z = rep_z + "/day_dt=2024-01-01"
+    day_dir_p = rep_plain + "/day_dt=2024-01-01"
+    for col in ("cust", "prod"):
+        frac = file_pruning_fraction(spark, day_dir_z, {col: (100.0, 109.0)})
+        assert frac >= 0.5, (col, frac)
+    # the plain publish can't skip on prod (hash-scattered)
+    assert file_pruning_fraction(spark, day_dir_p, {"prod": (100.0, 109.0)}) <= 0.2
+
+    with pytest.raises(ValueError, match="not both"):
+        publish_partition(spark, mart_path, rep_z, "2024-01-01", repartition=4, zorder_by=["cust"])
