@@ -145,3 +145,72 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {(n, comp_min[find(n)]) for n in nodes}
     assert got == want
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 12)), max_size=20, unique_by=lambda t: t[0]
+    ),
+    budget=st.integers(1, 30),
+    span=st.sampled_from([3, 7, 100]),
+)
+def test_pack_sequences_matches_sequential_packer(spark, docs, budget, span):
+    """The sharded window packer equals a sequential start-fit packer
+    run per shard: same shard assignment (floor division, negatives
+    included), same pack index from the running token count."""
+    from meta_morph_etl_databricks_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        r.doc_id: (r.shard, r.pack_in_shard, r.pack_id)
+        for r in pack_sequences(df, budget_tokens=budget, shard_span=span).collect()
+    }
+
+    want = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, n in docs:
+        by_shard.setdefault(i // span, []).append((i, n))
+    for shard, members in by_shard.items():
+        tokens_before = 0
+        for i, n in sorted(members):
+            pack = tokens_before // budget
+            want[i] = (shard, pack, shard * (1 << 32) + pack)
+            tokens_before += n
+    assert got == want
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=16
+    ),
+    bits=st.sampled_from([4, 8]),
+)
+def test_zorder_key_matches_python_morton(spark, vals, bits):
+    """The codegen'd Morton key equals a pure-Python bit interleave for
+    any 2-column input when quantization is the identity (range [0,
+    2^bits) with in-range values clamped only by construction)."""
+    from meta_morph_etl_databricks_spark.sources.layout import zorder_key
+
+    top = (1 << bits) - 1
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key([("x", 0.0, float(1 << bits)), ("y", 0.0, float(1 << bits))], bits=bits).alias("z")
+        ).collect()
+    ]
+
+    def morton(x: int, y: int) -> int:
+        x, y = min(x, top), min(y, top)
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == [morton(x, y) for x, y in vals]
