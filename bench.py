@@ -86,7 +86,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     # sub-timing is (write + direct plan), not the direct plan alone.
     "q_self_join_agg": ("variant", ["direct", "bucketed"]),
     "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified", "components"]),
-    "q_train_prep": ("variant", ["decontaminate", "pack"]),
+    "q_train_prep": ("variant", ["decontaminate", "pack", "chunk"]),
     "q_corpus_split": ("variant", ["split", "mix"]),
 }
 

@@ -99,3 +99,49 @@ def pack_rollup(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the
+    complement of :func:`pack_sequences` (packing assembles SHORT docs
+    up to the budget; chunking cuts LONG docs down to it).
+
+    Window starts step by ``stride = chunk_tokens − overlap``: chunk i
+    covers tokens [i·stride, i·stride + chunk_tokens).  Every start
+    < n_tokens emits (the tail window is partial; with overlap > 0 a
+    tail shorter than ``overlap`` repeats only already-seen tokens —
+    the standard sliding-window contract, kept for determinism).
+    Zero-token documents emit nothing.
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_text).  Map-only: one
+    tokenize per document, starts from ``sequence``, windows from
+    ``slice`` — no shuffle, no UDF; parallelism is the scan's.
+    """
+    from .text import tokens
+
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    toked = docs.select(id_col, tokens(text_col).alias("_t")).where(F.size("_t") > 0)
+    exploded = toked.select(
+        id_col,
+        "_t",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    window = F.slice("_t", F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(window).alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -939,6 +939,8 @@ _DECON_EVAL = "doc_id % 97 = 0"  # deterministic stand-in eval set
 
 
 _PACK_BUDGET, _PACK_SPAN = 256, 200
+_CHUNK_TOK, _CHUNK_OVL = 32, 8  # testdata docs are 10-100 tokens → 1-4 windows
+_CHUNK_STRIDE = _CHUNK_TOK - _CHUNK_OVL
 
 # the two training-batch-preparation steps share one registry slot (the
 # driver checks only the first 50 queries — plans/__init__.py) as a
@@ -972,6 +974,15 @@ _TRAIN_PREP_SQL = f"""
            CAST(shard * {1 << 32}
                 + FLOOR(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS bucket
     FROM cum
+    UNION ALL
+    SELECT 'chunk' AS variant, doc_id,
+           CAST(least({_CHUNK_TOK}, len(t) - s) AS BIGINT) AS metric,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS bucket
+    FROM (
+        SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        WHERE len(t) > 0
+    )
 """
 
 
@@ -993,8 +1004,13 @@ def q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle, window arithmetic only, output invariant to cluster
       parallelism (operators/packing.py).  metric = n_tokens,
       bucket = pack_id.
+    - ``variant='chunk'`` — the packing complement: long documents cut
+      into overlapping token windows (32 tokens, overlap 8 — sized to
+      the testdata's 10-100-token docs; map-only posexplode of window
+      starts, operators/packing.py chunk_documents).  metric = the
+      window's token count, bucket = chunk_idx.
     """
-    from ..operators.packing import pack_sequences
+    from ..operators.packing import chunk_documents, pack_sequences
 
     docs = _documents(spark, sf_dir)
     eval_docs = docs.filter(F.expr(_DECON_EVAL))
@@ -1011,4 +1027,10 @@ def q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("metric"),
         F.col("pack_id").alias("bucket"),
     )
-    return decon.unionByName(packed)
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK_TOK, overlap=_CHUNK_OVL).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("metric"),
+        F.col("chunk_idx").cast("bigint").alias("bucket"),
+    )
+    return decon.unionByName(packed).unionByName(chunks)

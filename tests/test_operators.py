@@ -1087,3 +1087,37 @@ def test_heavy_hitters_exact_membership_and_counts(spark):
 
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(df, "k", support=0.0)
+
+
+def test_chunk_documents_windows_and_validation(spark):
+    """Sliding-window chunking: starts step by stride, tail partial,
+    zero-token docs emit nothing, reassembling stride-prefixes plus the
+    final tail reproduces the document; parameter validation."""
+    from meta_morph_etl_databricks_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, "   ")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=8, overlap=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in out]
+    assert got == [
+        (1, 0, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (1, 1, 6, "t4 t5 t6 t7 t8 t9"),
+        (1, 2, 2, "t8 t9"),
+        (2, 0, 2, "a b"),
+    ]
+    # stride-prefix of every non-final chunk + the final chunk == doc
+    doc1 = [r for r in got if r[0] == 1]
+    rebuilt = " ".join(
+        " ".join(r[3].split()[:4]) for r in doc1[:-1]
+    ) + " " + doc1[-1][3]
+    assert rebuilt == text
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
