@@ -15,6 +15,7 @@ from collections.abc import Iterable, Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -182,3 +183,47 @@ def read_jdbc_query(spark: SparkSession, url: str, query: str, properties: Mappi
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning contract as
+    parquet (ORC ships in Spark, no external package).  Exists so a
+    user whose lake is ORC-resident swaps one call; everything
+    downstream is format-agnostic DataFrames."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """ORC sink, mirroring write_parquet's partition discipline."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal ingest: raw files as rows — (path, modificationTime,
+    length, content binary) via Spark's binaryFile source.  This is the
+    entry point that feeds operators/multimodal.py: image/audio/video
+    payloads become an opaque binary column with typed metadata, and
+    the decode/feature kernels run Arrow-batched downstream.
+
+    ``max_bytes`` guards the executor heap: binaryFile materializes
+    each file as ONE row, so a stray multi-GB object would OOM a task —
+    the filter happens on the LENGTH metadata column, before content
+    is read into memory.  Files larger than the limit are dropped, not
+    truncated (partial media is rarely decodable); count them via the
+    returned frame's complement if auditing matters.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
