@@ -52,6 +52,15 @@ def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter join pruning: when the build side of a
+        # shuffle join is filtered-but-too-big-to-broadcast, inject a
+        # bloom filter of its join keys into the probe side's scan —
+        # at 100 TB this prunes most of the fact scan's rows BEFORE the
+        # shuffle (semi-join pushdown without a second pass).  The
+        # 10 GiB default application-side threshold means it only fires
+        # on genuinely large probes; semantics are unaffected (test
+        # proves row parity with the filter forced on).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized

@@ -161,3 +161,50 @@ def test_text_profile_has_single_token_shuffle(spark, sf_dir):
     # broadcasts (small) or reuses the id partitioning — never a second
     # full token shuffle
     assert plan.count("Generate explode") == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """The runtime-filter scale lever: a filtered, non-broadcastable
+    build side injects a bloom filter into the probe scan (plan shows
+    bloom_filter_agg + BloomFilterMightContain) and the join result is
+    row-identical to the unfiltered plan."""
+    big_p, small_p = str(tmp_path / "big"), str(tmp_path / "small")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(big_p)
+    spark.range(1000).select((F.col("id") * 200).alias("k")).write.parquet(small_p)
+
+    big = spark.read.parquet(big_p)
+    small = spark.read.parquet(small_p).filter("k % 3 = 0")
+
+    def run(confs):
+        old = {}
+        for k, v in confs.items():
+            old[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            j = big.join(small, "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return sorted((r.k, r.v) for r in j.collect()), plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    forced = {
+        # drop the 10 GiB probe-side floor so the test-size scan
+        # qualifies; production keeps the default so only huge probes pay
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    rows_bloom, plan_bloom = run(forced)
+    rows_plain, plan_plain = run(
+        {**forced, "spark.sql.optimizer.runtime.bloomFilter.enabled": "false"}
+    )
+    assert "bloom_filter_agg" in plan_bloom or "BloomFilterMightContain" in plan_bloom
+    assert "bloom_filter_agg" not in plan_plain
+    assert "BloomFilterMightContain" not in plan_plain
+    assert rows_bloom == rows_plain
+    assert len(rows_bloom) == 334  # k in 0,200,...,199800 with k%3==0
