@@ -1,6 +1,9 @@
-from .joins import broadcast_dim, semi_join, anti_join, theta_left_join, trim_join
-from .windows import top1_per_group
 from .bucketing import quantile_buckets
+from .components import connected_components, dedup_by_components
+from .joins import anti_join, broadcast_dim, semi_join, theta_left_join, trim_join
+from .packing import chunk_documents, pack_rollup, pack_sequences
+from .sketches import heavy_hitters, merged_distinct, sketch_distinct
+from .windows import top1_per_group
 
 __all__ = [
     "broadcast_dim",
@@ -10,4 +13,12 @@ __all__ = [
     "trim_join",
     "top1_per_group",
     "quantile_buckets",
+    "connected_components",
+    "dedup_by_components",
+    "pack_sequences",
+    "pack_rollup",
+    "chunk_documents",
+    "sketch_distinct",
+    "merged_distinct",
+    "heavy_hitters",
 ]
