@@ -16,62 +16,64 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _int8_over_float_ratio() -> float:
-    """The int8 kernel's measured cost relative to the float kernel
-    (BENCH_QUANTIZE.json, same fixture).  Used to weight the int8
-    branch's baseline component: assuming float parity would let a
-    regressed quantized branch (e.g. lost codegen) hide under a 2x-float
-    merged baseline."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_QUANTIZE.json")) as f:
-            q = json.load(f)
-        return float(q["int8_sec"]) / float(q["float_sec"])
-    except Exception:
-        return 1.05  # last measured ratio (7.45/7.11); conservative fallback
 
 
-# queries merged in rounds 2/3 — a merged query's baseline is the
+# queries merged into tagged unions — a merged query's baseline is the
 # weighted sum of the parts it replaced (the surviving name may itself
-# be one of the parts), so the regression gate stays comparable
-_MERGED_BASELINES: dict[str, list] = {
-    "q_anti_joins": ["q_anti_join_parts", "q_anti_join_customers"],
-    "q_order_limit": ["q_topk_orders", "q_orderby_expr_limit"],
-    "q_scalar_datetime_conditional": ["q_scalar_datetime", "q_scalar_conditional"],
-    "q_text_codes": ["q_text_simhash", "q_doc_fingerprint"],
-    "q_scalar_string": ["q_scalar_string", "q_scalar_array_hof"],
-    "q_quantiles_by_status": ["q_quantiles_by_status", "q_groupby_ordinal"],
-    # r4: int8-quantized branch folded in as a tagged union.  The int8
-    # kernel had no declared-query baseline; its component is the float
-    # baseline scaled by the MEASURED int8/float kernel ratio
-    # (BENCH_QUANTIZE.json), not assumed parity.
+# be one of the parts), so the regression gate stays comparable ACROSS
+# the merge.  Each entry records the ROUND the merge landed: once the
+# newest BENCH_r{N}.json artifact is from that round or later, its
+# recorded time already includes every arm and the expansion would
+# double-count (an ever-laxer gate) — so the entry lapses and the name
+# is compared directly.
+_MERGED_BASELINES: dict[str, tuple[int, list]] = {
+    "q_anti_joins": (3, ["q_anti_join_parts", "q_anti_join_customers"]),
+    "q_order_limit": (3, ["q_topk_orders", "q_orderby_expr_limit"]),
+    "q_scalar_datetime_conditional": (3, ["q_scalar_datetime", "q_scalar_conditional"]),
+    "q_text_codes": (3, ["q_text_simhash", "q_doc_fingerprint"]),
+    "q_scalar_string": (3, ["q_scalar_string", "q_scalar_array_hof"]),
+    "q_quantiles_by_status": (3, ["q_quantiles_by_status", "q_groupby_ordinal"]),
     # r5: PQ/ADC branch folded in — a third kernel branch over the same
-    # corpus scan + topk shape; each prior branch was ~half the 2-arm
-    # whole, so the addition is ~0.5x the previous whole (encode is a
-    # bounded 16-centroid integer argmin per row, LUT build is per-query).
-    "q_similarity_topk": [
-        "q_similarity_topk",
-        ("q_similarity_topk", _int8_over_float_ratio()),
-        ("q_similarity_topk", 0.5),
-    ],
+    # corpus scan + topk shape (the int8 fold happened in r4 and is
+    # already inside the r4 artifact); each prior branch was ~half the
+    # 2-arm whole, so the addition is ~0.5x the previous whole (encode
+    # is a bounded 16-centroid integer argmin per row, LUT build is
+    # per-query).
+    "q_similarity_topk": (5, ["q_similarity_topk", ("q_similarity_topk", 0.5)]),
     # r5: bucketed arm folded in.  The arm re-runs the same logical plan
     # over a bucketed round-trip, PLUS pays the bucketed write each run —
     # weight 2x the direct arm (write ≈ one extra pass over orders).
-    "q_self_join_agg": ["q_self_join_agg", ("q_self_join_agg", 2.0)],
+    "q_self_join_agg": (5, ["q_self_join_agg", ("q_self_join_agg", 2.0)]),
     # r5: the LSH-candidates stage folded into the two-stage dedup query
     # (it already ran inside it as stage 1; the union adds its output).
-    # The connected-components arm checkpoints the verified pairs up
-    # front — one extra evaluation of the scoring subtree (≈ the
-    # original query's own cost) plus a few tiny star rounds.
-    "q_dedup_ngram_jaccard": [
-        "q_dedup_ngram_jaccard",
-        "q_dedup_minhash_lsh",
-        ("q_dedup_ngram_jaccard", 1.0),
-    ],
-    # r5: domain-mixing arm folded in — roughly one more pass over
-    # documents (weight ladder + hash draw + explode + rollup).
-    "q_corpus_split": ["q_corpus_split", ("q_corpus_split", 1.0)],
+    # The connected-components arm seeds from the checkpointed pairs —
+    # a few tiny star rounds on top of the one-materialization plan.
+    "q_dedup_ngram_jaccard": (
+        5,
+        [
+            "q_dedup_ngram_jaccard",
+            "q_dedup_minhash_lsh",
+            ("q_dedup_ngram_jaccard", 1.0),
+        ],
+    ),
+    # r5: domain-mixing + chunk arms folded in — roughly one more pass
+    # over documents each (q_train_prep is itself new in r5, so only
+    # q_corpus_split needs a bridge entry).
+    "q_corpus_split": (5, ["q_corpus_split", ("q_corpus_split", 1.0)]),
 }
+
+
+def _baseline_round() -> int:
+    """The round number of the newest BENCH_r*.json artifact."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return 0
+    m = re.search(r"BENCH_r(\d+)\.json$", files[-1])
+    return int(m.group(1)) if m else 0
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
 # separately (filter on the literal tag folds the other branch away) so
@@ -161,15 +163,18 @@ def _regressions(
     broadcast build) that don't shrink with a faster host — on an
     unusually fast round a 2x probe speedup would otherwise flag
     queries that are absolutely FASTER than before."""
+    artifact_round = _baseline_round()
     out: dict[str, dict[str, float]] = {}
     for name, t in timings.items():
         if t < 0:
             continue
-        if name in _MERGED_BASELINES:  # merged map wins even when the name persists
+        merge = _MERGED_BASELINES.get(name)
+        if merge is not None and artifact_round < merge[0]:
+            # the newest artifact predates the merge: expand into parts.
             # drop -1.0 error sentinels: a failed prior-round part must not
             # understate the base and flag a healthy merged query
             parts = []
-            for n in _MERGED_BASELINES[name]:
+            for n in merge[1]:
                 n, w = n if isinstance(n, tuple) else (n, 1.0)
                 p = baseline.get(n)
                 if p is not None and p >= 0:
