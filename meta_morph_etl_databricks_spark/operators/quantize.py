@@ -267,6 +267,7 @@ def pq_encode(
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     code_col: str = "q_vec",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode int8 codes to PQ: ``pq_code[s] = argmin_c ||sub_s(v) −
     cb[s][c]||²`` (exact integer distances, ties to the lower centroid
@@ -290,9 +291,11 @@ def pq_encode(
         )
         return f"element_at(array_sort(array({structs})), 1).c"
 
+    carry = list(carry_cols or [])
     with_subs = codes.select(
         id_col,
         code_col,
+        *carry,
         *[
             F.expr(_bigint_slice_sql(code_col, s * d + 1, d)).alias(f"_sub{s}")
             for s in range(m)
@@ -300,6 +303,7 @@ def pq_encode(
     )
     encoded = with_subs.select(
         id_col,
+        *carry,
         F.when(
             F.col(code_col).isNotNull(),
             F.array(*[F.expr(argmin_sql(s)).cast("tinyint") for s in range(m)]),
@@ -320,6 +324,46 @@ def pq_encode(
                 lambda acc, v: acc + v,
             ),
         ),
+    )
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC state: (query_id, _qn int8-code norm, _lut
+    array<array<bigint>> of m×ksub subvector·centroid integer dots) —
+    computed once per query row, broadcast by the callers."""
+    m, ksub, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+
+    def lut_sql() -> str:
+        per_sub = []
+        for s in range(m):
+            dots = ", ".join(
+                f"aggregate(zip_with(_qsub{s}, {_int_array_sql(codebooks[s][c])}, "
+                "(x, y) -> x * y), cast(0 AS bigint), (a, v) -> a + v)"
+                for c in range(ksub)
+            )
+            per_sub.append(f"array({dots})")
+        return "array(" + ", ".join(per_sub) + ")"
+
+    return (
+        quantize_int8(queries, vec_col)
+        .select(
+            query_id_col,
+            "q_vec",
+            *[
+                F.expr(_bigint_slice_sql("q_vec", s * d + 1, d)).alias(f"_qsub{s}")
+                for s in range(m)
+            ],
+        )
+        .select(
+            query_id_col,
+            qnorm("q_vec").alias("_qn"),
+            F.expr(lut_sql()).alias("_lut"),
+        )
     )
 
 
@@ -345,35 +389,7 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window
 
-    m, ksub, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-
-    def lut_sql() -> str:
-        per_sub = []
-        for s in range(m):
-            dots = ", ".join(
-                f"aggregate(zip_with(_qsub{s}, {_int_array_sql(codebooks[s][c])}, "
-                "(x, y) -> x * y), cast(0 AS bigint), (a, v) -> a + v)"
-                for c in range(ksub)
-            )
-            per_sub.append(f"array({dots})")
-        return "array(" + ", ".join(per_sub) + ")"
-
-    q = (
-        quantize_int8(queries, vec_col)
-        .select(
-            query_id_col,
-            "q_vec",
-            *[
-                F.expr(_bigint_slice_sql("q_vec", s * d + 1, d)).alias(f"_qsub{s}")
-                for s in range(m)
-            ],
-        )
-        .select(
-            query_id_col,
-            qnorm("q_vec").alias("_qn"),
-            F.expr(lut_sql()).alias("_lut"),
-        )
-    )
+    q = _pq_query_luts(queries, codebooks, vec_col, query_id_col)
     adc = F.aggregate(
         F.zip_with(
             "pq_code", "_lut", lambda c, tbl: F.element_at(tbl, c.cast("int") + 1)
@@ -488,3 +504,87 @@ def pq_topk_rerank(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+# --------------------------------------------------------------- IVF-PQ
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index — the FAISS IVFPQ architecture on DataFrames:
+    a float coarse quantizer partitions the corpus into inverted lists
+    (similarity.ivf_index) and PQ codes replace the vectors INSIDE the
+    lists.  Result: (id, centroid_id, pq_code, pq_norm_sq) — m bytes +
+    a list id per vector, the shape a 100 TB corpus can actually keep
+    hot.
+
+    Build is one pass: the assignment output still carries the vector,
+    so quantize+encode run map-only on it (``carry_cols`` threads
+    centroid_id through the encoder — no build-side join).  Persist or
+    write the result once; serve with :func:`ivf_pq_topk`.
+    """
+    from .similarity import ivf_index
+
+    assign = ivf_index(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    codes = quantize_int8(assign, vec_col).select(id_col, "centroid_id", "q_vec")
+    return pq_encode(codes, codebooks, id_col=id_col, carry_cols=["centroid_id"])
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve path over an IVF-PQ index: per query, rank the (broadcast)
+    float codebook and keep ``nprobe`` lists; equi-join the inverted
+    lists on centroid_id; ADC-score the probed rows (m integer lookups
+    each, zero multiplies); window top-k.
+
+    Per-query cost is O(n·nprobe/nlist) LOOKUPS over m-byte codes —
+    both dials compound: IVF bounds which rows are touched, PQ bounds
+    the bytes per touched row.  Recall lost to code collisions is
+    recovered the standard way: raise k here and exact-re-rank the
+    candidates (see pq_topk_rerank for the pattern).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _codebook_df, _rank_centroids
+
+    codebook = _codebook_df(index, centroids)
+    probes = _rank_centroids(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        codebook,
+        "_qvec",
+        keep=nprobe,
+        key_cols=[query_id_col],
+    ).select(query_id_col, "centroid_id")
+    luts = _pq_query_luts(queries, codebooks, vec_col, query_id_col)
+    probe_state = F.broadcast(probes.join(luts, query_id_col))
+    adc = F.aggregate(
+        F.zip_with(
+            "pq_code", "_lut", lambda c, tbl: F.element_at(tbl, c.cast("int") + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("pq_norm_sq") > 0) & (F.col("_qn") > 0),
+        adc.cast("double") / (F.sqrt(F.col("pq_norm_sq").cast("double")) * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = index.join(probe_state, "centroid_id").select(
+        query_id_col, id_col, F.round(sim, 6).alias("cosine_sim")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

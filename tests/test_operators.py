@@ -1121,3 +1121,46 @@ def test_chunk_documents_windows_and_validation(spark):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_ivf_pq_full_probe_equals_flat_adc_and_partial_recalls(spark):
+    """IVF-PQ composition: probing every list reproduces the flat ADC
+    ranking row-for-row (the IVF layer only restricts candidates); a
+    2-list probe on a clustered corpus keeps most of the flat-ADC
+    ranking while touching a fraction of the rows."""
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_codes,
+        pq_encode,
+        quantize_int8,
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import ivf_centroids
+
+    emb = _pq_fixture(spark)
+    queries = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    codes = quantize_int8(emb).select("vec_id", "q_vec")
+    cb = pq_codebooks_from_codes(codes, m=4, ksub=16)
+    cents = ivf_centroids(emb, k=8)
+    index = ivf_pq_index(emb, cents, cb).persist()
+    assert index.columns == ["vec_id", "centroid_id", "pq_code", "pq_norm_sq"]
+    assert index.count() == 200
+
+    flat = {
+        (r.query_id, r.vec_id, r.cosine_sim)
+        for r in pq_adc_topk(pq_encode(codes, cb), queries, cb, k=10, exclude_self=True).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.cosine_sim)
+        for r in ivf_pq_topk(index, queries, cents, cb, k=10, nprobe=8, exclude_self=True).collect()
+    }
+    assert full == flat
+
+    part = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(index, queries, cents, cb, k=10, nprobe=2, exclude_self=True).collect()
+    }
+    flat_ids = {(q, v) for q, v, _ in flat}
+    assert len(part & flat_ids) / len(flat_ids) >= 0.7
+    index.unpersist()
