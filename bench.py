@@ -63,17 +63,28 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
 }
 
 
-def _baseline_round() -> int:
-    """The round number of the newest BENCH_r*.json artifact."""
+def _newest_artifact() -> tuple[int, dict]:
+    """(round, parsed payload) of the newest BENCH_r{N}.json — ONE
+    discovery point so the gate's lapse round and its baseline timings
+    provably come from the same file.  Rounds parsed numerically (the
+    zero-padded names sort lexically today, but 3-digit rounds must not
+    silently reorder)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return 0
-    m = re.search(r"BENCH_r(\d+)\.json$", files[-1])
-    return int(m.group(1)) if m else 0
+    best_round, best_file = 0, None
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and int(m.group(1)) >= best_round:
+            best_round, best_file = int(m.group(1)), f
+    if best_file is None:
+        return 0, {}
+    try:
+        with open(best_file) as f:
+            return best_round, dict(json.load(f).get("parsed") or {})
+    except Exception:
+        return best_round, {}
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
 # separately (filter on the literal tag folds the other branch away) so
@@ -87,6 +98,10 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     # of the callable, so it is paid in BOTH arm timings — the 'direct'
     # sub-timing is (write + direct plan), not the direct plan alone.
     "q_self_join_agg": ("variant", ["direct", "bucketed"]),
+    # NB: q_dedup_ngram_jaccard eagerly checkpoints the scored pairs and
+    # runs the connected-components rounds at callable-invocation time,
+    # so every arm's sub-timing carries that shared prefix — the
+    # decomposition separates only each arm's residual plan.
     "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified", "components"]),
     "q_train_prep": ("variant", ["decontaminate", "pack", "chunk"]),
     "q_corpus_split": ("variant", ["split", "mix"]),
@@ -96,35 +111,13 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
 def _baseline_timings() -> dict[str, float]:
     """Per-query times from the newest BENCH_r*.json artifact (the
     previous round's record) — the regression floor."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as f:
-            data = json.load(f)
-        return dict((data.get("parsed") or {}).get("queries") or {})
-    except Exception:
-        return {}
+    return dict(_newest_artifact()[1].get("queries") or {})
 
 
 def _baseline_calibration() -> float | None:
     """The previous round's calibration-probe seconds, if recorded."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return None
-    try:
-        with open(files[-1]) as f:
-            data = json.load(f)
-        cal = (data.get("parsed") or {}).get("calibration_sec")
-        return float(cal) if cal and cal > 0 else None
-    except Exception:
-        return None
+    cal = _newest_artifact()[1].get("calibration_sec")
+    return float(cal) if cal and cal > 0 else None
 
 
 def _calibrate(spark) -> float:
@@ -163,7 +156,7 @@ def _regressions(
     broadcast build) that don't shrink with a faster host — on an
     unusually fast round a 2x probe speedup would otherwise flag
     queries that are absolutely FASTER than before."""
-    artifact_round = _baseline_round()
+    artifact_round = _newest_artifact()[0]
     out: dict[str, dict[str, float]] = {}
     for name, t in timings.items():
         if t < 0:

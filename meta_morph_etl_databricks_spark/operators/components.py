@@ -38,7 +38,15 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     session has a checkpoint dir (cluster: survives executor loss);
     localCheckpoint otherwise (single-node: executor-local blocks,
     faster, lost-block = recompute-from-nothing → job failure, which
-    for an idempotent batch dedup is an acceptable retry)."""
+    for an idempotent batch dedup is an acceptable retry).
+
+    Reliable-checkpoint files are deleted by Spark's ContextCleaner
+    when the round's RDD is garbage-collected ONLY under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+    session.py; Spark's default is false).  On a session without it,
+    each round leaves one edge-set copy in the checkpoint dir until
+    the application exits — set the conf or clear the dir on a
+    schedule when running iterative dedup per ingest batch."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)

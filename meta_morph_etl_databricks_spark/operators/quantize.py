@@ -189,10 +189,21 @@ def pq_codebooks_from_codes(
     learned variant and nothing downstream changes.
 
     Returns ``cb[s][c]`` = centroid c of subspace s (ints).
+
+    NULL codes are skipped (a NULL vector has no subvectors to train
+    on — the same contract as ``pq_encode``, which emits NULL codes
+    for them); the seed rule is therefore the ksub lowest-id NON-NULL
+    vectors.
     """
-    rows = codes.select(id_col, code_col).orderBy(id_col).limit(ksub).collect()
+    rows = (
+        codes.select(id_col, code_col)
+        .where(F.col(code_col).isNotNull())
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
     if not rows:
-        raise ValueError("pq_codebooks_from_codes: empty corpus")
+        raise ValueError("pq_codebooks_from_codes: no non-NULL codes in corpus")
     dim = len(rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -61,6 +61,10 @@ def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> 
         # on genuinely large probes; semantics are unaffected (test
         # proves row parity with the filter forced on).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # iterative operators (connected_components) checkpoint per
+        # round; without this, reliable-checkpoint files accumulate
+        # until application exit (Spark defaults it to false)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized

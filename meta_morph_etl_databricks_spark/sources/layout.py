@@ -74,6 +74,39 @@ def zorder_key(
     return out
 
 
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int = 32,
+) -> DataFrame:
+    """Cluster ``df`` along the Morton curve of ``cols`` — the
+    write-agnostic half of :func:`write_zordered`, reused by any sink
+    that wants the layout (e.g. sinks.publish_partition's
+    ``zorder_by``).
+
+    One tiny min/max aggregate fixes the quantization ranges, then a
+    single range-partitioning shuffle on the Morton key (sampled
+    boundaries → equal-size files regardless of data skew in any one
+    column) with a within-partition sort tightens every file's per-
+    column min/max envelope.  The key is dropped before returning —
+    the layout is carried by partition boundaries and row order, not a
+    stored column."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).first()
+    ranges = [
+        (c, stats[f"_lo_{c}"] or 0.0, stats[f"_hi_{c}"] or 0.0) for c in cols
+    ]
+    return (
+        df.withColumn("_z", zorder_key(ranges, bits=bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -83,35 +116,12 @@ def write_zordered(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as parquet clustered along the Morton curve of
-    ``cols``.
-
-    One tiny min/max aggregate fixes the quantization ranges, then a
-    single range-partitioning shuffle on the Morton key (sampled
-    boundaries → equal-size files regardless of data skew in any one
-    column) with a within-partition sort tightens every file's per-
-    column min/max envelope.  The key is dropped before the write —
-    the layout is carried by the file boundaries and footer stats, not
-    by a stored column.
+    ``cols`` (see :func:`zorder_frame` for the mechanics).
 
     Pick ``num_files`` so each file is 100 MB–1 GB at the target scale;
     skipping granularity is per file (and per row-group within).
     """
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
-    ).first()
-    ranges = [
-        (c, stats[f"_lo_{c}"] or 0.0, stats[f"_hi_{c}"] or 0.0) for c in cols
-    ]
-    z = zorder_key(ranges, bits=bits)
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    zorder_frame(df, cols, bits=bits, num_files=num_files).write.mode(mode).parquet(path)
 
 
 def file_pruning_fraction(

@@ -367,21 +367,10 @@ def publish_partition(
         if n:
             out = slice_df
             if zorder_by:
-                from .layout import zorder_key
+                from .layout import zorder_frame
 
-                stats = slice_df.agg(
-                    *[F.min(c).cast("double").alias(f"_lo_{c}") for c in zorder_by],
-                    *[F.max(c).cast("double").alias(f"_hi_{c}") for c in zorder_by],
-                ).first()
-                ranges = [
-                    (c, stats[f"_lo_{c}"] or 0.0, stats[f"_hi_{c}"] or 0.0)
-                    for c in zorder_by
-                ]
-                out = (
-                    slice_df.withColumn("_z", zorder_key(ranges, bits=zorder_bits))
-                    .repartitionByRange(zorder_files, "_z")
-                    .sortWithinPartitions("_z")
-                    .drop("_z")
+                out = zorder_frame(
+                    slice_df, zorder_by, bits=zorder_bits, num_files=zorder_files
                 )
             (
                 out.write.mode("overwrite")

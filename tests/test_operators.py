@@ -970,6 +970,16 @@ def test_pq_encode_shape_and_determinism(spark):
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks_from_codes(codes, m=5)
 
+    # a NULL vector among the lowest ids must not crash codebook
+    # training (skipped, same contract as pq_encode's NULL code)
+    with_null = spark.createDataFrame(
+        [(-1, None)], "vec_id long, q_vec array<tinyint>"
+    ).unionByName(codes)
+    cb2 = pq_codebooks_from_codes(with_null, m=4, ksub=16)
+    assert (len(cb2), len(cb2[0])) == (4, 16)
+    enc2 = pq_encode(with_null, cb2)
+    assert enc2.filter("vec_id = -1").first().pq_code is None
+
 
 def test_pq_adc_and_rerank_recall(spark):
     """ADC alone is the candidate generator (moderate recall at m-byte
