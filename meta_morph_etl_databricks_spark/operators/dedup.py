@@ -234,6 +234,7 @@ def curate_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     persist_gated: bool = True,
+    group_collapse: bool = False,
 ) -> DataFrame:
     """The full training-data curation pipeline as one composition:
 
@@ -277,7 +278,22 @@ def curate_corpus(
 
     cands = minhash_lsh_candidates(s1, text_col, id_col, num_hashes, bands)
     near = ngram_jaccard_pairs(s1, text_col, id_col, threshold=jaccard_threshold, candidates=cands)
-    removed = near.select(F.col("id_b").alias(id_col)).distinct()
+    if group_collapse:
+        # transitive: connected components over the verified pairs, one
+        # min-id survivor per GROUP.  Differs from pair-drop when the
+        # pair set is not transitively closed — pairs (1,3),(2,3) keep
+        # {1,2} under pair-drop (1 and 2 were never verified similar)
+        # but {1} here (they share a component through 3).  Collapse is
+        # the aggressive production choice for contamination control;
+        # pair-drop removes only documents with a VERIFIED near-dup.
+        from .components import connected_components
+
+        comp = connected_components(near, id_a="id_a", id_b="id_b")
+        removed = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        removed = near.select(F.col("id_b").alias(id_col)).distinct()
     return s1.join(removed, id_col, "left_anti")
 
 

@@ -1174,3 +1174,30 @@ def test_ivf_pq_full_probe_equals_flat_adc_and_partial_recalls(spark):
     flat_ids = {(q, v) for q, v, _ in flat}
     assert len(part & flat_ids) / len(flat_ids) >= 0.7
     index.unpersist()
+
+
+def test_curate_corpus_group_collapse_vs_pair_drop(spark):
+    """The two near-dup removal policies through the REAL chain (1-row
+    LSH bands make candidacy deterministic): doc3 bridges docs 1 and 2
+    (J(1,3)=0.58, J(2,3)=0.43 ≥ 0.4; J(1,2)=0.30 < 0.4).  Pair-drop
+    removes only verified near-dups' larger ids → keeps {1,2};
+    group_collapse removes everything transitively connected → {1}."""
+    from meta_morph_etl_databricks_spark.operators.dedup import curate_corpus
+
+    words = [f"w{i}" for i in range(16)]
+    d1 = "the " + " ".join(words)
+    d2 = "the " + " ".join(words[:8] + [f"x{i}" for i in range(8)])
+    d3 = "the " + " ".join(words[:12] + [f"x{i}" for i in range(4)])
+    docs = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+
+    def kept(gc):
+        return sorted(
+            r.doc_id
+            for r in curate_corpus(
+                docs, min_quality=0.0, jaccard_threshold=0.4,
+                num_hashes=16, bands=16, group_collapse=gc,
+            ).select("doc_id").collect()
+        )
+
+    assert kept(False) == [1, 2]
+    assert kept(True) == [1]
