@@ -195,6 +195,8 @@ def pq_codebooks_from_codes(
     for them); the seed rule is therefore the ksub lowest-id NON-NULL
     vectors.
     """
+    if not 2 <= ksub <= 128:
+        raise ValueError(f"ksub must be in [2, 128] (tinyint codes), got {ksub}")
     rows = (
         codes.select(id_col, code_col)
         .where(F.col(code_col).isNotNull())
@@ -233,10 +235,12 @@ def pq_codebooks_kmeans(
     except ImportError as e:  # pragma: no cover - mllib ships with pyspark
         raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
 
-    q = quantize_int8(embeddings, vec_col)
+    if not 2 <= ksub <= 128:
+        raise ValueError(f"ksub must be in [2, 128] (tinyint codes), got {ksub}")
+    q = quantize_int8(embeddings, vec_col).filter(F.col("q_vec").isNotNull())
     first = q.select(F.size("q_vec").alias("n")).first()
     if first is None:
-        raise ValueError("pq_codebooks_kmeans: empty corpus")
+        raise ValueError("pq_codebooks_kmeans: empty corpus (or all-NULL vectors)")
     dim = first["n"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -290,6 +294,10 @@ def pq_encode(
     aggregations are JVM-side integer HOFs.  NULL input vectors yield
     NULL codes."""
     m, ksub, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    if ksub > 128:
+        raise ValueError(
+            f"ksub={ksub} > 128 would wrap in the tinyint pq_code; retrain with ksub <= 128"
+        )
     norms_sq = [[sum(v * v for v in c) for c in book] for book in codebooks]
 
     def argmin_sql(s: int) -> str:

@@ -91,12 +91,22 @@ def heavy_hitters(
     membership and counts.
 
     ``exact_threshold`` overrides the row-count threshold (default
-    ``support · total_rows``).
+    ``support · total_rows``).  It must be ≥ ``support · total_rows``:
+    pass-1 only guarantees candidates ABOVE support, so a lower
+    threshold would make membership nondeterministic (items between
+    the two thresholds may or may not appear in the candidate set).
+    To lower the cutoff, lower ``support`` instead.
     """
     if not (0 < support < 1):
         raise ValueError(f"support must be in (0, 1), got {support}")
     cands = df.stat.freqItems([col], support).first()[0]
     total = df.count()
+    if exact_threshold is not None and exact_threshold < support * total:
+        raise ValueError(
+            f"exact_threshold={exact_threshold} < support*total={support * total:.1f}: "
+            "pass-1 freqItems only guarantees items above support, so membership "
+            "below that line is nondeterministic — lower `support` instead"
+        )
     threshold = exact_threshold if exact_threshold is not None else support * total
     if not cands:
         return df.sparkSession.createDataFrame(

@@ -104,6 +104,18 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), path_cls, p
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — the reliable
+    first-write test for read-before-overwrite sinks.  String-matching
+    AnalysisException messages ("PATH_NOT_FOUND" / "Path does not
+    exist") breaks the moment a backend surfaces a different message
+    (an object store's FileNotFoundException, a localized Spark build);
+    ``fs.exists`` is the same call Spark's own DataSource resolution
+    makes and works for any configured scheme."""
+    fs, _, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -418,12 +430,10 @@ def incremental_load(
     manifest via :func:`record_loaded`.
     """
     candidates = list_landing_files(spark, landing_dir)
-    try:
+    if path_exists(spark, manifest_path):
         manifest = spark.read.parquet(manifest_path).select("file_path")
         new = candidates.join(manifest, "file_path", "left_anti")
-    except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    else:
         new = candidates
     new_paths = [r.file_path for r in collect_small(new.select("file_path"))]
     if not new_paths:

@@ -19,7 +19,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.sinks import merge_upsert
+from ..sources.sinks import merge_upsert, path_exists
 
 
 def stream_merge_upsert(
@@ -124,7 +124,7 @@ def update_sketch_table(
         F.count("*").alias("n_rows"),
     )
     spark = batch_df.sparkSession
-    try:
+    if path_exists(spark, sketch_path):
         existing = spark.read.parquet(sketch_path).select(
             "day",
             F.col("hll_sketch").alias("_old_sketch"),
@@ -137,9 +137,7 @@ def update_sketch_table(
             ).otherwise(F.hll_union("_old_sketch", "hll_sketch")).alias("hll_sketch"),
             (F.coalesce("_old_n", F.lit(0)) + F.col("n_rows")).alias("n_rows"),
         )
-    except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    else:
         merged = daily
     merged = merged.localCheckpoint(eager=True)
     if not merged.take(1):

@@ -1098,6 +1098,49 @@ def test_heavy_hitters_exact_membership_and_counts(spark):
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(df, "k", support=0.0)
 
+    # exact_threshold BELOW support*total would make membership
+    # nondeterministic (items between the two lines may or may not be
+    # pass-1 candidates) — rejected; at-or-above is fine
+    with pytest.raises(ValueError, match="exact_threshold"):
+        heavy_hitters(df, "k", support=0.1, exact_threshold=500)
+    raised = {
+        r.item
+        for r in heavy_hitters(df, "k", support=0.1, exact_threshold=2000).collect()
+    }
+    assert raised == {"a"}
+
+
+def test_pq_ksub_bounds_rejected(spark):
+    """ksub > 128 would silently wrap the tinyint pq_code — both the
+    trainers and the encoder must reject it."""
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        pq_codebooks_from_codes,
+        pq_encode,
+    )
+
+    codes = spark.createDataFrame(
+        [(1, [1] * 8), (2, [2] * 8)], "vec_id long, q_vec array<tinyint>"
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_codebooks_from_codes(codes, m=2, ksub=129)
+    fake_cb = [[[0] * 4] * 129] * 2  # m=2, ksub=129, d=4
+    with pytest.raises(ValueError, match="ksub"):
+        pq_encode(codes, fake_cb)
+
+
+def test_pq_kmeans_null_safe(spark):
+    """A NULL embedding row must not poison the k-means trainer — dim
+    comes from a non-NULL row and NULL rows are excluded from the fits
+    (same contract as the seed-rule trainer)."""
+    from meta_morph_etl_databricks_spark.operators.quantize import pq_codebooks_kmeans
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        [(99, None)] + rows, "vec_id long, embedding array<double>"
+    )
+    cb = pq_codebooks_kmeans(emb, m=2, ksub=4)
+    assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+
 
 def test_chunk_documents_windows_and_validation(spark):
     """Sliding-window chunking: starts step by stride, tail partial,
