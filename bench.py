@@ -60,6 +60,13 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     # over documents each (q_train_prep is itself new in r5, so only
     # q_corpus_split needs a bridge entry).
     "q_corpus_split": (5, ["q_corpus_split", ("q_corpus_split", 1.0)]),
+    # r6: IVF-PQ arm folded in — a second index build (assignment, same
+    # cost as the ivf arm's) + map-only PQ encode + full-probe ADC scan.
+    "q_similarity_ivf_topk": (6, ["q_similarity_ivf_topk", ("q_similarity_ivf_topk", 1.0)]),
+    # r6: heavy-hitters arm folded into the distinct query — freqItems
+    # pass + count + filtered exact confirm ≈ 3 extra scans of orders
+    # next to distinct's one.
+    "q_distinct_status": (6, ["q_distinct_status", ("q_distinct_status", 3.0)]),
 }
 
 
@@ -105,6 +112,8 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified", "components"]),
     "q_train_prep": ("variant", ["decontaminate", "pack", "chunk"]),
     "q_corpus_split": ("variant", ["split", "mix"]),
+    "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq"]),
+    "q_distinct_status": ("variant", ["distinct", "heavy"]),
 }
 
 

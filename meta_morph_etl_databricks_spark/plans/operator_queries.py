@@ -43,13 +43,67 @@ def q_filters_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
 
+# heavy-hitters support: customers holding > 0.1% of all orders.  The
+# oracle literal is spelled 0.001e0 (a DOUBLE, not DuckDB's default
+# DECIMAL(4,3)) so both engines compute the row-count threshold with the
+# SAME IEEE multiply — heavy_hitters thresholds on support*total in
+# Python floats.
+_HH_SUPPORT = 0.001
+
+
 @register(
     "q_distinct_status",
-    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    f"""
+    SELECT 'distinct' AS variant, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS frequency
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    UNION ALL
+    SELECT 'heavy' AS variant, CAST(o_custkey AS VARCHAR) AS k1,
+           CAST(NULL AS VARCHAR) AS k2, COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frequency
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) > {_HH_SUPPORT!r}e0 * (SELECT COUNT(*) FROM orders)
+    """,
 )
 def q_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8: distinct — a hash aggregate without agg functions."""
-    return read_parquet_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    """Distinct + heavy hitters, tagged union (one registry slot):
+
+    - ``variant='distinct'`` — F8: a hash aggregate without agg
+      functions over (status, priority).
+    - ``variant='heavy'`` — the two-pass frequent-items sketch
+      (operators/sketches.py heavy_hitters): pass 1 freqItems
+      over-approximates the candidate set map-side (the long tail never
+      crosses the wire), pass 2 exact-counts ONLY the candidates and
+      prunes to > support·total.  The FINAL output is exact in both
+      membership and counts — the plain GROUP BY/HAVING the oracle
+      runs — even though pass 1 is approximate; that determinism is
+      what makes the sketch's confirm stage hash-checkable (the HLL
+      error-bound side of sketches.py stays in pytest).
+    """
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    distinct = (
+        orders.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("variant"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            F.lit(None).cast("bigint").alias("n_rows"),
+            F.lit(None).cast("double").alias("frequency"),
+        )
+    )
+    from ..operators.sketches import heavy_hitters
+
+    heavy = heavy_hitters(
+        orders.select(F.col("o_custkey").cast("string").alias("ck")), "ck", support=_HH_SUPPORT
+    ).select(
+        F.lit("heavy").alias("variant"),
+        F.col("item").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n_rows",
+        "frequency",
+    )
+    return distinct.unionByName(heavy)
 
 
 # ---------------------------------------------------------------- joins
