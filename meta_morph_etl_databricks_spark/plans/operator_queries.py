@@ -192,6 +192,36 @@ def _above_cust_avg(orders: DataFrame) -> DataFrame:
     )
 
 
+def bucketed_scratch_root() -> str:
+    """Host-local root where q_self_join_agg's bucketed round-trips
+    land — one subdirectory per (sf_dir, applicationId) tag."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "mmetl_bucketed")
+
+
+def prune_bucketed_scratch(keep_tag: str | None = None, max_age_sec: int = 86400) -> None:
+    """Housekeeping for :func:`bucketed_scratch_root`: per-application
+    tags fix the concurrent overwrite-vs-scan race but accumulate one
+    orders copy per run — drop sibling tags untouched for ``max_age_sec``
+    (any live concurrent session is younger).  Invoked by bench.py and
+    the test fixtures, NOT by the declared query: a query builder that
+    deletes files is a side effect nobody expects."""
+    import os
+    import shutil
+    import time
+
+    root = bucketed_scratch_root()
+    try:
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            full = os.path.join(root, d)
+            if d != keep_tag and time.time() - os.path.getmtime(full) > max_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed arm of q_self_join_agg: round-trip orders through a
     hash-bucketed catalog table on the agg/join key, then run the SAME
@@ -205,10 +235,10 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-sf runs within a session AND concurrent sessions on the same
     host never share state (two sessions on one sf_dir would otherwise
     race overwrite-vs-scan on a fixed temp path); the write is
-    mode=overwrite, idempotent per run."""
+    mode=overwrite, idempotent per run.  Stale sibling tags are cleaned
+    by :func:`prune_bucketed_scratch` from the bench/test harnesses."""
     import os
     import re
-    import tempfile
 
     from ..sources.sinks import read_bucketed_table, write_bucketed
 
@@ -218,21 +248,7 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_") + "_" + app
     table = f"t_self_join_orders_b_{tag}"
-    root = os.path.join(tempfile.gettempdir(), "mmetl_bucketed")
-    path = os.path.join(root, tag)
-    # per-application tags fix the concurrent overwrite-vs-scan race but
-    # would otherwise accumulate one orders copy per run; prune sibling
-    # tags untouched for a day (any live concurrent session is younger)
-    try:
-        import shutil
-        import time
-
-        for d in os.listdir(root) if os.path.isdir(root) else []:
-            full = os.path.join(root, d)
-            if d != tag and time.time() - os.path.getmtime(full) > 86400:
-                shutil.rmtree(full, ignore_errors=True)
-    except OSError:
-        pass
+    path = os.path.join(bucketed_scratch_root(), tag)
     write_bucketed(orders, table, ["o_custkey"], 8, path=path)
     return _above_cust_avg(read_bucketed_table(spark, table))
 

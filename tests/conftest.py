@@ -9,6 +9,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    from meta_morph_etl_databricks_spark.plans.operator_queries import (
+        prune_bucketed_scratch,
+    )
+
+    prune_bucketed_scratch()  # scratch housekeeping lives in harnesses, not queries
     s = get_spark("tests")
     yield s
 
