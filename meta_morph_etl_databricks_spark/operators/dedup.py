@@ -116,6 +116,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    with_estimate: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band of the MinHash
     signature.  Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -123,7 +124,19 @@ def minhash_lsh_candidates(
     Scale shape: explode to `bands` rows/doc → equi-join on
     (band_idx, band_key) → pair dedup.  The self-join is banded so each
     bucket is tiny; skewed buckets (boilerplate) are handled by AQE
-    skew-join splitting.
+    skew-join splitting (measured in tests/test_operators.py —
+    test_lsh_hot_band_aqe_skew_split).
+
+    ``with_estimate`` adds ``est_jaccard`` — the MinHash Jaccard
+    estimate (fraction of agreeing hash functions, the textbook
+    single-hash estimator: E[est] = J, granularity 1/num_hashes).  The
+    signature rides THROUGH the banded join as an array column (8·k
+    bytes per banded row next to the 8-byte band key), so the estimate
+    costs zero extra shuffles and zero signature recomputation — it is
+    the cheap upper stage of the verify pre-filter
+    (``ngram_jaccard_pairs(prefilter_margin=...)``), which prunes
+    low-similarity candidates before the expensive shingle-set
+    intersection ever touches them.
     """
     if num_hashes % bands != 0:
         # Silently dropping the remainder hash functions would change the
@@ -136,8 +149,10 @@ def minhash_lsh_candidates(
     # is the same pair set (a 64-bit collision would only ADD a stray
     # candidate — LSH candidates are verified downstream anyway), but the
     # shuffle carries 8-byte keys instead of rows_per_band×32-char hex.
+    carry = [F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig")] if with_estimate else []
     banded = sig.select(
         id_col,
+        *carry,
         F.posexplode(
             F.array(
                 *[
@@ -156,16 +171,28 @@ def minhash_lsh_candidates(
         ).alias("band_idx", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
+    if not with_estimate:
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ).distinct()
+    agree = F.aggregate(
+        F.zip_with("a._sig", "b._sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # est is a pure function of the pair, so distinct over the triple
+    # dedups exactly like the pair form
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (agree.cast("double") / num_hashes).alias("est_jaccard"),
+    ).distinct()
 
 
 # ------------------------------------------------------------- jaccard
@@ -177,6 +204,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     allow_all_pairs: bool = False,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH; all-pairs only for bounded inputs).  Jaccard is
@@ -185,6 +213,21 @@ def ngram_jaccard_pairs(
     At scale, always pass LSH ``candidates`` — the exact verify then
     touches O(candidates), not O(n²).  ``candidates=None`` is an O(n²)
     cross join and must be opted into with ``allow_all_pairs=True``.
+
+    ``prefilter_margin`` enables the MinHash-estimate pre-filter:
+    ``candidates`` must carry ``est_jaccard``
+    (``minhash_lsh_candidates(with_estimate=True)``) and only pairs with
+    ``est_jaccard >= threshold - margin`` reach the exact verify.  LSH
+    emits mostly LOW-similarity pairs (anything sharing one band), so
+    the cheap 16-int comparison prunes the bulk of the shingle-set
+    intersections — the stage that dominates the chain at scale
+    (measured 100× in BENCH_SCALE.md).  The estimate is unbiased with
+    std ≈ √(J(1−J)/k); at k=16 a margin of 0.35 puts the cut >3σ below
+    the threshold, so true positives are kept with near-certainty — and
+    because the hash family is deterministic, whether a given corpus
+    loses a boundary pair is a FIXED fact, not a per-run flake (the
+    identical-output property is pinned in pytest for the test corpora).
+    Statistically-exact work keeps ``prefilter_margin=None``.
     """
     if candidates is None and not allow_all_pairs:
         raise ValueError(
@@ -192,6 +235,17 @@ def ngram_jaccard_pairs(
             "candidates (minhash_lsh_candidates) or set allow_all_pairs=True "
             "for bounded inputs"
         )
+    if prefilter_margin is not None:
+        if candidates is None or "est_jaccard" not in candidates.columns:
+            raise ValueError(
+                "prefilter_margin requires candidates carrying est_jaccard — "
+                "use minhash_lsh_candidates(with_estimate=True)"
+            )
+        candidates = candidates.filter(
+            F.col("est_jaccard") >= threshold - prefilter_margin
+        )
+    if candidates is not None and "est_jaccard" in candidates.columns:
+        candidates = candidates.drop("est_jaccard")
     # distinct-set sizes ride along so the pair stage runs ONE array op
     # (intersect); |A∪B| = |A|+|B|-|A∩B| — exact for distinct sets, and
     # a full per-pair array_union pass cheaper (HOF ops don't share work)

@@ -70,6 +70,87 @@ def test_minhash_lsh_rejects_nondivisible_bands(spark):
         D.minhash_lsh_candidates(docs, num_hashes=16, bands=3)
 
 
+def test_lsh_hot_band_aqe_skew_split(spark):
+    """The docstring claim in minhash_lsh_candidates — "skewed buckets
+    (boilerplate) are handled by AQE skew-join splitting" — measured,
+    not asserted: a corpus where 20% of docs share one boilerplate text
+    puts ~4k banded rows on one (band_idx, band_key) per band; with the
+    skew thresholds scaled to test-sized partitions, the executed plan
+    must show the banded self-join split (SortMergeJoin(skew=true) with
+    'coalesced and skewed' shuffle reads) and the pair output must be
+    exactly the hot clique (the split relocates work, never changes the
+    answer).  At production defaults the same trigger fires at 256 MB
+    partitions — the config scaling is the only test-local part."""
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(hot)).otherwise(
+            F.concat_ws(" ", *[F.concat(F.lit(f"w{i}_"), F.col("id")) for i in range(8)])
+        ).alias("text"),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # pin the SMJ path
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cands = D.minhash_lsh_candidates(docs)
+        pairs = cands.collect()  # executes THIS df's adaptive plan
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    # 1000 hot docs → the full clique; unique filler texts share no band
+    assert len(pairs) == 1000 * 999 // 2
+    hot_ids = set(range(0, 5000, 5))
+    assert all(r.id_a in hot_ids and r.id_b in hot_ids for r in pairs)
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "coalesced and skewed" in plan
+
+
+def test_minhash_estimate_and_prefilter_identical_verified_set(spark):
+    """The verify pre-filter contract: (a) est_jaccard is the agreeing-
+    hash fraction — 1.0 for identical docs, bounded in [0,1]; (b) the
+    pre-filtered verify at threshold 0.8 / margin 0.35 returns the SAME
+    verified pair set as the unfiltered verify on the real sf0.001
+    documents corpus (the hash family is deterministic, so this is a
+    fixed property of the corpus, not a flaky sample)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = D.minhash_lsh_candidates(docs, with_estimate=True)
+    rows = cands.collect()
+    assert rows, "sf0.001 documents must produce LSH candidates"
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
+    # candidate pair set is unchanged by carrying the estimate
+    plain = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs).collect()}
+    assert {(r.id_a, r.id_b) for r in rows} == plain
+
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8, candidates=cands).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.8, candidates=cands, prefilter_margin=0.35
+        ).collect()
+    }
+    assert pre == base and base, "pre-filter must not change the verified set"
+
+    # identical docs estimate 1.0 (every minhash agrees)
+    twins = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    est = D.minhash_lsh_candidates(twins, with_estimate=True).collect()
+    assert [(r.id_a, r.id_b, r.est_jaccard) for r in est] == [(1, 2, 1.0)]
+
+    with pytest.raises(ValueError, match="est_jaccard"):
+        D.ngram_jaccard_pairs(
+            docs, threshold=0.8, candidates=D.minhash_lsh_candidates(docs), prefilter_margin=0.35
+        )
+
+
 # ----------------------------------------------------------- similarity
 def test_cosine_zero_norm_is_zero(spark):
     df = spark.createDataFrame(
