@@ -305,13 +305,13 @@ def merge_upsert_transactional(
     merge_upsert exactly: matched rows take all source values, unmatched
     source rows insert, unmatched target rows survive.
 
-    Execution attempted 2026-08-13 and re-attempted 2026-08-14
-    (``pip install delta-spark==4.0.0`` → "No matching distribution
-    found"; ``import delta`` → ModuleNotFoundError; filesystem-wide
+    Execution attempted 2026-08-13 and re-attempted twice on 2026-08-14
+    (rounds 5 and 6: ``pip install delta-spark`` → connection broken,
+    name resolution fails on the package index host — no package
+    network; ``import delta`` → ModuleNotFoundError; filesystem-wide
     search for ``*delta*jar`` / a vendored wheel → nothing): no delta
-    jars under pyspark/jars and the container has no package network,
-    so neither pip nor ``spark.jars.packages`` can fetch it.  Until a
-    runtime ships the
+    jars under pyspark/jars, so neither pip nor ``spark.jars.packages``
+    can fetch it.  Until a runtime ships the
     jar, the executable concurrent-merge story is
     ``merge_upsert(lock_retries=N)``: one writer wins, the other waits
     and re-merges against the installed result (serialized, tested).
