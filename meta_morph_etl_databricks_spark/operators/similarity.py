@@ -505,18 +505,23 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     target_bucket_size: int = 200,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """ANN near-duplicate pairs: bucket by sign-random-projection, score
     cosine only WITHIN buckets (the O(n²) join becomes per-bucket).
     Returns (id_a, id_b, cosine_sim ≥ threshold).
 
     Sizing: ``n_planes=None`` derives the plane count from the corpus
-    size via :func:`auto_n_planes` (one count() over the input — cheap
-    metadata-ish scan; at 100 TB pass a known count's result explicitly).
-    An explicit ``n_planes`` overrides — the declared query pins 8 so
-    its oracle's inlined plane constants stay in lockstep."""
+    size via :func:`auto_n_planes` — from ``n_docs`` when given (the
+    100 TB contract: the caller knows the corpus size from catalog
+    statistics and no sizing scan runs), else from one ``count()`` over
+    the input (fine interactively; a parquet-metadata-scale job).  An
+    explicit ``n_planes`` overrides — the declared query pins 8 so its
+    oracle's inlined plane constants stay in lockstep."""
     if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count(), target_bucket_size)
+        n_planes = auto_n_planes(
+            embeddings.count() if n_docs is None else n_docs, target_bucket_size
+        )
     planes = random_hyperplanes(dims, n_planes)
     bucketed = embeddings.select(
         id_col,
