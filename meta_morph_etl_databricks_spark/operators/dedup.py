@@ -130,12 +130,16 @@ def minhash_lsh_candidates(
     ``with_estimate`` adds ``est_jaccard`` — the MinHash Jaccard
     estimate (fraction of agreeing hash functions, the textbook
     single-hash estimator: E[est] = J, granularity 1/num_hashes).  The
-    signature rides THROUGH the banded join as an array column (8·k
+    signature rides THROUGH the banded join as k scalar columns (8·k
     bytes per banded row next to the 8-byte band key), so the estimate
-    costs zero extra shuffles and zero signature recomputation — it is
-    the cheap upper stage of the verify pre-filter
+    costs zero extra shuffles and zero signature recomputation, and the
+    agreement count is a codegen'd sum of k integer equality casts —
+    NOT an array zip_with/aggregate, which runs interpreted per RAW
+    joined row (pre-dedup: a mega-bucket of b docs emits O(b²) rows)
+    and measured 4× the whole dedup chain on a near-dup-rich 10×
+    corpus.  It is the cheap upper stage of the verify pre-filter
     (``ngram_jaccard_pairs(prefilter_margin=...)``), which prunes
-    low-similarity candidates before the expensive shingle-set
+    low-estimate candidates before the expensive shingle-set
     intersection ever touches them.
     """
     if num_hashes % bands != 0:
@@ -149,7 +153,7 @@ def minhash_lsh_candidates(
     # is the same pair set (a 64-bit collision would only ADD a stray
     # candidate — LSH candidates are verified downstream anyway), but the
     # shuffle carries 8-byte keys instead of rows_per_band×32-char hex.
-    carry = [F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig")] if with_estimate else []
+    carry = [F.col(f"h{i}") for i in range(num_hashes)] if with_estimate else []
     banded = sig.select(
         id_col,
         *carry,
@@ -181,10 +185,8 @@ def minhash_lsh_candidates(
         return joined.select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         ).distinct()
-    agree = F.aggregate(
-        F.zip_with("a._sig", "b._sig", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    agree = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(num_hashes)
     )
     # est is a pure function of the pair, so distinct over the triple
     # dedups exactly like the pair form
@@ -217,17 +219,24 @@ def ngram_jaccard_pairs(
     ``prefilter_margin`` enables the MinHash-estimate pre-filter:
     ``candidates`` must carry ``est_jaccard``
     (``minhash_lsh_candidates(with_estimate=True)``) and only pairs with
-    ``est_jaccard >= threshold - margin`` reach the exact verify.  LSH
-    emits mostly LOW-similarity pairs (anything sharing one band), so
-    the cheap 16-int comparison prunes the bulk of the shingle-set
-    intersections — the stage that dominates the chain at scale
-    (measured 100× in BENCH_SCALE.md).  The estimate is unbiased with
-    std ≈ √(J(1−J)/k); at k=16 a margin of 0.35 puts the cut >3σ below
-    the threshold, so true positives are kept with near-certainty — and
-    because the hash family is deterministic, whether a given corpus
-    loses a boundary pair is a FIXED fact, not a per-run flake (the
-    identical-output property is pinned in pytest for the test corpora).
-    Statistically-exact work keeps ``prefilter_margin=None``.
+    ``est_jaccard >= threshold - margin`` reach the exact verify — the
+    cheap k-int comparison prunes shingle-set intersections for
+    candidates the estimate puts well below the threshold.  This is a
+    RECALL/COST DIAL, not an exact transform: the estimate is unbiased
+    with std ≈ √(J(1−J)/k), so a true pair at J ≥ t is lost with
+    probability P(Binom(k, J) < k·(t−m)) — at k=16, t=0.8, m=0.35
+    that is ~2.6e-4 per boundary pair, i.e. negligible per-pair but
+    NONZERO in aggregate (measured: 3 of 245k verified pairs missed on
+    the 10× corpus, 242 of 3.6M at 100× — BENCH_SCALE.json
+    ``minhash_prefilter`` records the recall next to the timing).  The
+    hash family is deterministic, so which pairs a given corpus loses
+    is a fixed fact, not a per-run flake.  How much it SAVES depends on
+    candidate precision: with mostly-true-positive candidates (dup-
+    dense corpora, high-precision band configs) almost nothing is
+    prunable and the arm costs ≈ the plain verify; with low-precision
+    candidates (recall-tuned banding, e.g. 8 bands × 2 rows) the bulk
+    of the verify work disappears.  Exact work keeps
+    ``prefilter_margin=None``.
     """
     if candidates is None and not allow_all_pairs:
         raise ValueError(

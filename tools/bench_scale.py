@@ -213,20 +213,36 @@ def bench_skew_band(spark, sampler: _Sampler, n_docs: int = 10_000, hot_frac: in
     return out
 
 
-def bench_prefilter(spark, sampler: _Sampler, label: str, d: str, passes: int) -> dict:
+def bench_prefilter(
+    spark, sampler: _Sampler, label: str, d: str, passes: int, bands: int = 4
+) -> dict:
     """VERDICT r5 #3: the MinHash-estimate pre-filter on the verify
     stage.  Both arms pay the same candidate generation (lazy, inside
     the timed plan); the delta is the shingle-set intersections the
-    estimate prunes.  Output equality: counts both arms here; exact
-    set equality is pinned in pytest (deterministic hash family)."""
+    estimate prunes.  The dial's value depends on candidate PRECISION,
+    so two band configs are measured: the default 4×4 banding (high
+    precision — dup-dense corpora leave little to prune) and a
+    recall-tuned 8×2 banding (low precision — the production shape
+    where the verify dominates and pruning pays).  ``recall`` =
+    prefiltered verified pairs / full verified pairs — the quantified
+    false-negative cost of the margin (see ngram_jaccard_pairs)."""
     from meta_morph_etl_databricks_spark.operators.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _documents
+    from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-    cands = minhash_lsh_candidates(docs, with_estimate=True)
-    rec: dict = {"label": label, "threshold": 0.8, "margin": 0.35}
+    # the declared-query reader (min_partitions=defaultParallelism):
+    # a plain read of the single-file scale corpus gives ONE input
+    # partition and the map-side shingle/md5 chain runs single-threaded
+    # (measured 78s vs ~5s for the same candidates at scale10)
+    docs = _documents(spark, d)
+    cands = minhash_lsh_candidates(docs, with_estimate=True, bands=bands)
+    rec: dict = {"label": label, "threshold": 0.8, "margin": 0.35, "bands": bands}
+    if passes >= 2:  # candidate profile (extra minhash passes — skip at 100×)
+        rec["n_candidates"] = cands.count()
+        rec["n_pruned"] = cands.filter(F.col("est_jaccard") < 0.8 - 0.35).count()
     rec["no_prefilter"] = sampler.measure(
         lambda: ngram_jaccard_pairs(docs, threshold=0.8, candidates=cands).count(),
         passes=passes,
@@ -237,7 +253,9 @@ def bench_prefilter(spark, sampler: _Sampler, label: str, d: str, passes: int) -
         ).count(),
         passes=passes,
     )
-    rec["rows_equal"] = rec["no_prefilter"]["rows"] == rec["prefilter"]["rows"]
+    rec["recall"] = round(
+        rec["prefilter"]["rows"] / max(rec["no_prefilter"]["rows"], 1), 6
+    )
     return rec
 
 
@@ -275,7 +293,10 @@ def main() -> None:
         results[name] = rec
 
     skew_rec = bench_skew_band(spark, sampler)
-    prefilter_recs = [bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2)]
+    prefilter_recs = [
+        bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
+        bench_prefilter(spark, sampler, "scale10-recall-bands", scale_dir, passes=2, bands=8),
+    ]
     if scale100_dir:
         prefilter_recs.append(bench_prefilter(spark, sampler, "scale100", scale100_dir, passes=1))
 
@@ -301,7 +322,8 @@ def main() -> None:
           f"hot no-split {skew_rec['hot_no_split']['sec_norm']}s")
     for p in prefilter_recs:
         print(f"prefilter[{p['label']}]: {p['no_prefilter']['sec_norm']}s -> "
-              f"{p['prefilter']['sec_norm']}s, rows_equal={p['rows_equal']}")
+              f"{p['prefilter']['sec_norm']}s, recall={p['recall']}"
+              + (f", pruned {p['n_pruned']}/{p['n_candidates']}" if "n_pruned" in p else ""))
 
     # --- IVF build/serve split with auto sizing (VERDICT r4 #2): the
     # declared q_similarity_ivf_topk row above keeps the fixed nlist=16
