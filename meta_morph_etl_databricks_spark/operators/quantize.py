@@ -44,12 +44,30 @@ def quantize_int8(
     and an all-zero code; NULL vectors stay NULL with a NULL scale.
     Codes are exact ±127 at the element whose magnitude set the scale,
     so the tinyint range is never exceeded (round is half-up on the
-    positive edge: 126.5 → 127, within range)."""
+    positive edge: 126.5 → 127, within range).
+
+    The per-element division binds the scale via ``zip_with`` against
+    ``array_repeat(scale, d)`` rather than referencing the scale column
+    inside a ``transform`` lambda.  The naive form is a scale trap:
+    when a downstream ``select`` prunes ``scale_col``, CollapseProject
+    inlines the scale expression (itself an ``array_max(transform)``
+    full-vector pass) into the lambda body — O(d²) work per row — and a
+    pushed-down ``q_vec IS NOT NULL`` filter then evaluates that
+    blown-up expression for EVERY corpus row below any limit (measured:
+    a take-16 over 200k×64-dim codes cost 89 s; with the repeat-array
+    binding the scale is evaluated once per row no matter what the
+    optimizer prunes, same take ~1 s).  Values are bit-identical:
+    round(x / s) per element either way."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
     return df.withColumn(scale_col, F.when(v.isNotNull(), scale).cast("double")).withColumn(
-        out_col, F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint"))
+        out_col,
+        F.zip_with(
+            v,
+            F.array_repeat(F.col(scale_col), F.size(v)),
+            lambda x, s: F.round(x / s).cast("tinyint"),
+        ),
     )
 
 

@@ -183,13 +183,25 @@ def _assign_scored(
     ties to the larger cid, exactly like ``max(struct(sim, cid))``.
 
     Generate → broadcast join → partial agg fuse into one map stage;
-    the shuffle carries one row per vector (vector + k doubles), and
-    the vector column rides through ``any_value`` — no join-back.
+    the shuffle carries one row per vector (k+1 doubles).  The exploded
+    rows carry ONLY (id, pos, x) scalars — the vector itself is joined
+    back by id after the aggregate.  The earlier form rode the vector
+    through the explode and an ``any_value(vec_col)``, which was a
+    scale killer twice over: every exploded row duplicated the full
+    array (n·d rows × d doubles — 6.6 GB at 200k×64), and an array
+    aggregation buffer forces SortAggregate, so those wide rows were
+    SORTED twice (partial + final).  Measured at 200k×64: the serve
+    query went 87 s → ~8 s after switching to the narrow explode
+    (HashAggregate, no sort) plus one narrow join-back shuffle.
     Empty or NULL vectors are KEPT: ``posexplode_outer`` emits one
     null-position row for them, the left codebook join leaves every
     conditional sum NULL, and all k sims evaluate to 0.0 — the argmax
     then ties to the largest cid, exactly the behavior of the earlier
     k-HOF-dots path (``max(struct(0.0, cid))``), with ``_n`` = 0.0.
+    Per-key accumulation order is unchanged (generate streams positions
+    ascending into the partial hash agg), so the conditional sums fold
+    in the same double order as the interpreted ``aggregate`` — the
+    bit-exactness contract with the oracle holds.
 
     Returns (id_col, vec_col, centroid_id, _n) — ``_n`` is the vector
     norm, free from the same pass.
@@ -197,7 +209,7 @@ def _assign_scored(
     flat = _flat_codebook_df(embeddings, centroids)
     first_cid = centroids[0][0]
     norms = {cid: _seq_norm(vec) for cid, vec in centroids}
-    ex = embeddings.select(id_col, vec_col, F.posexplode_outer(vec_col).alias("_pos", "_x"))
+    ex = embeddings.select(id_col, F.posexplode_outer(vec_col).alias("_pos", "_x"))
     xy = F.col("_x") * F.col("_y")
     per = (
         ex.join(flat.drop("_cn"), "_pos", "left")
@@ -208,8 +220,8 @@ def _assign_scored(
                 for cid, _ in centroids
             ],
             F.sum(F.when(F.col("cid") == first_cid, F.col("_x") * F.col("_x"))).alias("_sq"),
-            F.any_value(vec_col).alias(vec_col),
         )
+        .join(embeddings.select(id_col, vec_col), id_col, "left")
     )
     vn = F.sqrt(F.col("_sq"))
     sims = F.array(

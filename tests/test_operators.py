@@ -525,6 +525,64 @@ def test_assign_numpy_matches_scored_kernel(spark):
     assert scored == numpy_
 
 
+def test_assign_scored_plan_stays_narrow(spark):
+    """Scale-regression pin for the assignment kernel: the conditional
+    sums must land in a HashAggregate — ``any_value(array)`` used to
+    force SortAggregate, which sorted the exploded rows (n·d of them,
+    each carrying the full vector) twice and cost 80 s of a 87 s serve
+    query at 200k×64.  The narrow explode + join-back keeps the agg
+    hash-based and the exploded rows scalar-only."""
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        _assign_scored,
+        ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, k=3)
+    plan = (
+        _assign_scored(emb, cents, "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    # the explode side must not carry the vector: no any_value agg at all
+    assert "any_value" not in plan
+
+
+def test_quantize_scale_binds_once_under_pruning(spark):
+    """Catalyst scale-trap pin (quantize_int8): when a consumer prunes
+    ``q_scale``, CollapseProject inlines the scale into the code
+    expression.  With the old ``transform`` form that put a full-vector
+    ``array_max`` pass inside the per-element lambda — O(d²) per row,
+    evaluated for EVERY corpus row by the pushed-down null filter of a
+    take-N (measured 89 s for a take-16 over 200k×64).  The
+    ``zip_with``/``array_repeat`` binding evaluates the scale once per
+    row whatever gets pruned; pin that plan shape."""
+    import re
+
+    from meta_morph_etl_databricks_spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    q = (
+        quantize_int8(df)
+        .select("vec_id", "q_vec")
+        .where(F.col("q_vec").isNotNull())
+        .orderBy("vec_id")
+        .limit(4)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # scale bound once per row through array_repeat...
+    assert "array_repeat(" in plan
+    # ...and the per-element division is lambda-var / lambda-var — no
+    # scale expression inside the lambda body
+    assert re.search(r"lambdafunction\(cast\(round\(\(lambda \S+ / lambda \S+\)", plan)
+
+
 def test_ivf_indexed_serve_path(spark):
     """ivf_topk_indexed over a pre-built ivf_index returns exactly what
     the fused ivf_topk returns, for both assignment kernels — the
