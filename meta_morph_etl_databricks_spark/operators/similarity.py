@@ -107,6 +107,11 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", ve
     whole index is reproducible and oracle-checkable; a production
     deployment swaps in one k-means|| pass over a sample and nothing
     else changes.
+
+    An empty corpus yields an empty codebook ``[]``; the assignment
+    kernels and serve path treat that as an empty index (zero lists),
+    so the whole IVF pipeline degrades to zero rows instead of raising
+    when an upstream filter drains the corpus.
     """
     rows = (
         embeddings.select(id_col, vec_col)
@@ -160,6 +165,17 @@ def _flat_codebook_df(embeddings: DataFrame, centroids: list[tuple[int, list[flo
     return F.broadcast(spark.createDataFrame(rows, "cid long, _pos int, _y double, _cn double"))
 
 
+def _empty_assignment(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Zero-row assignment frame in the (id, vec, centroid_id, _n)
+    shape both kernels return — the empty-codebook result."""
+    return embeddings.limit(0).select(
+        id_col,
+        vec_col,
+        F.lit(None).cast("long").alias("centroid_id"),
+        F.lit(0.0).alias("_n"),
+    )
+
+
 def _assign_scored(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -205,7 +221,15 @@ def _assign_scored(
 
     Returns (id_col, vec_col, centroid_id, _n) — ``_n`` is the vector
     norm, free from the same pass.
+
+    An empty codebook (the honest product of training on an empty
+    corpus — :func:`ivf_centroids` collects zero seed rows) yields an
+    empty index: zero lists hold zero entries, and the serve path then
+    returns zero candidates instead of crashing mid-pipeline when an
+    upstream filter leaves a partition with no vectors.
     """
+    if not centroids:
+        return _empty_assignment(embeddings, id_col, vec_col)
     flat = _flat_codebook_df(embeddings, centroids)
     first_cid = centroids[0][0]
     norms = {cid: _seq_norm(vec) for cid, vec in centroids}
@@ -392,6 +416,8 @@ def _assign_numpy(
     """
     import numpy as np
 
+    if not centroids:  # empty codebook → empty index (see _assign_scored)
+        return _empty_assignment(embeddings, id_col, vec_col)
     cents = sorted(centroids)  # cid ascending → last-max == largest cid
     C = np.asarray([vec for _, vec in cents], dtype=np.float64)  # (L, d)
     cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)

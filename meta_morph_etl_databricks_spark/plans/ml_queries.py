@@ -512,18 +512,28 @@ SELECT * FROM flt UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
 # queries from re-running the small build collect on every invocation,
 # matching the production build-once/serve-many split (ivf_index's
 # contract).  Keyed by applicationId so a fresh session rebuilds.
-_PQ_CB_CACHE: dict[tuple[str, str], list[list[list[int]]]] = {}
+_PQ_CB_CACHE: dict[tuple[str, str], list[list[list[int]]] | None] = {}
 _IVF_CENT_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
 
 
-def _pq_codebooks_cached(spark: SparkSession, sf_dir: str, codes: DataFrame) -> list[list[list[int]]]:
+def _pq_codebooks_cached(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> list[list[list[int]]] | None:
+    """``None`` when the corpus holds no trainable codes (empty table or
+    all-NULL vectors): the explicit trainer rightly refuses to train on
+    nothing, but a declared QUERY over a drained corpus should produce
+    zero rows, not an exception — callers turn None into an empty arm."""
     from ..operators.quantize import pq_codebooks_from_codes
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cb = _PQ_CB_CACHE.get(key)
-    if cb is None:
-        cb = _PQ_CB_CACHE[key] = pq_codebooks_from_codes(codes, m=4, ksub=16)
-    return cb
+    if key not in _PQ_CB_CACHE:
+        try:
+            _PQ_CB_CACHE[key] = pq_codebooks_from_codes(codes, m=4, ksub=16)
+        except ValueError as e:
+            if "no non-NULL codes" not in str(e):
+                raise
+            _PQ_CB_CACHE[key] = None
+    return _PQ_CB_CACHE[key]
 
 
 def _ivf_centroids_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[tuple[int, list[float]]]:
@@ -580,9 +590,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = quantize_int8(emb).select("vec_id", "q_vec")
     cb = _pq_codebooks_cached(spark, sf_dir, codes)
-    pq = pq_adc_topk(pq_encode(codes, cb), queries, cb, k=10, exclude_self=True).select(
-        F.lit("pq").alias("variant"), "query_id", "vec_id", "cosine_sim"
-    )
+    if cb is None:  # drained corpus — the PQ arm is structurally empty
+        pq = flt.limit(0)
+    else:
+        pq = pq_adc_topk(pq_encode(codes, cb), queries, cb, k=10, exclude_self=True).select(
+            F.lit("pq").alias("variant"), "query_id", "vec_id", "cosine_sim"
+        )
     return flt.unionByName(q8).unionByName(pq)
 
 
@@ -696,10 +709,13 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine_sim"
     )
     cb = _pq_codebooks_cached(spark, sf_dir, quantize_int8(emb).select("vec_id", "q_vec"))
-    index = ivf_pq_index(emb, cents, cb)
-    ivfpq = ivf_pq_topk(
-        index, queries, cents, cb, k=10, nprobe=_IVF_K, exclude_self=True
-    ).select(F.lit("ivfpq").alias("variant"), "query_id", "vec_id", "cosine_sim")
+    if not cents or cb is None:  # drained corpus — nothing to index
+        ivfpq = ivf.limit(0)
+    else:
+        index = ivf_pq_index(emb, cents, cb)
+        ivfpq = ivf_pq_topk(
+            index, queries, cents, cb, k=10, nprobe=_IVF_K, exclude_self=True
+        ).select(F.lit("ivfpq").alias("variant"), "query_id", "vec_id", "cosine_sim")
     return ivf.unionByName(ivfpq)
 
 
