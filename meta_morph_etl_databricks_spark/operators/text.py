@@ -110,7 +110,13 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     fixed-width, shuffle-friendly."""
     c = F.col(text) if isinstance(text, str) else text
     if normalize:
-        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+        # collapse BEFORE trimming: Spark's trim strips only the space
+        # character, so trim-first leaves "\thello" ≠ "hello" and splits
+        # whitespace-only docs into two classes ("  " → "" but " \t " →
+        # " ").  Collapsing \s+ runs to single spaces first makes the
+        # edges plain spaces, which trim then removes — the same class
+        # algebra as the oracle's trim(regexp_replace(text,'\s+',' ')).
+        c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.xxhash64(c)
 
 
