@@ -41,10 +41,17 @@ def quantize_int8(
     ``scale_col: double`` with ``v_i ≈ q_i · scale``.
 
     Map-only (one projection, no shuffle).  Zero vectors get scale 1.0
-    and an all-zero code; NULL vectors stay NULL with a NULL scale.
+    and an all-zero code; NULL vectors stay NULL with a NULL scale, and
+    so do vectors with ANY non-finite component (one NaN element made
+    the whole JOB die with CAST_OVERFLOW under ANSI mode — NaN cannot
+    cast to tinyint — so a single corrupt row poisoned a full corpus
+    encode; ``array_max`` propagates NaN and an Inf max zeroes every
+    element except Inf/Inf=NaN, so the max|v| probe detects both).
     Codes are exact ±127 at the element whose magnitude set the scale,
     so the tinyint range is never exceeded (round is half-up on the
-    positive edge: 126.5 → 127, within range).
+    positive edge: 126.5 → 127, within range).  Zero-LENGTH vectors
+    also code NULL (their max|v| is NULL, same probe) — downstream
+    scoring treats NULL and empty codes identically (sim 0.0).
 
     The per-element division binds the scale via ``zip_with`` against
     ``array_repeat(scale, d)`` rather than referencing the scale column
@@ -60,13 +67,20 @@ def quantize_int8(
     round(x / s) per element either way."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    finite = v.isNotNull() & ~F.isnan(amax) & (amax != F.lit(float("inf")))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return df.withColumn(scale_col, F.when(v.isNotNull(), scale).cast("double")).withColumn(
+    out = df.withColumn(scale_col, F.when(finite, scale).cast("double"))
+    return out.withColumn(
         out_col,
-        F.zip_with(
-            v,
-            F.array_repeat(F.col(scale_col), F.size(v)),
-            lambda x, s: F.round(x / s).cast("tinyint"),
+        # the When short-circuits per row, so the tinyint cast never
+        # evaluates for non-finite vectors (their scale is NULL)
+        F.when(
+            F.col(scale_col).isNotNull(),
+            F.zip_with(
+                v,
+                F.array_repeat(F.col(scale_col), F.size(v)),
+                lambda x, s: F.round(x / s).cast("tinyint"),
+            ),
         ),
     )
 

@@ -23,17 +23,33 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either side has zero norm."""
+    """Cosine similarity; 0.0 when either side has zero norm OR a
+    non-finite component (see :func:`cosine_with_norms`)."""
     na, nb = norm(a), norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+    return F.nanvl(
+        F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with PRE-COMPUTED norms.  HOFs run interpreted with no
     subexpression reuse, so norm(a)/norm(b) inside a pairwise join cost
     two extra full-vector passes PER PAIR — compute them once per vector
-    before the join instead (same value, ~3× less pair work)."""
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+    before the join instead (same value, ~3× less pair work).
+
+    NaN-poisoning guard: Spark orders NaN ABOVE every double and
+    evaluates ``NaN >= t`` as true, so one corrupt vector (a NaN/Inf
+    component — routine in a 100 TB embedding dump) would outrank every
+    true match in a top-k window AND leak through similarity-threshold
+    filters.  The ``nanvl`` collapses any NaN score to 0.0 — the same
+    class the zero-norm contract already assigns to degenerate vectors —
+    for one scalar op per pair (the ``vn > 0`` guard alone does NOT
+    catch it: NaN norms pass that comparison)."""
+    return F.nanvl(
+        F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
 def cosine_topk(
@@ -112,9 +128,19 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", ve
     kernels and serve path treat that as an empty index (zero lists),
     so the whole IVF pipeline degrades to zero rows instead of raising
     when an upstream filter drains the corpus.
+
+    Seed hygiene: NULL vectors and vectors with a non-finite component
+    are skipped (a NaN centroid would score NaN against the whole
+    corpus; a NULL one crashed the collect) — one extra HOF predicate
+    on the build scan, a one-time ingest cost.
     """
+    v = F.col(vec_col)
     rows = (
         embeddings.select(id_col, vec_col)
+        .where(
+            v.isNotNull()
+            & ~F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+        )
         .orderBy(id_col)
         .limit(k)
         .collect()
@@ -139,7 +165,10 @@ def ivf_centroids_kmeans(
     except ImportError as e:  # pragma: no cover - mllib ships with pyspark
         raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
 
-    vecs = embeddings.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    v = F.col(vec_col)
+    vecs = embeddings.where(
+        v.isNotNull() & ~F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    ).select(array_to_vector(v.cast("array<double>")).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
     return [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
 
@@ -248,15 +277,21 @@ def _assign_scored(
         .join(embeddings.select(id_col, vec_col), id_col, "left")
     )
     vn = F.sqrt(F.col("_sq"))
+    # nanvl: a NaN-component vector yields NaN sums; without the guard
+    # NaN outranks every real sim in the argmax (Spark NaN ordering) and
+    # the corrupt vector lands in an arbitrary hot list — score it 0.0
+    # like the other degenerate vectors instead (same contract as
+    # cosine_with_norms)
     sims = F.array(
         *[
             F.struct(
-                F.when(
-                    (vn > 0) & (F.lit(norms[cid]) > 0),
-                    F.round(F.col(f"_d{cid}") / (vn * F.lit(norms[cid])), 6),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("sim"),
+                F.nanvl(
+                    F.when(
+                        (vn > 0) & (F.lit(norms[cid]) > 0),
+                        F.round(F.col(f"_d{cid}") / (vn * F.lit(norms[cid])), 6),
+                    ).otherwise(F.lit(0.0)),
+                    F.lit(0.0),
+                ).alias("sim"),
                 F.lit(cid).cast("long").alias("cid"),
             )
             for cid, _ in centroids

@@ -652,8 +652,10 @@ def test_quantize_int8_roundtrip_and_edges(spark):
     rows = [
         (1, [0.5, -1.0, 0.25, 0.125]),
         (2, [0.0, 0.0]),   # zero vector → scale 1.0, zero code
-        (3, []),           # empty → empty code
+        (3, []),           # empty → NULL code (max|v| probe is NULL)
         (4, None),         # NULL → NULL code, NULL scale
+        (5, [1.0, float("nan")]),   # NaN component → NULL (ANSI cast would die)
+        (6, [float("inf"), 1.0]),   # Inf component → NULL (Inf/Inf = NaN)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = quantize_int8(df).withColumn(
@@ -665,8 +667,10 @@ def test_quantize_int8_roundtrip_and_edges(spark):
     for orig, rec in zip(rows[0][1], got[1].recon):
         assert abs(orig - rec) <= got[1].q_scale / 2 + 1e-12
     assert got[2].q_scale == 1.0 and list(got[2].q_vec) == [0, 0]
-    assert list(got[3].q_vec) == []
+    assert got[3].q_vec is None and got[3].q_scale is None
     assert got[4].q_vec is None and got[4].q_scale is None
+    assert got[5].q_vec is None and got[5].q_scale is None
+    assert got[6].q_vec is None and got[6].q_scale is None
 
 
 def test_quantized_cosine_matches_float_cosine(spark):
