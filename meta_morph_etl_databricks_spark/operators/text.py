@@ -26,12 +26,22 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "是", "了", "在", "我"],
 }
 
+# Whitespace spelled EXPLICITLY instead of \s: Java's \s matches
+# vertical tab (\x0B) but RE2's (DuckDB, the oracle engine) does not,
+# so any \s in a tokenizer/normalizer silently diverges between the
+# engine and its oracle on the first \x0B in a corpus (found by the
+# fingerprint-class parity property test).  Both regex dialects
+# interpret these escapes identically inside a character class; the
+# class equals Java's \s, so Spark-side values are unchanged.
+WS_CLASS = r" \t\n\r\f\x0B"
+_WS_RUN = rf"[{WS_CLASS}]+"
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal (the BPE-ish
     regex path is token_count's ``\\w+|[^\\w\\s]`` form)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(c), _WS_RUN), lambda t: t != "")
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -59,7 +69,7 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     (``\\w+|[^\\w\\s]``) — the cheap proxy for a BPE tokenizer's token
     budget, as one JVM regexp pass."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+    return F.size(F.regexp_extract_all(c, F.lit(rf"\w+|[^\w{WS_CLASS}]"), 0))
 
 
 def stopword_hits(text: Column | str, markers: list[str]) -> Column:
@@ -95,7 +105,7 @@ def quality_score(text: Column | str) -> Column:
     n_chars = F.length(c)
     n_tok = token_count(c)
     mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
-    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    punct = F.length(F.regexp_replace(c, rf"[\w{WS_CLASS}]", ""))
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(1.0))
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
@@ -113,10 +123,10 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
         # collapse BEFORE trimming: Spark's trim strips only the space
         # character, so trim-first leaves "\thello" ≠ "hello" and splits
         # whitespace-only docs into two classes ("  " → "" but " \t " →
-        # " ").  Collapsing \s+ runs to single spaces first makes the
-        # edges plain spaces, which trim then removes — the same class
-        # algebra as the oracle's trim(regexp_replace(text,'\s+',' ')).
-        c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        # " ").  Collapsing whitespace runs to single spaces first makes
+        # the edges plain spaces, which trim then removes — the same
+        # class algebra as the oracle's trim(regexp_replace(...)).
+        c = F.trim(F.regexp_replace(F.lower(c), _WS_RUN, " "))
     return F.xxhash64(c)
 
 
@@ -150,7 +160,7 @@ def profile_documents(
     base = docs.select(
         "*",
         F.length(c).alias("_n_chars"),
-        F.length(F.regexp_replace(c, r"[\w\s]", "")).alias("_punct"),
+        F.length(F.regexp_replace(c, rf"[\w{WS_CLASS}]", "")).alias("_punct"),
         F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).alias("_alpha"),
     )
     joined = base.join(hits, id_col)

@@ -37,7 +37,12 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ text
-_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+# The oracle spells whitespace with the engine's explicit class
+# (T.WS_CLASS): Java's \s includes \x0B, RE2's does not — a bare '\s+'
+# here diverges from tokens()/fingerprint() on the first vertical tab
+# (pinned by the fingerprint-class parity property test).
+_WS = T.WS_CLASS
+_TOKS = rf"list_filter(regexp_split_to_array(trim(text), '[{_WS}]+'), t -> t <> '')"
 _LANGS_DESC = sorted(T.LANG_MARKERS, reverse=True)  # tie-break: lex-last wins
 
 
@@ -68,10 +73,10 @@ WITH bigrams AS (
 ), base AS (
     SELECT doc_id, lang, source,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w{_WS}]')) AS BIGINT) AS n_bpe_tokens,
            {" , ".join(f"{_hits_sql(w)} AS h_{lang}" for lang, w in T.LANG_MARKERS.items())},
            CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '[\\w{_WS}]', '', 'g')) AS DOUBLE) AS n_punct,
            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
     FROM documents
 ), scored AS (
@@ -145,7 +150,7 @@ def q_text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- dedup
-_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM_TEXT = f"lower(trim(regexp_replace(text, '[{_WS}]+', ' ', 'g')))"
 
 def _hex15_to_bigint(expr: str) -> str:
     """First 15 hex chars → bigint, DuckDB side: a '0x'-prefixed string

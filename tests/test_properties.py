@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from meta_morph_etl_databricks_spark.quality.reconcile import reconcile
 from meta_morph_etl_databricks_spark.sources.sinks import merge_upsert
@@ -214,3 +215,47 @@ def test_zorder_key_matches_python_morton(spark, vals, bits):
         return out
 
     assert got == [morton(x, y) for x, y in vals]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n\r\x0b\x0c") + ["é", "Ö"]),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fingerprint_classes_match_oracle_normalization(spark, texts):
+    """The exact-dedup oracle groups on DuckDB's
+    lower(trim(regexp_replace(text,'\\s+',' ','g'))) while the engine
+    groups on xxhash64 of fingerprint()'s normalization — the two class
+    algebras must coincide on EVERY input or q_dedup_exact's hash gate
+    breaks on the first corpus with edge whitespace (the round-6
+    trim-order bug was exactly such a divergence: Spark's trim strips
+    only spaces, so trim-before-collapse left "\\thello" != "hello")."""
+    import duckdb
+
+    from meta_morph_etl_databricks_spark.operators.text import fingerprint
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _NORM_TEXT
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    spark_class: dict[int, list[int]] = {}
+    for r in got:
+        spark_class.setdefault(r["fp"], []).append(r["doc_id"])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = con.execute(
+        f"SELECT list(doc_id ORDER BY doc_id) FROM t GROUP BY {_NORM_TEXT}"
+    ).fetchall()
+    con.close()
+
+    spark_groups = sorted(sorted(v) for v in spark_class.values())
+    oracle_groups = sorted(sorted(g[0]) for g in oracle)
+    assert spark_groups == oracle_groups
