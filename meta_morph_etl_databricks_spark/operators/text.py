@@ -36,6 +36,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 WS_CLASS = r" \t\n\r\f\x0B"
 _WS_RUN = rf"[{WS_CLASS}]+"
 
+# ASCII-only case folding for normalization/marker matching: full
+# Unicode lower() is LOCALE- and ENGINE-dependent — Java lowers 'İ' to
+# "i̇" (combining dot) and applies Greek final-sigma rules
+# ('ΑΣ'→'ας') while DuckDB maps 'İ'→'i' and 'Σ'→'σ' unconditionally —
+# so any lower() in an oracle-checked expression diverges on real
+# Turkish/Greek text.  A translate over [A-Z] is identical in every
+# engine; non-ASCII case differences are deliberately preserved
+# (portability of the dedup class algebra beats marginally higher
+# dup recall on non-ASCII case variants).
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    return F.translate(c, _UPPER, _LOWER)
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal (the BPE-ish
@@ -76,7 +92,7 @@ def stopword_hits(text: Column | str, markers: list[str]) -> Column:
     """How many tokens are in the marker set (aggregate HOF, no UDF)."""
     toks = tokens(text)
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, ascii_lower(t))))
 
 
 def lang_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
@@ -116,7 +132,9 @@ def quality_score(text: Column | str) -> Column:
 
 def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Document fingerprint: xxhash64 over the normalized text
-    (lowercase, collapsed whitespace) — the exact-dup key.  64-bit,
+    (ASCII-lowercased — see :func:`ascii_lower` for why full Unicode
+    folding is not portable — and collapsed whitespace) — the exact-dup
+    key.  64-bit,
     fixed-width, shuffle-friendly."""
     c = F.col(text) if isinstance(text, str) else text
     if normalize:
@@ -126,7 +144,7 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
         # " ").  Collapsing whitespace runs to single spaces first makes
         # the edges plain spaces, which trim then removes — the same
         # class algebra as the oracle's trim(regexp_replace(...)).
-        c = F.trim(F.regexp_replace(F.lower(c), _WS_RUN, " "))
+        c = F.trim(F.regexp_replace(ascii_lower(c), _WS_RUN, " "))
     return F.xxhash64(c)
 
 
@@ -152,7 +170,7 @@ def profile_documents(
     markers = markers or LANG_MARKERS
     c = F.col(text_col)
     tok = docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t"))
-    low = F.lower(F.col("_t"))
+    low = ascii_lower(F.col("_t"))
     hits = tok.groupBy(id_col).agg(
         F.count("_t").alias("_n_tokens"),
         *[F.count(F.when(low.isin(words), 1)).alias(f"_h_{lang}") for lang, words in markers.items()],

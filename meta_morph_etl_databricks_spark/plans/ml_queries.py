@@ -40,15 +40,21 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle spells whitespace with the engine's explicit class
 # (T.WS_CLASS): Java's \s includes \x0B, RE2's does not — a bare '\s+'
 # here diverges from tokens()/fingerprint() on the first vertical tab
-# (pinned by the fingerprint-class parity property test).
+# (pinned by the fingerprint-class parity property test).  Case folding
+# is likewise ASCII-only on both sides (T.ascii_lower): the engines'
+# lower() disagree on Turkish 'İ' and Greek final sigma.
 _WS = T.WS_CLASS
+
+
+def _ascii_lower(expr: str) -> str:
+    return f"translate({expr}, '{T._UPPER}', '{T._LOWER}')"
 _TOKS = rf"list_filter(regexp_split_to_array(trim(text), '[{_WS}]+'), t -> t <> '')"
 _LANGS_DESC = sorted(T.LANG_MARKERS, reverse=True)  # tie-break: lex-last wins
 
 
 def _hits_sql(markers: list[str]) -> str:
     arr = ", ".join(f"'{m}'" for m in markers)
-    return f"len(list_filter({_TOKS}, t -> list_contains([{arr}], lower(t))))"
+    return f"len(list_filter({_TOKS}, t -> list_contains([{arr}], {_ascii_lower('t')})))"
 
 
 _LANG_CASE = (
@@ -150,7 +156,7 @@ def q_text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- dedup
-_NORM_TEXT = f"lower(trim(regexp_replace(text, '[{_WS}]+', ' ', 'g')))"
+_NORM_TEXT = f"trim(regexp_replace({_ascii_lower('text')}, '[{_WS}]+', ' ', 'g'))"
 
 def _hex15_to_bigint(expr: str) -> str:
     """First 15 hex chars → bigint, DuckDB side: a '0x'-prefixed string

@@ -221,7 +221,11 @@ def test_zorder_key_matches_python_morton(spark, vals, bits):
 @given(
     texts=st.lists(
         st.text(
-            alphabet=st.sampled_from(list("ab \t\n\r\x0b\x0c") + ["é", "Ö"]),
+            alphabet=st.sampled_from(
+                # \x0b: Java \s vs RE2 \s; İ/Σ/ı: locale-sensitive case
+                # mappings where the engines' lower() disagree
+                list("abAB \t\n\r\x0b\x0c") + ["é", "Ö", "İ", "ı", "Σ", "ς"]
+            ),
             max_size=12,
         ),
         min_size=1,
