@@ -48,6 +48,23 @@ def asof_join(
     ``tolerance_seconds`` voids matches older than the window (payload
     and matched_ts become NULL, the left row survives).
     ``matched_ts_col`` names the carried right timestamp (None drops it).
+
+    NULL semantics are equi-join semantics (DuckDB ASOF, pandas
+    merge_asof): a right row with a NULL key or NULL timestamp can
+    never match and is dropped before the union — otherwise the window
+    PARTITION BY would group NULL keys together (SQL grouping treats
+    NULLs as equal; join equality does not) and a NULL timestamp would
+    sort NULLS FIRST and become the standing "match" for every early
+    left row.  NULL-key/NULL-ts LEFT rows survive unmatched (NULLS
+    FIRST ordering places a NULL-ts left row before any real right
+    row, so its fill is empty by construction).
+
+    Duplicate right rows at one (key, ts) carry exactly one match per
+    left row (never a fan-out), but WHICH duplicate is unspecified —
+    the window order has no tiebreaker beyond (ts, side), matching
+    pandas merge_asof's positional pick.  Deduplicate the right side
+    upstream when the choice matters; a payload-based tiebreak is not
+    imposed here because payload columns may be unorderable types.
     """
     payload = payload or [c for c in right.columns if c not in {*on, right_ts}]
     overlap = set(payload) & set(left.columns)
@@ -66,7 +83,10 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in {*on, left_ts}],
         F.lit(None).cast(row_type).alias("_rrow"),
     )
-    rt = right.select(
+    unmatchable = F.col(right_ts).isNull()
+    for k in on:
+        unmatchable = unmatchable | right[k].isNull()
+    rt = right.where(~unmatchable).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
