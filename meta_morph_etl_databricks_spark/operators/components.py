@@ -100,7 +100,12 @@ def connected_components(
 
     Nodes not mentioned in any pair are their own singleton component
     and do NOT appear in the output (join semantics below make that the
-    useful contract: absent = keep).
+    useful contract: absent = keep).  A node whose only mention is a
+    self-loop (a, a) DOES appear, labeled with itself — the star rounds
+    drop self-edges, so those nodes are re-added as singletons at the
+    end; without that they would silently vanish despite being
+    "mentioned in pairs".  NULL node ids are ignored entirely (they
+    compare unequal to everything, matching join semantics).
 
     Convergence is detected by an order-insensitive edge-set signature
     (count + bit_xor of xxhash64(u,v) — XOR commutes and cannot
@@ -119,7 +124,12 @@ def connected_components(
     )
     edges = _checkpoint(edges)
     if not edges.take(1):
-        return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        # no real edges — the output is just the self-loop singletons
+        return (
+            pairs.where(F.col(id_a) == F.col(id_b))
+            .select(F.col(id_a).alias("node"), F.col(id_a).alias("component"))
+            .distinct()
+        )
 
     def signature(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -149,7 +159,16 @@ def connected_components(
     # is insurance that the output is a function of node.
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
-    return labels.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    loops = (
+        pairs.where(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("node"), F.col(id_a).alias("component"))
+        .distinct()
+    )
+    return (
+        labels.union(roots).union(loops)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def dedup_by_components(

@@ -1027,8 +1027,9 @@ def test_connected_components_multi_and_orientation(spark):
             spark.createDataFrame(rows, "id_a long, id_b long")
         ).collect()
     }
-    # the (7,7) self-loop carries no connectivity and 7 is a singleton → absent
-    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+    # the (7,7) self-loop carries no connectivity, but 7 IS mentioned in
+    # pairs — it appears as its own singleton component
+    assert got == {3: 3, 5: 3, 7: 7, 9: 3, 20: 20, 21: 20, 22: 20}
 
 
 def test_connected_components_empty_and_hub_determinism(spark):

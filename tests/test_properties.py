@@ -131,12 +131,14 @@ def test_connected_components_matches_union_find(spark, edges):
 
     nodes: set[int] = set()
     for a, b in edges:
-        if a == b:
-            continue
+        # self-loops carry no connectivity but DO mention the node —
+        # it must appear (as a singleton unless other edges connect it)
         for n in (a, b):
             if n not in parent:
                 parent[n] = n
                 nodes.add(n)
+        if a == b:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
