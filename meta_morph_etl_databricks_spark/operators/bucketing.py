@@ -40,11 +40,17 @@ def tier_column(value_col: str, cutoffs: list[float], labels: list[str]) -> F.Co
     """Chained when/between tiering: len(labels) == len(cutoffs) + 1.
     Boundary semantics mirror the reference (between is inclusive both
     ends; reference tiers: < p50 → low, [p50, p80] → mid, > p80 → high,
-    m_customer_sales_report_task.py:191-200)."""
+    m_customer_sales_report_task.py:191-200).
+
+    NULL values tier to NULL: every ``when`` comparison on NULL is NULL
+    (not false), so without the explicit guard a NULL value would fall
+    through the whole chain into ``otherwise`` and be awarded the TOP
+    tier — a group with no measurable value silently ranked above every
+    real one."""
     if len(labels) != len(cutoffs) + 1:
         raise ValueError("need one more label than cutoffs")
     c = F.col(value_col)
-    expr = F.when(c < cutoffs[0], labels[0])
+    expr = F.when(c.isNull(), F.lit(None).cast("string")).when(c < cutoffs[0], labels[0])
     for i in range(1, len(cutoffs)):
         expr = expr.when(c.between(cutoffs[i - 1], cutoffs[i]), labels[i])
     return expr.otherwise(labels[-1])

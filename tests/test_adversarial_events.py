@@ -87,3 +87,42 @@ def test_range_join_null_and_inverted_intervals(spark):
         on=["user_id"],
     ).collect()
     assert [(r["user_id"], r["val"]) for r in got] == [(1, 15)]
+
+
+def test_tier_column_nulls_never_reach_top_tier(spark):
+    """A group whose aggregate is NULL (no measurable values) must tier
+    to NULL — every when() comparison on NULL is NULL, so an unguarded
+    chain would drop it into otherwise() and award the TOP tier."""
+    from meta_morph_etl_databricks_spark.operators.bucketing import quantile_buckets
+
+    vals = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", None), (3, "g2", None), (4, "g3", 40.0)],
+        "id long, g string, v double",
+    )
+    got = {
+        r["id"]: r["tier"]
+        for r in quantile_buckets(
+            vals, group_key="g", value_col="v",
+            probabilities=[0.5], labels=["lo", "hi"], exact=True,
+        ).collect()
+    }
+    assert got[3] is None          # all-NULL group: no tier
+    assert got[1] is not None and got[4] is not None
+
+
+def test_merge_upsert_null_keys_insert_not_match(spark, tmp_path):
+    """ANSI MERGE semantics: ON t.k = s.k never matches NULL keys, so a
+    NULL-keyed source row INSERTS alongside the NULL-keyed target row
+    rather than updating it — same behavior as the reference engine's
+    MERGE.  Pinned so nobody "fixes" it with a null-safe equality."""
+    from meta_morph_etl_databricks_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x"), (None, "n")], "k long, val string").write.parquet(tgt)
+    merge_upsert(
+        spark, tgt,
+        spark.createDataFrame([(1, "x2"), (None, "n2")], "k long, val string"),
+        keys=["k"],
+    )
+    got = sorted([tuple(r) for r in spark.read.parquet(tgt).collect()], key=str)
+    assert got == [(1, "x2"), (None, "n"), (None, "n2")]
