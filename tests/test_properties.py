@@ -265,3 +265,112 @@ def test_fingerprint_classes_match_oracle_normalization(spark, texts):
     spark_groups = sorted(sorted(v) for v in spark_class.values())
     oracle_groups = sorted(sorted(g[0]) for g in oracle)
     assert spark_groups == oracle_groups
+
+
+_ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 15)), min_size=0, max_size=12
+)
+_ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 15)), min_size=0, max_size=12
+)
+
+
+@_slow
+@given(lrows=_ASOF_LEFT, rrows=_ASOF_RIGHT, tol=st.sampled_from([None, 0, 3]))
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, tol):
+    """asof_join implements the pandas merge_asof contract (backward,
+    allow_exact_matches, tolerance) for ALL inputs — dense timestamp
+    ties, equal-ts left/right collisions, empty sides, zero tolerance.
+    The right side is deduplicated per (key, ts) first: with duplicates
+    the matched payload is contractually unspecified on both engines."""
+    import pandas as pd
+
+    from meta_morph_etl_databricks_spark.operators.asof import asof_join
+
+    rdedup = {}
+    for i, (k, ts) in enumerate(rrows):
+        rdedup[(k, ts)] = i * 10
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lrows)] or [],
+        "k int, ts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, p) for (k, ts), p in rdedup.items()] or [],
+        "k int, ts long, payload int",
+    )
+    got = sorted(
+        (r.k, r.ts, r.lid, r.payload, r.matched_ts)
+        for r in asof_join(
+            left, right, on=["k"], payload=["payload"], tolerance_seconds=tol
+        ).collect()
+    )
+
+    if not rdedup:
+        expected = sorted((k, ts, i, None, None) for i, (k, ts) in enumerate(lrows))
+    else:
+        lpd = (
+            pd.DataFrame(
+                [(k, ts, i) for i, (k, ts) in enumerate(lrows)],
+                columns=["k", "ts", "lid"],
+            )
+            .astype("int64")  # empty frames default to object dtype
+            .sort_values(["ts", "lid"], kind="stable")
+        )
+        rpd = (
+            pd.DataFrame(
+                [(k, ts, p, ts) for (k, ts), p in rdedup.items()],
+                columns=["k", "ts", "payload", "matched_ts"],
+            )
+            .astype("int64")
+            .sort_values("ts", kind="stable")
+        )
+        merged = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction="backward",
+            allow_exact_matches=True, tolerance=tol,
+        )
+        expected = sorted(
+            (
+                int(r.k), int(r.ts), int(r.lid),
+                None if pd.isna(r.payload) else int(r.payload),
+                None if pd.isna(r.matched_ts) else int(r.matched_ts),
+            )
+            for r in merged.itertuples()
+        )
+    assert got == expected
+
+
+@_slow
+@given(
+    toks=st.lists(st.integers(0, 9), min_size=0, max_size=40),
+    chunk_tokens=st.integers(1, 12),
+    overlap_frac=st.floats(0.0, 0.99),
+)
+def test_chunk_documents_covers_and_reconstructs(spark, toks, chunk_tokens, overlap_frac):
+    """Chunking invariants for ALL (doc, chunk_tokens, overlap):
+    chunk i is EXACTLY tokens[i*stride : i*stride + chunk_tokens] (so
+    several trailing chunks may be partial when the doc is shorter than
+    one window — the documented contract); stitching chunk i's first
+    `stride` tokens plus the last chunk whole reconstructs the document
+    exactly; chunk_idx is dense from 0."""
+    from meta_morph_etl_databricks_spark.operators.packing import chunk_documents
+
+    overlap = min(int(overlap_frac * chunk_tokens), chunk_tokens - 1)
+    stride = chunk_tokens - overlap
+    text = " ".join(f"t{t}" for t in toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r.chunk_idx, r.n_tokens, r.chunk_text.split(" ") if r.chunk_text else [])
+        for r in chunk_documents(df, chunk_tokens, overlap).collect()
+    )
+    if not toks:
+        assert chunks == []
+        return
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    expected_toks = [f"t{t}" for t in toks]
+    rebuilt = []
+    for idx, n_tok, words in chunks:
+        assert n_tok == len(words)
+        start = idx * stride
+        assert words == expected_toks[start : start + chunk_tokens]
+        rebuilt.extend(words[:stride] if idx < len(chunks) - 1 else words)
+    assert rebuilt == expected_toks
