@@ -32,6 +32,9 @@ from .registry import register
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS total_value
     FROM events
+    -- matches the engine contract: window() drops NULL event times;
+    -- without this the oracle would NULL-group them instead
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -77,10 +80,17 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- strictly greater: an event exactly `gap` after the
+               -- previous one EXTENDS the session (session_window
+               -- merges touching windows; classic `diff > gap` rule).
+               -- `>=` here diverges from the engine on any corpus with
+               -- two same-user events exactly one gap apart.
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        -- session_window() drops NULL event times; mirror it here
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (

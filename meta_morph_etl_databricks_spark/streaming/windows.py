@@ -41,7 +41,13 @@ def tumbling_type_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     per window, independent of event volume.
     """
     agg = (
-        events.groupBy(F.window("ts", width).alias("window"), "event_type")
+        # explicit NULL-event-time drop: window() discards NULL ts rows
+        # anyway (no window can be derived), but relying on that
+        # implicitly hides a silent row drop from readers and from any
+        # future Spark that NULL-groups instead — same contract as the
+        # oracle's WHERE ts IS NOT NULL.
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width).alias("window"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
@@ -65,7 +71,8 @@ def sliding_type_activity(
         F.count_distinct(F.col("user_id")) if exact_users else F.approx_count_distinct("user_id")
     )
     agg = (
-        events.groupBy(F.window("ts", width, slide).alias("window"), "event_type")
+        events.where(F.col("ts").isNotNull())  # see tumbling_type_counts
+        .groupBy(F.window("ts", width, slide).alias("window"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             users.alias("n_users"),
@@ -80,7 +87,8 @@ def session_user_windows(events: DataFrame, gap: str = "30 minutes") -> DataFram
     THE canonical stateful-streaming operator Spark ships natively —
     state merges adjacent sessions as events arrive."""
     agg = (
-        events.groupBy(F.session_window("ts", gap).alias("session_window"), "user_id")
+        events.where(F.col("ts").isNotNull())  # see tumbling_type_counts
+        .groupBy(F.session_window("ts", gap).alias("session_window"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("session_value"),
