@@ -236,8 +236,13 @@ _MINHASH_PAIRS = f"""
                ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                      / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(a.sh || b.sh)) >= 0.2
+        -- threshold the ROUNDED value, exactly like the engine
+        -- (ngram_jaccard_pairs rounds to 4dp before its filter) and the
+        -- q_corpus_curation oracle: an unrounded compare diverges on any
+        -- pair with true jaccard in [t-5e-5, t) — reachable from ~800
+        -- shared shingles up (u = 5i+1), i.e. guaranteed at corpus scale
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)), 4) >= 0.2
     ),
     sym AS (SELECT id_a AS u, id_b AS v FROM ver
             UNION SELECT id_b, id_a FROM ver),

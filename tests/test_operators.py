@@ -1388,3 +1388,35 @@ def test_curate_corpus_group_collapse_vs_pair_drop(spark):
 
     assert kept(False) == [1, 2]
     assert kept(True) == [1]
+
+
+def test_ngram_jaccard_round_boundary_matches_oracle(spark):
+    """A pair whose TRUE jaccard is in [t−5e-5, t) must be KEPT at
+    threshold t: the engine thresholds the 4dp-ROUNDED score
+    (ngram_jaccard_pairs rounds before its filter), and the oracle must
+    round identically — an unrounded oracle compare diverges on exactly
+    this pair class (reachable from ~800 shared shingles up, i.e.
+    guaranteed somewhere in any corpus-scale run).
+
+    Construction: 802 common tokens (800 shared shingles) + enough
+    distinct tail tokens for |union| = 4001 → jaccard = 800/4001 =
+    0.19995001... < 0.2, rounds to 0.2000.
+    """
+    import duckdb
+
+    common = " ".join(f"c{i}" for i in range(802))
+    doc_a = common + " " + " ".join(f"a{i}" for i in range(1600))
+    doc_b = common + " " + " ".join(f"b{i}" for i in range(1601))
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    got = D.ngram_jaccard_pairs(docs, threshold=0.2, allow_all_pairs=True).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.2)]
+
+    # cross-engine: DuckDB's ROUND of the same rational keeps the pair
+    # too (and the pre-fix unrounded compare would have dropped it)
+    con = duckdb.connect()
+    rounded, raw = con.execute(
+        "SELECT ROUND(CAST(800 AS DOUBLE)/4001, 4) >= 0.2,"
+        "       CAST(800 AS DOUBLE)/4001 >= 0.2"
+    ).fetchone()
+    con.close()
+    assert rounded is True and raw is False
