@@ -1,5 +1,6 @@
 from .bucketing import quantile_buckets
 from .components import connected_components, dedup_by_components
+from .incremental import incremental_dedup, minhash_band_index
 from .joins import anti_join, broadcast_dim, semi_join, theta_left_join, trim_join
 from .packing import chunk_documents, pack_rollup, pack_sequences
 from .sketches import heavy_hitters, merged_distinct, sketch_distinct
@@ -15,6 +16,8 @@ __all__ = [
     "quantile_buckets",
     "connected_components",
     "dedup_by_components",
+    "minhash_band_index",
+    "incremental_dedup",
     "pack_sequences",
     "pack_rollup",
     "chunk_documents",

@@ -110,6 +110,33 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
 
+def band_key_array(num_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` 64-bit band keys over signature columns
+    ``h0..h{num_hashes-1}``: band key = xxhash64 of the band's minhash
+    concat.  A join on these yields the same pair set as joining the raw
+    band tuples (a 64-bit collision only ADDS a stray candidate — LSH
+    candidates are verified downstream anyway) while the shuffle carries
+    8-byte keys instead of rows_per_band×32-char hex.  Shared by
+    :func:`minhash_lsh_candidates` and the incremental band index
+    (operators/incremental.py) — both sides of an incremental join must
+    derive keys identically or no candidate ever matches."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -147,32 +174,12 @@ def minhash_lsh_candidates(
         # effective LSH S-curve without warning (same check as
         # simhash_hamming_pairs' divisibility guard).
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes)
-    # band key = xxhash64 of the band's minhash concat: the join result
-    # is the same pair set (a 64-bit collision would only ADD a stray
-    # candidate — LSH candidates are verified downstream anyway), but the
-    # shuffle carries 8-byte keys instead of rows_per_band×32-char hex.
     carry = [F.col(f"h{i}") for i in range(num_hashes)] if with_estimate else []
     banded = sig.select(
         id_col,
         *carry,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(band_key_array(num_hashes, bands)).alias("band_idx", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(

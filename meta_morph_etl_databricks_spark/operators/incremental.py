@@ -1,0 +1,148 @@
+"""Incremental near-duplicate dedup — the daily-increment production
+shape: dedup a NEW batch of documents against an already-accepted corpus
+without ever recomputing the corpus.
+
+At 100 TB the one-shot pipeline (operators/dedup.py) runs once; from
+then on data arrives in increments that are tiny next to the corpus.
+Re-running LSH over corpus+increment per day is O(corpus) daily — the
+index makes it O(increment): the corpus is represented by a persisted
+MinHash *band index* (one row per document per band: ``(doc_id,
+band_idx, band_key, sig)``), each increment band-joins against it,
+verifies candidates with the MinHash Jaccard estimate, and appends its
+own band rows for the next increment.
+
+Policy — identical to the one-shot pipeline's pair rule (drop the
+higher id of every matching pair, ``curate_corpus``):
+
+- a new doc is rejected iff it matches (estimate ≥ threshold) any
+  INDEXED doc or any LOWER-ID doc of its own increment;
+- the index grows by ALL of the increment's band rows, accepted or
+  not — a rejected duplicate must keep disqualifying its future
+  copies, exactly as it would under one big batch (indexing only
+  survivors would let the third copy of a near-dup pair back in);
+- ids must be globally monotone across increments (ingestion order —
+  the natural id assignment).  Under that contract, any split of a
+  corpus into increments yields bit-identical accepted sets
+  (``test_incremental_dedup_matches_one_shot`` pins it, including the
+  chain case a~b, b~c, a≁c).
+
+Verification here is the MinHash ESTIMATE (fraction of agreeing
+signature components — deterministic, E[est]=J, granularity
+1/num_hashes), not exact shingle Jaccard: the index stores 8·k bytes
+per doc, never text, so an increment joins against signatures alone.
+Exact-verify pipelines pass the accepted set on to
+``ngram_jaccard_pairs`` against their own text store.
+
+Scale shape: everything is a banded equi-join keyed on (band_idx,
+band_key).  Persist the index partitioned (or bucketed) by those keys
+and the per-increment join shuffles only the increment; the estimate is
+a codegen'd sum of k element-equality casts over the carried signature
+arrays (indexed access, not an interpreted per-row HOF).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import band_key_array, minhash_signatures
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-index rows for a corpus: ``(id_col, band_idx, band_key,
+    sig array<bigint>)`` — ``bands`` rows per document that has at least
+    one shingle (sub-shingle docs produce none, matching
+    :func:`minhash_signatures`; pair them with exact dedup upstream).
+    Bootstrap the index with this over the accepted corpus, then append
+    each :func:`incremental_dedup` result's ``index_rows``."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_key_array(num_hashes, bands)).alias("band_idx", "band_key"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+class IncrementalDedupResult(NamedTuple):
+    accepted: DataFrame    # new_docs rows that survive the dedup
+    index_rows: DataFrame  # band rows for ALL new docs — append to the index
+
+
+def _est(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate between two signature arrays as a
+    codegen'd sum of element-equality casts (GetArrayItem stays in
+    whole-stage codegen; zip_with/aggregate would run interpreted per
+    RAW joined row — the trap documented in minhash_lsh_candidates)."""
+    agree = sum(
+        (sig_a.getItem(i) == sig_b.getItem(i)).cast("int") for i in range(num_hashes)
+    )
+    return agree.cast("double") / num_hashes
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.8,
+) -> IncrementalDedupResult:
+    """Dedup ``new_docs`` against the persisted band ``index`` (schema of
+    :func:`minhash_band_index`) and against lower-id docs of the same
+    increment.  See the module docstring for the policy and its
+    one-shot-parity guarantee.
+
+    ``num_hashes``/``bands`` MUST match the values the index was built
+    with — validated against the stored signature width (one metadata-
+    scale probe when the index is non-empty); a mismatch would silently
+    produce zero candidates.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    probe = index.select(F.size("sig").alias("w")).first()
+    if probe is not None and probe["w"] != num_hashes:
+        raise ValueError(
+            f"index stores {probe['w']}-hash signatures, caller asked for "
+            f"{num_hashes} — rebuild the index or match its parameters"
+        )
+
+    new_banded = minhash_band_index(new_docs, text_col, id_col, num_hashes, bands)
+
+    # vs corpus: any band-key match with estimate ≥ t disqualifies the
+    # new doc (index ids are lower by the monotone-id contract)
+    n, x = new_banded.alias("n"), index.alias("x")
+    vs_index = (
+        n.join(
+            x,
+            (F.col("n.band_idx") == F.col("x.band_idx"))
+            & (F.col("n.band_key") == F.col("x.band_key")),
+        )
+        .where(_est(F.col("n.sig"), F.col("x.sig"), num_hashes) >= est_threshold)
+        .select(F.col(f"n.{id_col}"))
+    )
+    # within the increment: the higher id of every matching pair drops
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(_est(F.col("a.sig"), F.col("b.sig"), num_hashes) >= est_threshold)
+        .select(F.col(f"b.{id_col}"))
+    )
+    rejected = vs_index.union(within).distinct()
+    accepted = new_docs.join(rejected, id_col, "left_anti")
+    return IncrementalDedupResult(accepted=accepted, index_rows=new_banded)

@@ -1,0 +1,128 @@
+"""Incremental dedup (operators/incremental.py): the daily-increment
+production shape must be indistinguishable from having run one big
+batch — for any split of the corpus into monotone-id increments."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.operators.dedup import minhash_lsh_candidates
+from meta_morph_etl_databricks_spark.operators.incremental import (
+    incremental_dedup,
+    minhash_band_index,
+)
+
+K, B, T = 16, 4, 0.8
+
+
+def one_shot_accepted(docs):
+    """The reference policy, directly: estimate-verified pairs over the
+    whole corpus, drop the higher id of every pair."""
+    pairs = minhash_lsh_candidates(docs, num_hashes=K, bands=B, with_estimate=True)
+    rejected = pairs.where(F.col("est_jaccard") >= T).select(
+        F.col("id_b").alias("doc_id")
+    )
+    return docs.join(rejected.distinct(), "doc_id", "left_anti")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and then some more words " * 4
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            rows.append((i, base))                      # exact-dup clique
+        elif i % 5 == 1:
+            rows.append((i, base + f"tail{i}"))          # near-dup of the clique
+        else:
+            rows.append((i, " ".join(f"u{i}w{j}" for j in range(30))))  # unique
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def empty_index(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_key long, sig array<bigint>"
+    )
+
+
+@pytest.mark.parametrize("cuts", [[60], [30, 60], [7, 20, 41, 60]])
+def test_incremental_dedup_matches_one_shot(spark, corpus, cuts):
+    """Any monotone-id split — one batch, halves, ragged quarters —
+    accepts exactly the one-shot set."""
+    want = sorted(r.doc_id for r in one_shot_accepted(corpus).collect())
+
+    index = empty_index(spark)
+    accepted: list[int] = []
+    lo = 0
+    for hi in cuts:
+        inc = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        res = incremental_dedup(inc, index, num_hashes=K, bands=B, est_threshold=T)
+        accepted.extend(r.doc_id for r in res.accepted.collect())
+        index = index.union(res.index_rows.select(*index.columns))
+        lo = hi
+    assert sorted(accepted) == want
+
+
+def test_rejected_docs_still_disqualify_their_future_copies(spark):
+    """The chain case that indexing only survivors gets wrong: b is a
+    near-dup of a (rejected), c arrives later and matches b but not a —
+    under one big batch the pair (b, c) still drops c, so the increment
+    path must too (the index carries ALL seen docs)."""
+    blk = lambda tag, n: " ".join(  # noqa: E731
+        f"{tag}{i}" for i in range(n)
+    )
+    # deterministic under the fixed hash family: the realized estimates
+    # are est(a,b)=0.9375, est(b,c)=0.9375, est(a,c)=0.875 — at
+    # threshold 0.9 that is exactly a~b, b~c, a≁c
+    chain_t = 0.9
+    core = blk("core", 160)
+    a = (1, core + " " + blk("atail", 14))
+    b = (2, core)
+    c = (3, core + " " + blk("ctail", 14))
+    docs = spark.createDataFrame([a, b, c], "doc_id long, text string")
+
+    # sanity: the one-shot policy keeps ONLY a (b drops via (a,b), c via (b,c))
+    pairs = minhash_lsh_candidates(docs, num_hashes=K, bands=B, with_estimate=True)
+    matched = {
+        (r.id_a, r.id_b) for r in pairs.where(F.col("est_jaccard") >= chain_t).collect()
+    }
+    assert matched == {(1, 2), (2, 3)}  # the chain, with (1, 3) below threshold
+
+    index = empty_index(spark)
+    r1 = incremental_dedup(
+        docs.where("doc_id <= 2"), index, num_hashes=K, bands=B, est_threshold=chain_t
+    )
+    assert sorted(r.doc_id for r in r1.accepted.collect()) == [1]
+    index = index.union(r1.index_rows.select(*index.columns))
+
+    r2 = incremental_dedup(
+        docs.where("doc_id = 3"), index, num_hashes=K, bands=B, est_threshold=chain_t
+    )
+    assert [r.doc_id for r in r2.accepted.collect()] == []  # c rejected by b
+
+
+def test_index_width_mismatch_raises(spark, corpus):
+    idx = minhash_band_index(corpus.limit(5), num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="8-hash"):
+        incremental_dedup(corpus, idx, num_hashes=16, bands=4)
+
+
+def test_band_params_divisibility_guard(spark, corpus):
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_index(corpus, num_hashes=16, bands=5)
+
+
+def test_empty_increment_and_sub_shingle_docs(spark, corpus):
+    """Empty increments are no-ops; docs too short to shingle are
+    accepted (no signature → never a candidate, same contract as
+    minhash_signatures) and contribute no index rows."""
+    index = minhash_band_index(corpus, num_hashes=K, bands=B)
+    empty = corpus.where("doc_id < 0")
+    res = incremental_dedup(empty, index, num_hashes=K, bands=B)
+    assert res.accepted.count() == 0 and res.index_rows.count() == 0
+
+    short = spark.createDataFrame([(1000, "just two")], "doc_id long, text string")
+    res2 = incremental_dedup(short, index, num_hashes=K, bands=B)
+    assert [r.doc_id for r in res2.accepted.collect()] == [1000]
+    assert res2.index_rows.count() == 0
