@@ -146,3 +146,47 @@ def incremental_dedup(
     rejected = vs_index.union(within).distinct()
     accepted = new_docs.join(rejected, id_col, "left_anti")
     return IncrementalDedupResult(accepted=accepted, index_rows=new_banded)
+
+
+def fingerprint_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dedup index rows: one ``(id_col, fp)`` per document, where
+    ``fp`` is the 64-bit normalized-text fingerprint ``exact_dedup``
+    groups on.  8 bytes per doc — the exact-dup complement of
+    :func:`minhash_band_index` (which only sees docs with ≥1 shingle)."""
+    from .text import fingerprint
+
+    return docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> IncrementalDedupResult:
+    """Exact dedup of an increment against a persisted fingerprint
+    index (schema of :func:`fingerprint_index`) plus min-id dedup within
+    the increment — same policy and same one-shot parity contract as
+    :func:`incremental_dedup`, at exact-duplicate granularity.  The
+    returned ``index_rows`` again cover ALL increment docs (an exact dup
+    of a rejected doc is an exact dup of that doc's own match, so
+    survivor-only indexing happens to stay correct here — but appending
+    everything keeps the two indexes row-aligned and the policy uniform).
+
+    Scale shape: one map-side fingerprint pass over the increment, one
+    semi-join against the index on the 8-byte fp (broadcast the
+    increment's fingerprints when the index is the big side), one
+    groupBy-min within the increment."""
+    new_fp = fingerprint_index(new_docs, text_col, id_col)
+    vs_index = new_fp.join(index.select("fp"), "fp", "left_semi").select(F.col(id_col))
+    w_min = new_fp.groupBy("fp").agg(F.min(id_col).alias("_keep"))
+    within = (
+        new_fp.join(w_min, "fp")
+        .where(F.col(id_col) != F.col("_keep"))
+        .select(F.col(id_col))
+    )
+    rejected = vs_index.union(within).distinct()
+    accepted = new_docs.join(rejected, id_col, "left_anti")
+    return IncrementalDedupResult(accepted=accepted, index_rows=new_fp)

@@ -126,3 +126,42 @@ def test_empty_increment_and_sub_shingle_docs(spark, corpus):
     res2 = incremental_dedup(short, index, num_hashes=K, bands=B)
     assert [r.doc_id for r in res2.accepted.collect()] == [1000]
     assert res2.index_rows.count() == 0
+
+
+def test_incremental_exact_dedup_matches_one_shot(spark):
+    """Exact half of the incremental story: any monotone-id split keeps
+    exactly the min-id representative per normalized-text class —
+    including NULL texts (xxhash64(NULL) is the non-NULL seed hash, so
+    NULL docs form ONE class across increments) and whitespace/case
+    variants of the same class."""
+    from meta_morph_etl_databricks_spark.operators.dedup import exact_dedup
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        incremental_exact_dedup,
+    )
+
+    rows = [
+        (0, "Hello  World"),
+        (1, "hello world"),        # same class as 0
+        (2, None),
+        (3, "unique one"),
+        (4, "\thello   WORLD\n"),  # same class as 0
+        (5, None),                 # same class as 2
+        (6, "unique two"),
+        (7, ""),
+        (8, "   "),                # same class as 7 (both normalize to "")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert want == [0, 2, 3, 6, 7]  # sanity on the one-shot classes
+
+    for cuts in ([9], [4, 9], [2, 5, 9]):
+        index = spark.createDataFrame([], "doc_id long, fp long")
+        got: list[int] = []
+        lo = 0
+        for hi in cuts:
+            inc = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            res = incremental_exact_dedup(inc, index)
+            got.extend(r.doc_id for r in res.accepted.collect())
+            index = index.union(res.index_rows.select(*index.columns))
+            lo = hi
+        assert sorted(got) == want, f"split {cuts} diverged"
