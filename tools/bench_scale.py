@@ -259,6 +259,61 @@ def bench_prefilter(
     return rec
 
 
+def bench_incremental(spark, sampler: _Sampler, label: str, d: str, passes: int = 3) -> dict:
+    """The incremental-dedup claim (operators/incremental.py): serving a
+    daily increment against a MATERIALIZED band index costs
+    O(increment), while the one-shot alternative re-pays O(corpus) every
+    day.  Split the corpus 98/2 by id; the 2% tail plays the increment.
+    ``incremental`` times increment signatures + banded join against the
+    parquet index + anti-join; ``one_shot`` times the full
+    minhash_lsh_candidates over corpus+increment (what you'd run without
+    the index).  Expected shape across scale rows: incremental tracks
+    the INCREMENT size, one_shot tracks the CORPUS."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators.dedup import minhash_lsh_candidates
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _documents
+
+    docs = _documents(spark, d)
+    cut = docs.selectExpr("percentile_cont(0.98) WITHIN GROUP (ORDER BY doc_id) AS c").first()["c"]
+    corpus = docs.where(F.col("doc_id") < cut)
+    increment = docs.where(F.col("doc_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_idx_")
+    try:
+        # index build is the amortized one-time cost — measured once,
+        # outside the per-increment serve samples
+        t0 = time.time()
+        minhash_band_index(corpus).write.mode("overwrite").parquet(idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        index = spark.read.parquet(idx_dir)
+
+        inc_rec = sampler.measure(
+            lambda: incremental_dedup(increment, index).accepted.count(), passes
+        )
+        oneshot_rec = sampler.measure(
+            lambda: minhash_lsh_candidates(docs).count(), passes
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "index_build_sec": build_sec,
+        "incremental": inc_rec,
+        "one_shot_full_corpus": oneshot_rec,
+    }
+
+
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
@@ -292,6 +347,15 @@ def main() -> None:
             rec[label] = sampler.measure(lambda fn=fn, d=d: fn(spark, d).count(), n_passes)
         results[name] = rec
 
+    incremental_recs = [
+        bench_incremental(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_incremental(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:
+        incremental_recs.append(
+            bench_incremental(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -316,6 +380,12 @@ def main() -> None:
             msg += (f" -> {rec['scale100']['sec_norm']}s at 100x "
                     f"({rec['time_ratio_100']}x time, {rec['rows_ratio_100']}x rows)")
         print(msg)
+    for p in incremental_recs:
+        print(
+            f"incremental[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']} "
+            f"build={p['index_build_sec']}s serve={p['incremental']['sec_norm']}s "
+            f"vs one-shot {p['one_shot_full_corpus']['sec_norm']}s"
+        )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -351,6 +421,7 @@ def main() -> None:
         "queries": results,
         "skew_band": skew_rec,
         "minhash_prefilter": prefilter_recs,
+        "incremental_dedup": incremental_recs,
         "ivf_indexed_auto": ivf_rec,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
