@@ -23,7 +23,11 @@ from .windows import (  # noqa: F401
 )
 from .sources import events_schema, read_events_stream  # noqa: F401
 from .stateful import expiring_user_totals, running_user_totals  # noqa: F401
-from .dedup import dedup_stream, dedup_stream_exact  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_stream,
+    dedup_stream_exact,
+    stream_incremental_dedup,
+)
 from .joins import clicks_to_purchases_stream, enrich_stream, interval_join_streams  # noqa: F401
 from .sinks import (  # noqa: F401
     stream_foreach_batch_sink,

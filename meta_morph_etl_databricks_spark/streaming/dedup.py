@@ -53,3 +53,76 @@ def dedup_stream_exact(events: DataFrame, keys: list[str]) -> DataFrame:
     key count and never ages out; use :func:`dedup_stream` for
     continuous pipelines."""
     return events.dropDuplicates(keys)
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.8,
+    trigger_available_now: bool = True,
+):
+    """Continuous corpus curation: every micro-batch of documents is
+    near-dup-deduped against the persisted MinHash band index
+    (operators/incremental.py) — accepted docs append to
+    ``accepted_path``, the batch's band rows append to ``index_path``,
+    and the next micro-batch dedups against the grown index.  The
+    streaming form of the daily-increment shape: the corpus is indexed
+    exactly once, each batch pays O(batch).
+
+    Ordering/delivery contract (same honesty as the batch module):
+
+    - ids must be monotone-ish across batches for the drop-higher-id
+      policy to mean "first seen wins" (event-time ids, sequence ids);
+    - a doc id already present in the INDEX is dropped before
+      processing — cross-batch redelivery of the same document is a
+      no-op (sub-shingle docs have no index rows and re-accept on
+      redelivery; give them ids and dedupe downstream or gate them out);
+    - the index append is the LAST write per batch, so index presence
+      marks a fully-committed batch.  A crash between the accepted and
+      index appends replays the whole batch: the recomputed accepted
+      set is identical (the index it dedups against is unchanged), so
+      ``accepted_path`` is at-least-once with FULL-ROW duplicates under
+      crash-replay — read it with dropDuplicates([id]) or point the
+      accepted sink at merge_upsert for exactly-once at rewrite cost.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.incremental import incremental_dedup, minhash_band_index
+    from ..sources.sinks import path_exists
+
+    idx_schema = minhash_band_index(
+        stream.sparkSession.createDataFrame([], stream.schema),
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+    ).schema
+
+    def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if path_exists(spark, index_path):
+            index = spark.read.schema(idx_schema).parquet(index_path)
+        else:
+            index = spark.createDataFrame([], idx_schema)
+        seen = index.select(F.col(id_col)).distinct()
+        fresh = batch_df.join(seen, id_col, "left_anti")
+        if fresh.isEmpty():
+            return
+        res = incremental_dedup(
+            fresh, index, text_col, id_col, num_hashes, bands, est_threshold
+        )
+        res.accepted.write.mode("append").parquet(accepted_path)
+        res.index_rows.write.mode("append").parquet(index_path)  # commit marker
+
+    writer = stream.writeStream.foreachBatch(dedupe_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -165,3 +165,105 @@ def test_incremental_exact_dedup_matches_one_shot(spark):
             index = index.union(res.index_rows.select(*index.columns))
             lo = hi
         assert sorted(got) == want, f"split {cuts} diverged"
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_slow = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# a small template pool forces near-dup/exact-dup collisions; the tail
+# tag makes some docs near-dups (high estimate) and others unique
+_TEMPLATES = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+    "one two three four five six seven eight nine ten " * 3,
+]
+
+
+@_slow
+@given(
+    choices=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 3)), min_size=1, max_size=12
+    ),
+    cut_mask=st.integers(0, 2**11 - 1),
+)
+def test_incremental_parity_property(spark, choices, cut_mask):
+    """For ANY corpus drawn from dup-heavy templates and ANY split into
+    monotone-id increments (cut positions from a random bitmask), the
+    incremental path accepts exactly the one-shot set."""
+    rows = []
+    for i, (t, v) in enumerate(choices):
+        text = _TEMPLATES[t] + ("" if v == 0 else f" tail{v}")
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(r.doc_id for r in one_shot_accepted(docs).collect())
+
+    cuts = [i + 1 for i in range(len(rows) - 1) if cut_mask & (1 << i)] + [len(rows)]
+    index = empty_index(spark)
+    got: list[int] = []
+    lo = 0
+    for hi in cuts:
+        inc = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        res = incremental_dedup(inc, index, num_hashes=K, bands=B, est_threshold=T)
+        got.extend(r.doc_id for r in res.accepted.collect())
+        index = index.union(res.index_rows.select(*index.columns))
+        lo = hi
+    assert sorted(got) == want
+
+
+def test_stream_incremental_dedup_two_triggers(spark, tmp_path):
+    """The streaming form, run as a REAL two-trigger file stream (the
+    realized estimates under the fixed hash family: est(1,2)=est(1,4)=
+    0.875 >= 0.85, so both near-dups reject): batch 1
+    seeds the index (dups inside the batch collapse), batch 2's
+    near-dups of batch-1 docs are rejected against the PERSISTED index,
+    its redelivered batch-1 id is dropped by the seen-filter, and the
+    final accepted set equals the batch incremental path over the same
+    two increments."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    accepted_path = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    b1 = [(1, base), (2, base + " tail2"), (3, "first unique " + " ".join(f"w{j}" for j in range(25)))]
+    b2 = [
+        (4, base + " tail4"),  # near-dup of indexed doc 1 → rejected
+        (5, "second unique " + " ".join(f"v{j}" for j in range(25))),
+        (1, base),             # redelivery of a seen id → dropped, not duplicated
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_dedup(
+            stream, index_path, accepted_path, ckpt, est_threshold=0.85
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = sorted(r.doc_id for r in spark.read.parquet(accepted_path).collect())
+    assert got1 == [1, 3]  # 2 is a near-dup of 1 within the batch
+
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+    run_once()
+    got2 = sorted(r.doc_id for r in spark.read.parquet(accepted_path).collect())
+    assert got2 == [1, 3, 5]  # 4 rejected vs the index, redelivered 1 dropped
+
+    # index grew by band rows for every SEEN doc of both batches (4
+    # docs with signatures per batch incl. rejected; redelivered 1 not
+    # re-indexed): 5 distinct doc_ids
+    idx_ids = sorted(
+        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [1, 2, 3, 4, 5]
