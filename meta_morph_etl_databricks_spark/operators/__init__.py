@@ -1,6 +1,13 @@
 from .bucketing import quantile_buckets
 from .components import connected_components, dedup_by_components
-from .incremental import incremental_dedup, minhash_band_index
+from .incremental import (
+    embedding_bucket_index,
+    fingerprint_index,
+    incremental_dedup,
+    incremental_embed_near_dup,
+    incremental_exact_dedup,
+    minhash_band_index,
+)
 from .joins import anti_join, broadcast_dim, semi_join, theta_left_join, trim_join
 from .packing import chunk_documents, pack_rollup, pack_sequences
 from .sketches import heavy_hitters, merged_distinct, sketch_distinct
@@ -17,7 +24,11 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "minhash_band_index",
+    "fingerprint_index",
+    "embedding_bucket_index",
     "incremental_dedup",
+    "incremental_exact_dedup",
+    "incremental_embed_near_dup",
     "pack_sequences",
     "pack_rollup",
     "chunk_documents",

@@ -190,3 +190,101 @@ def incremental_exact_dedup(
     rejected = vs_index.union(within).distinct()
     accepted = new_docs.join(rejected, id_col, "left_anti")
     return IncrementalDedupResult(accepted=accepted, index_rows=new_fp)
+
+
+def embedding_bucket_index(
+    embeddings: DataFrame,
+    dims: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup index rows: ``(id_col, bucket, q_vec, q_norm)``
+    — the sign-random-projection LSH bucket (same fixed hyperplane
+    family as ``lsh_bucketed_pairs``: derived from (dims, n_planes)
+    alone, so increments bucket identically forever) plus the int8 code
+    and its precomputed norm.  ~(dims + 16) bytes per vector instead of
+    8·dims float64 — the index for a 1B-vector corpus fits a fraction
+    of the raw embeddings.
+
+    Corrupt vectors (NULL / empty / NaN / Inf) carry NULL codes (the
+    ``quantize_int8`` containment contract): they land in a bucket but
+    every score against them is NULL, so they never reject anything and
+    are never rejected — degraded, not poisonous."""
+    from .quantize import qnorm, quantize_int8
+    from .similarity import lsh_bucket, random_hyperplanes
+
+    planes = random_hyperplanes(dims, n_planes)
+    coded = quantize_int8(embeddings, vec_col)
+    return coded.select(
+        F.col(id_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.col("q_vec"),
+        qnorm(F.col("q_vec")).alias("q_norm"),
+    )
+
+
+def _qcos(a_code: Column, b_code: Column, a_norm: Column, b_norm: Column) -> Column:
+    from .quantize import qdot
+
+    d = qdot(a_code, b_code).cast("double")
+    return F.when((a_norm > 0) & (b_norm > 0), d / (a_norm * b_norm))
+
+
+def incremental_embed_near_dup(
+    new_embeddings: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.9,
+    dims: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IncrementalDedupResult:
+    """Embedding-cosine near-dup dedup of an increment against the
+    persisted bucket index (schema of :func:`embedding_bucket_index`) —
+    the vector-space sibling of :func:`incremental_dedup`, same policy
+    (reject on match vs index or vs a lower-id increment row; index
+    grows by ALL increment rows; monotone ids across increments — any
+    split then accepts a bit-identical set).
+
+    Scoring is the deterministic int8 cosine over the STORED codes on
+    both sides (the quantized score, not the float one — thresholds
+    mean the same thing on day 1 and day 1000, and the increment's own
+    rows are scored with exactly what gets indexed).  ``dims``/
+    ``n_planes`` must match the index's build values — the hyperplane
+    family is derived from them, and a mismatch silently empties every
+    bucket join; keep them with the index's metadata.
+
+    Scale shape: per-bucket equi-joins only (the O(n·m) cross of
+    increment×corpus never materializes), index pre-partitioned by
+    ``bucket`` makes the daily join shuffle only the increment."""
+    new_rows = embedding_bucket_index(new_embeddings, dims, n_planes, id_col, vec_col)
+    n, x = new_rows.alias("n"), index.alias("x")
+    vs_index = (
+        n.join(x, F.col("n.bucket") == F.col("x.bucket"))
+        .where(
+            _qcos(
+                F.col("n.q_vec"), F.col("x.q_vec"), F.col("n.q_norm"), F.col("x.q_norm")
+            )
+            >= threshold
+        )
+        .select(F.col(f"n.{id_col}"))
+    )
+    a, b = new_rows.alias("a"), new_rows.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            _qcos(
+                F.col("a.q_vec"), F.col("b.q_vec"), F.col("a.q_norm"), F.col("b.q_norm")
+            )
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}"))
+    )
+    rejected = vs_index.union(within).distinct()
+    accepted = new_embeddings.join(rejected, id_col, "left_anti")
+    return IncrementalDedupResult(accepted=accepted, index_rows=new_rows)

@@ -267,3 +267,65 @@ def test_stream_incremental_dedup_two_triggers(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
     )
     assert idx_ids == [1, 2, 3, 4, 5]
+
+
+def test_incremental_embed_near_dup_matches_one_shot(spark):
+    """Vector-space sibling: any monotone-id split of an embedding
+    corpus accepts the one-shot set (same bucket join + int8 cosine,
+    drop the higher id of every pair).  Corrupt vectors (NULL / NaN /
+    empty) are accepted and never reject anything — NULL scores."""
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+        incremental_embed_near_dup,
+        _qcos,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    dims = 16
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    rows = []
+    for i in range(40):
+        if i == 14:
+            v = None                                          # corrupt
+        elif i == 19:
+            v = [float("nan")] * dims                         # corrupt
+        elif i % 4 == 0:
+            v = list(base)                                   # exact dup family
+        elif i % 4 == 1:
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]  # near dup
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dims)]     # unique-ish
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # one-shot reference with the same scorer: bucket join over the
+    # whole corpus, drop the higher id of every >= t pair
+    full = embedding_bucket_index(emb, dims=dims, n_planes=6)
+    a, b = full.alias("a"), full.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).where(
+        _qcos(F.col("a.q_vec"), F.col("b.q_vec"), F.col("a.q_norm"), F.col("b.q_norm"))
+        >= 0.995
+    )
+    rejected = {r.vec_id for r in pairs.select(F.col("b.vec_id")).distinct().collect()}
+    want = sorted(i for i, _ in rows if i not in rejected)
+    assert 0 in want and 14 in want and 19 in want  # min-id kept; corrupt accepted
+    assert rejected  # the dup families must actually collide
+
+    for cuts in ([40], [20, 40], [9, 23, 40]):
+        index = spark.createDataFrame(
+            [], "vec_id long, bucket long, q_vec array<tinyint>, q_norm double"
+        )
+        got: list[int] = []
+        lo = 0
+        for hi in cuts:
+            inc = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            res = incremental_embed_near_dup(inc, index, threshold=0.995, dims=dims, n_planes=6)
+            got.extend(r.vec_id for r in res.accepted.collect())
+            index = index.union(res.index_rows.select(*index.columns))
+            lo = hi
+        assert sorted(got) == want, f"split {cuts} diverged"
