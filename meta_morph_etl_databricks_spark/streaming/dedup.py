@@ -117,8 +117,17 @@ def stream_incremental_dedup(
         res = incremental_dedup(
             fresh, index, text_col, id_col, num_hashes, bands, est_threshold
         )
-        res.accepted.write.mode("append").parquet(accepted_path)
-        res.index_rows.write.mode("append").parquet(index_path)  # commit marker
+        # index_rows is the shared subtree of BOTH writes (accepted's
+        # anti-join derives from it): persist it across the two actions
+        # so the increment's shingle→signature chain runs once per
+        # batch, not twice; freed immediately — a long-running stream
+        # must not accumulate one cache per micro-batch.
+        rows = res.index_rows.persist()
+        try:
+            res.accepted.write.mode("append").parquet(accepted_path)
+            rows.write.mode("append").parquet(index_path)  # commit marker
+        finally:
+            rows.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
         "checkpointLocation", checkpoint
