@@ -208,9 +208,12 @@ def embedding_bucket_index(
     of the raw embeddings.
 
     Corrupt vectors (NULL / empty / NaN / Inf) carry NULL codes (the
-    ``quantize_int8`` containment contract): they land in a bucket but
-    every score against them is NULL, so they never reject anything and
-    are never rejected — degraded, not poisonous."""
+    ``quantize_int8`` containment contract) and a NULL bucket: a NULL
+    bucket never equi-joins, so they can't match, can't BE matched, and
+    — the scale point — can't pile into one hot bucket (a NULL dot
+    product signs every bit 0, so without the guard every corrupt
+    vector of a 1B-row corpus would land in bucket 0 and cross-join
+    against its honest residents).  Degraded, not poisonous."""
     from .quantize import qnorm, quantize_int8
     from .similarity import lsh_bucket, random_hyperplanes
 
@@ -218,7 +221,9 @@ def embedding_bucket_index(
     coded = quantize_int8(embeddings, vec_col)
     return coded.select(
         F.col(id_col),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.when(F.col("q_vec").isNotNull(), lsh_bucket(F.col(vec_col), planes)).alias(
+            "bucket"
+        ),
         F.col("q_vec"),
         qnorm(F.col("q_vec")).alias("q_norm"),
     )

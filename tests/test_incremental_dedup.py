@@ -329,3 +329,26 @@ def test_incremental_embed_near_dup_matches_one_shot(spark):
             index = index.union(res.index_rows.select(*index.columns))
             lo = hi
         assert sorted(got) == want, f"split {cuts} diverged"
+
+
+def test_corrupt_vectors_get_null_bucket(spark):
+    """Corrupt vectors must carry a NULL bucket (never equi-join, never
+    hot-bucket): without the guard every NULL/NaN vector signs all bits
+    0 and lands in bucket 0 with the honest all-negative-dot vectors."""
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5] * 8),
+            (2, None),
+            (3, [float("nan")] * 8),
+            (4, []),
+            (5, [-0.5] * 8),  # honest vector that signs every bit 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.bucket for r in embedding_bucket_index(emb, dims=8, n_planes=4).collect()}
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    assert rows[1] is not None and rows[5] is not None
