@@ -91,27 +91,69 @@ def cosine_topk(
 
 def random_hyperplanes(dims: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state,
-    reproducible across engines/runs)."""
+    reproducible across engines/runs).
+
+    The divisor is 2^30 for a genuine [-1, 1) range: the shifted state
+    is 31 bits, and dividing by 2^31 (the original form) lands every
+    component in [-1, 0) — ALL planes then share the all-negative
+    orthant (pairwise cosine exactly (1/4)/(1/3) = 0.75, measured),
+    the sign bits collapse to ~one effective bit, and 20% of a 200k
+    isotropic corpus piles into bucket 0 / bucket 2^n−1 no matter how
+    many planes are added — 1.6B in-bucket pairs where the uniform
+    model predicts ~20M.  Bucket-size-vs-planes math (auto_n_planes)
+    only holds with planes spanning both signs."""
     planes: list[list[float]] = []
     state = seed
     for _ in range(n_planes):
         row = []
         for _ in range(dims):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+            row.append(((state >> 33) / float(1 << 30)) - 1.0)  # [-1, 1)
         planes.append(row)
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = sign(vec · plane_i).
-    Vectors in the same bucket are ANN candidates."""
+def lsh_bucket(
+    vec: Column, planes: list[list[float]], center: list[float] | None = None
+) -> Column:
+    """Sign-random-projection bucket id: bit i = sign((vec − center) ·
+    plane_i).  Vectors in the same bucket are ANN candidates.
+
+    ``center`` matters at scale: REAL embedding distributions are
+    anisotropic (vectors live in a cone around a dominant direction),
+    so uncentered sign bits correlate and occupancy collapses onto the
+    all-negative / all-positive codes — measured on the 200k-vector
+    scale corpus, buckets 0 and 2^n−1 held 40k vectors EACH (1.6B
+    in-bucket pairs; `BENCH_SCALE.md`).  Centering on the corpus mean
+    restores near-uniform occupancy, and costs nothing per row:
+    (v−c)·p = v·p − c·p, so the correction is one precomputed CONSTANT
+    per plane.  The center is part of the bucket function — store it
+    with the index and reuse it for every increment, like the planes."""
+    offsets = [0.0] * len(planes)
+    if center is not None:
+        offsets = [sum(c * p for c, p in zip(center, plane)) for plane in planes]
     code = None
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(dot(vec, p) > F.lit(float(offsets[i])), F.lit(2**i)).otherwise(F.lit(0))
         code = bit if code is None else code + bit
     return code.cast("bigint")
+
+
+def embedding_center(
+    embeddings: DataFrame, dims: int, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension mean of a vector column — the centering constant
+    for :func:`lsh_bucket`.  One pass, ``dims`` scalar aggregates
+    (element access, no explode); corrupt rows (NULL / wrong length)
+    contribute nothing.  O(corpus) once at index build, never per
+    increment."""
+    row = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
+    ).select(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dims)]).first()
+    if row is None or row["m0"] is None:
+        return [0.0] * dims
+    return [float(row[f"m{i}"]) for i in range(dims)]
 
 
 def ivf_centroids(embeddings: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
@@ -579,6 +621,7 @@ def lsh_bucketed_pairs(
     threshold: float = 0.9,
     target_bucket_size: int = 200,
     n_docs: int | None = None,
+    center: list[float] | None = None,
 ) -> DataFrame:
     """ANN near-duplicate pairs: bucket by sign-random-projection, score
     cosine only WITHIN buckets (the O(n²) join becomes per-bucket).
@@ -590,7 +633,13 @@ def lsh_bucketed_pairs(
     statistics and no sizing scan runs), else from one ``count()`` over
     the input (fine interactively; a parquet-metadata-scale job).  An
     explicit ``n_planes`` overrides — the declared query pins 8 so its
-    oracle's inlined plane constants stay in lockstep."""
+    oracle's inlined plane constants stay in lockstep.
+
+    Pass ``center`` (:func:`embedding_center`) for anisotropic corpora —
+    real embedding distributions collapse uncentered sign buckets onto
+    the two all-same-sign codes (see :func:`lsh_bucket`; measured 20%
+    of a 200k corpus in ONE bucket, fixed by centering).  Default None
+    keeps the declared query's oracle-pinned behavior."""
     if n_planes is None:
         n_planes = auto_n_planes(
             embeddings.count() if n_docs is None else n_docs, target_bucket_size
@@ -599,7 +648,7 @@ def lsh_bucketed_pairs(
     bucketed = embeddings.select(
         id_col,
         vec_col,
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(F.col(vec_col), planes, center).alias("bucket"),
         norm(F.col(vec_col)).alias("_n"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")

@@ -314,6 +314,68 @@ def bench_incremental(spark, sampler: _Sampler, label: str, d: str, passes: int 
     }
 
 
+def bench_incremental_embed(spark, sampler: _Sampler, label: str, d: str, passes: int = 3) -> dict:
+    """Embedding sibling of :func:`bench_incremental`: serve a 2% vector
+    increment against the parquet bucket index vs re-running the full
+    ``lsh_bucketed_pairs`` over corpus+increment.  Same expected shape —
+    serve tracks the increment, one-shot tracks the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+        incremental_embed_near_dup,
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        auto_n_planes,
+        lsh_bucketed_pairs,
+    )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    cut = emb.selectExpr("percentile_cont(0.98) WITHIN GROUP (ORDER BY vec_id) AS c").first()["c"]
+    corpus = emb.where(F.col("vec_id") < cut)
+    increment = emb.where(F.col("vec_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+    # size the bucket space to the corpus like production does — a fixed
+    # 8-plane space at 200k vectors means ~800-vector buckets and an
+    # O(n·bucket) pair explosion in BOTH arms
+    n_planes = auto_n_planes(n_corpus + n_inc)
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_embidx_")
+    try:
+        t0 = time.time()
+        embedding_bucket_index(corpus, n_planes=n_planes).write.mode("overwrite").parquet(idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        index = spark.read.parquet(idx_dir)
+
+        inc_rec = sampler.measure(
+            lambda: incremental_embed_near_dup(
+                increment, index, threshold=0.9, n_planes=n_planes
+            ).accepted.count(),
+            passes,
+        )
+        oneshot_rec = sampler.measure(
+            lambda: lsh_bucketed_pairs(
+                emb, n_planes=n_planes, threshold=0.9, n_docs=n_corpus + n_inc
+            ).count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "n_planes": n_planes,
+        "index_build_sec": build_sec,
+        "incremental": inc_rec,
+        "one_shot_full_corpus": oneshot_rec,
+    }
+
+
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
@@ -351,9 +413,16 @@ def main() -> None:
         bench_incremental(spark, sampler, "sf0.1", base_dir, passes=3),
         bench_incremental(spark, sampler, "scale10", scale_dir, passes=2),
     ]
+    embed_recs = [
+        bench_incremental_embed(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_incremental_embed(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
     if scale100_dir:
         incremental_recs.append(
             bench_incremental(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+        embed_recs.append(
+            bench_incremental_embed(spark, sampler, "scale100", scale100_dir, passes=1)
         )
 
     skew_rec = bench_skew_band(spark, sampler)
@@ -380,12 +449,13 @@ def main() -> None:
             msg += (f" -> {rec['scale100']['sec_norm']}s at 100x "
                     f"({rec['time_ratio_100']}x time, {rec['rows_ratio_100']}x rows)")
         print(msg)
-    for p in incremental_recs:
-        print(
-            f"incremental[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']} "
-            f"build={p['index_build_sec']}s serve={p['incremental']['sec_norm']}s "
-            f"vs one-shot {p['one_shot_full_corpus']['sec_norm']}s"
-        )
+    for tag, recs in (("incremental", incremental_recs), ("incremental_embed", embed_recs)):
+        for p in recs:
+            print(
+                f"{tag}[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']} "
+                f"build={p['index_build_sec']}s serve={p['incremental']['sec_norm']}s "
+                f"vs one-shot {p['one_shot_full_corpus']['sec_norm']}s"
+            )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -422,6 +492,7 @@ def main() -> None:
         "skew_band": skew_rec,
         "minhash_prefilter": prefilter_recs,
         "incremental_dedup": incremental_recs,
+        "incremental_embed_near_dup": embed_recs,
         "ivf_indexed_auto": ivf_rec,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
