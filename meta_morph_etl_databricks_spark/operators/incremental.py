@@ -34,10 +34,14 @@ Exact-verify pipelines pass the accepted set on to
 ``ngram_jaccard_pairs`` against their own text store.
 
 Scale shape: everything is a banded equi-join keyed on (band_idx,
-band_key).  Persist the index partitioned (or bucketed) by those keys
-and the per-increment join shuffles only the increment; the estimate is
-a codegen'd sum of k element-equality casts over the carried signature
-arrays (indexed access, not an interpreted per-row HOF).
+band_key).  Persist the index through operators/index_store.py — it
+writes the rows partitioned by a hash prefix of those keys and prunes
+each serve's read to the increment's touched buckets, which is what
+makes per-increment cost O(increment) in SCAN as well as in shuffle —
+and carries the build parameters in a metadata sidecar validated on
+every open.  The estimate is a codegen'd sum of k element-equality
+casts over the carried signature arrays (indexed access, not an
+interpreted per-row HOF).
 """
 
 from __future__ import annotations
@@ -89,6 +93,49 @@ def _est(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
     return agree.cast("double") / num_hashes
 
 
+def _validate_band_params(
+    index: DataFrame, num_hashes: int, bands: int, index_meta: dict | None
+) -> None:
+    """Build-param validation for a band index.  With ``index_meta``
+    (the persisted sidecar, operators/index_store.py) it is a pure
+    driver-side dict compare — ZERO Spark actions, which is what lets
+    the streaming sink validate every micro-batch for free.  Without
+    meta (a raw DataFrame index) it falls back to one metadata-scale
+    probe covering BOTH axes: signature width for ``num_hashes`` and
+    max band_idx for ``bands`` (every indexed doc emits all its bands,
+    so a non-empty index realizes band_idx = bands−1).  Either way a
+    mismatch raises — silently it would produce zero candidates and
+    admit every duplicate."""
+    if index_meta is not None:
+        bad = []
+        if index_meta.get("num_hashes") != num_hashes:
+            bad.append(f"num_hashes: index={index_meta.get('num_hashes')} caller={num_hashes}")
+        if index_meta.get("bands") != bands:
+            bad.append(f"bands: index={index_meta.get('bands')} caller={bands}")
+        if bad:
+            raise ValueError(
+                "index metadata mismatch (" + ", ".join(bad) + ") — use the stored "
+                "build parameters or rebuild the index"
+            )
+        return
+    probe = index.agg(
+        F.max(F.size("sig")).alias("w"), F.max("band_idx").alias("mb")
+    ).first()
+    if probe is None or probe["w"] is None:
+        return  # empty index — nothing to contradict
+    if probe["w"] != num_hashes:
+        raise ValueError(
+            f"index stores {probe['w']}-hash signatures, caller asked for "
+            f"{num_hashes} — rebuild the index or match its parameters"
+        )
+    if probe["mb"] + 1 != bands:
+        raise ValueError(
+            f"index was built with {probe['mb'] + 1} bands, caller asked for "
+            f"{bands} — band keys would never align (zero candidates, every "
+            "duplicate admitted); match the index's build parameters"
+        )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     index: DataFrame,
@@ -97,6 +144,8 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     est_threshold: float = 0.8,
+    index_meta: dict | None = None,
+    _banded: DataFrame | None = None,
 ) -> IncrementalDedupResult:
     """Dedup ``new_docs`` against the persisted band ``index`` (schema of
     :func:`minhash_band_index`) and against lower-id docs of the same
@@ -104,20 +153,23 @@ def incremental_dedup(
     one-shot-parity guarantee.
 
     ``num_hashes``/``bands`` MUST match the values the index was built
-    with — validated against the stored signature width (one metadata-
-    scale probe when the index is non-empty); a mismatch would silently
-    produce zero candidates.
+    with — validated by :func:`_validate_band_params` (driver-side dict
+    compare when ``index_meta`` is passed, one metadata-scale probe
+    otherwise); a mismatch raises rather than silently producing zero
+    candidates.  ``_banded`` lets the persisted-serve path
+    (index_store.serve_incremental_dedup) hand in the increment's band
+    rows it already computed for pfx pruning — MUST equal
+    ``minhash_band_index(new_docs, ...)``.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    probe = index.select(F.size("sig").alias("w")).first()
-    if probe is not None and probe["w"] != num_hashes:
-        raise ValueError(
-            f"index stores {probe['w']}-hash signatures, caller asked for "
-            f"{num_hashes} — rebuild the index or match its parameters"
-        )
+    _validate_band_params(index, num_hashes, bands, index_meta)
 
-    new_banded = minhash_band_index(new_docs, text_col, id_col, num_hashes, bands)
+    new_banded = (
+        _banded
+        if _banded is not None
+        else minhash_band_index(new_docs, text_col, id_col, num_hashes, bands)
+    )
 
     # vs corpus: any band-key match with estimate ≥ t disqualifies the
     # new doc (index ids are lower by the monotone-id contract)
@@ -208,13 +260,17 @@ def embedding_bucket_index(
     8·dims float64 — the index for a 1B-vector corpus fits a fraction
     of the raw embeddings.
 
-    Corrupt vectors (NULL / empty / NaN / Inf) carry NULL codes (the
-    ``quantize_int8`` containment contract) and a NULL bucket: a NULL
-    bucket never equi-joins, so they can't match, can't BE matched, and
-    — the scale point — can't pile into one hot bucket (a NULL dot
-    product signs every bit 0, so without the guard every corrupt
-    vector of a 1B-row corpus would land in bucket 0 and cross-join
-    against its honest residents).  Degraded, not poisonous.
+    Corrupt vectors (NULL / empty / NaN / Inf — and wrong-LENGTH finite
+    vectors, which are just as corrupt: ``dot``'s zip_with NULL-pads a
+    length mismatch, every sign bit falls to its otherwise(0) arm, and
+    all such rows would pile into bucket 0) carry NULL codes (the
+    ``quantize_int8`` containment contract, except wrong-length which
+    codes fine but buckets NULL) and a NULL bucket: a NULL bucket never
+    equi-joins, so they can't match, can't BE matched, and — the scale
+    point — can't pile into one hot bucket (a NULL dot product signs
+    every bit 0, so without the guard every corrupt vector of a 1B-row
+    corpus would land in bucket 0 and cross-join against its honest
+    residents).  Degraded, not poisonous.
 
     For real (anisotropic) embedding corpora pass ``center``
     (:func:`~.similarity.embedding_center` over the BOOTSTRAP corpus):
@@ -230,7 +286,8 @@ def embedding_bucket_index(
     return coded.select(
         F.col(id_col),
         F.when(
-            F.col("q_vec").isNotNull(), lsh_bucket(F.col(vec_col), planes, center)
+            F.col("q_vec").isNotNull() & (F.size(vec_col) == dims),
+            lsh_bucket(F.col(vec_col), planes, center),
         ).alias("bucket"),
         F.col("q_vec"),
         qnorm(F.col("q_vec")).alias("q_norm"),
@@ -244,6 +301,54 @@ def _qcos(a_code: Column, b_code: Column, a_norm: Column, b_norm: Column) -> Col
     return F.when((a_norm > 0) & (b_norm > 0), d / (a_norm * b_norm))
 
 
+def _validate_embed_params(
+    index: DataFrame,
+    dims: int,
+    n_planes: int,
+    center: list[float] | None,
+    index_meta: dict | None,
+) -> None:
+    """Build-param validation for an embedding bucket index.  With
+    ``index_meta`` (the sidecar) all three axes — dims, n_planes, and
+    the CENTER — compare driver-side with zero Spark actions; the
+    center is bit-part-of-the-bucket-function, so equality is exact.
+    Without meta, one metadata-scale probe checks what the data can
+    attest: stored code width (= dims) and bucket range (< 2^n_planes).
+    The probe CANNOT detect a center drift or an n_planes downgrade
+    whose buckets happen to stay in range — persist indexes through
+    index_store to get the full contract."""
+    if index_meta is not None:
+        bad = []
+        if index_meta.get("dims") != dims:
+            bad.append(f"dims: index={index_meta.get('dims')} caller={dims}")
+        if index_meta.get("n_planes") != n_planes:
+            bad.append(f"n_planes: index={index_meta.get('n_planes')} caller={n_planes}")
+        if index_meta.get("center") != center:
+            bad.append("center: differs from the index's build-time value")
+        if bad:
+            raise ValueError(
+                "embedding index metadata mismatch (" + ", ".join(bad) + ") — a "
+                "mismatched bucket function silently empties every bucket join; "
+                "use the stored build parameters (index_store.open_embedding_index)"
+            )
+        return
+    probe = index.agg(
+        F.max(F.size("q_vec")).alias("d"), F.max("bucket").alias("mb")
+    ).first()
+    if probe is None or probe["d"] is None:
+        return
+    if probe["d"] != dims:
+        raise ValueError(
+            f"index stores {probe['d']}-dim codes, caller asked for {dims} — "
+            "rebuild the index or match its parameters"
+        )
+    if probe["mb"] is not None and probe["mb"] >= (1 << n_planes):
+        raise ValueError(
+            f"index holds bucket {probe['mb']} ≥ 2^{n_planes} — it was built "
+            f"with more than {n_planes} planes; match the index's build parameters"
+        )
+
+
 def incremental_embed_near_dup(
     new_embeddings: DataFrame,
     index: DataFrame,
@@ -253,6 +358,8 @@ def incremental_embed_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     center: list[float] | None = None,
+    index_meta: dict | None = None,
+    _new_rows: DataFrame | None = None,
 ) -> IncrementalDedupResult:
     """Embedding-cosine near-dup dedup of an increment against the
     persisted bucket index (schema of :func:`embedding_bucket_index`) —
@@ -274,9 +381,17 @@ def incremental_embed_near_dup(
     ``bucket`` makes the daily join shuffle only the increment.
     ``center`` must be the index's build-time value (see
     :func:`embedding_bucket_index`) — a different center re-buckets the
-    increment and silently empties the join."""
-    new_rows = embedding_bucket_index(
-        new_embeddings, dims, n_planes, id_col, vec_col, center
+    increment and silently empties the join.  All three build params
+    are validated by :func:`_validate_embed_params` (full driver-side
+    contract with ``index_meta``, a weaker data probe without); the
+    persisted path (index_store.serve_incremental_embed_near_dup)
+    always passes the sidecar.  ``_new_rows`` lets that path hand in
+    the increment's index rows it already computed for pfx pruning."""
+    _validate_embed_params(index, dims, n_planes, center, index_meta)
+    new_rows = (
+        _new_rows
+        if _new_rows is not None
+        else embedding_bucket_index(new_embeddings, dims, n_planes, id_col, vec_col, center)
     )
     n, x = new_rows.alias("n"), index.alias("x")
     vs_index = (

@@ -145,11 +145,19 @@ def embedding_center(
 ) -> list[float]:
     """Per-dimension mean of a vector column — the centering constant
     for :func:`lsh_bucket`.  One pass, ``dims`` scalar aggregates
-    (element access, no explode); corrupt rows (NULL / wrong length)
-    contribute nothing.  O(corpus) once at index build, never per
-    increment."""
+    (element access, no explode); corrupt rows (NULL / wrong length /
+    any non-finite component) contribute nothing.  The non-finite guard
+    is load-bearing: ``avg`` propagates NaN, so ONE NaN vector in a
+    1B-row corpus would make every center component NaN — and a NaN
+    offset fails every ``dot > offset`` comparison, collapsing every
+    honest vector into bucket 0 (found by the auto-center default in
+    index_store.create_embedding_index; the max-|v| probe is the same
+    finite test quantize_int8 uses).  O(corpus) once at index build,
+    never per increment."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    finite = ~F.isnan(amax) & (amax != F.lit(float("inf")))
     row = embeddings.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims) & finite
     ).select(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dims)]).first()
     if row is None or row["m0"] is None:
         return [0.0] * dims

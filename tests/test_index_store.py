@@ -1,0 +1,245 @@
+"""Persisted index storage (operators/index_store.py): partitioned
+layout + metadata sidecar + pruned serve.
+
+The contracts under test:
+
+1. serve parity — the pfx-pruned serve path accepts EXACTLY what the
+   unpruned DataFrame-index path accepts (pruning only skips buckets
+   the increment cannot touch);
+2. sidecar validation — every build-param axis (num_hashes, bands,
+   dims, n_planes, center) raises loudly on mismatch, and the raw-
+   DataFrame fallback probe catches what the data can attest
+   (signature width, band count, code width);
+3. default-safe centering — create_embedding_index computes and
+   persists the bootstrap corpus mean, corrupt vectors (NULL / NaN /
+   wrong-length) poisoning neither the center nor a bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.operators import index_store as ix
+from meta_morph_etl_databricks_spark.operators.incremental import (
+    embedding_bucket_index,
+    incremental_dedup,
+    incremental_embed_near_dup,
+    minhash_band_index,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and then some more words " * 4
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            rows.append((i, base))
+        elif i % 5 == 1:
+            rows.append((i, base + f"tail{i}"))
+        else:
+            rows.append((i, " ".join(f"u{i}w{j}" for j in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(7)
+    dims = 16
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    rows = []
+    for i in range(40):
+        if i == 14:
+            v = None
+        elif i == 19:
+            v = [float("nan")] * dims
+        elif i == 22:
+            v = [0.5] * (dims + 3)  # wrong-length finite
+        elif i % 4 == 0:
+            v = list(base)
+        elif i % 4 == 1:
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dims)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_band_store_serve_matches_dataframe_path(spark, corpus, tmp_path):
+    """Pruned persisted serve ≡ unpruned DataFrame-index dedup, and the
+    append grows the index by ALL increment docs (the policy's
+    index-grows-by-everything rule) into the partitioned layout."""
+    d = str(tmp_path / "bandidx")
+    seed = corpus.where("doc_id < 40")
+    inc = corpus.where("doc_id >= 40")
+    meta = ix.create_band_index(seed, d, n_buckets=16)
+    assert meta == ix.read_index_meta(spark, d)
+
+    res = ix.serve_incremental_dedup(inc, d, append=True)
+    got = sorted(r.doc_id for r in res.accepted.collect())
+    plain = incremental_dedup(
+        inc, minhash_band_index(seed), index_meta={"num_hashes": 16, "bands": 4}
+    )
+    want = sorted(r.doc_id for r in plain.accepted.collect())
+    assert got == want
+
+    idx, _ = ix.open_band_index(spark, d)
+    assert idx.select("doc_id").distinct().count() == 60  # seed + ALL of inc
+    # the layout really is partitioned: pfx is a partition column with
+    # multiple directories (pruning has something to prune)
+    assert idx.select("pfx").distinct().count() > 1
+
+
+def test_band_store_multi_increment_chain(spark, corpus, tmp_path):
+    """Three persisted serves in sequence accept the same set as the
+    DataFrame-index parity tests pin against one-shot — the store
+    composes across increments, not just once."""
+    d = str(tmp_path / "chain")
+    ix.create_band_index(corpus.where("doc_id < 0"), d, n_buckets=8)  # empty bootstrap
+    got: list[int] = []
+    for lo, hi in [(0, 20), (20, 41), (41, 60)]:
+        inc = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(
+            r.doc_id for r in ix.serve_incremental_dedup(inc, d).accepted.collect()
+        )
+    # reference: single DataFrame-path run over the same increments
+    index = spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_key long, sig array<bigint>"
+    )
+    want: list[int] = []
+    for lo, hi in [(0, 20), (20, 41), (41, 60)]:
+        inc = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        res = incremental_dedup(inc, index, index_meta={"num_hashes": 16, "bands": 4})
+        want.extend(r.doc_id for r in res.accepted.collect())
+        index = index.union(res.index_rows.select(*index.columns))
+    assert sorted(got) == sorted(want)
+
+
+def test_band_meta_mismatch_raises(spark, corpus, tmp_path):
+    d = str(tmp_path / "meta")
+    ix.create_band_index(corpus.limit(10), d, n_buckets=8)
+    with pytest.raises(ValueError, match="num_hashes"):
+        ix.open_band_index(spark, d, num_hashes=8)
+    with pytest.raises(ValueError, match="bands"):
+        ix.open_band_index(spark, d, bands=8)
+    idx, meta = ix.open_band_index(spark, d)  # no expectations: fine
+    with pytest.raises(ValueError, match="num_hashes"):
+        incremental_dedup(corpus, idx.drop("pfx"), index_meta=meta, num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="bands"):
+        incremental_dedup(corpus, idx.drop("pfx"), index_meta=meta, num_hashes=16, bands=2)
+
+
+def test_band_probe_fallback_catches_bands_mismatch(spark, corpus):
+    """ADVICE r6: without a sidecar, a bands mismatch at the SAME
+    num_hashes used to silently yield zero candidates — the fallback
+    probe now checks max band_idx too."""
+    idx = minhash_band_index(corpus.limit(10), num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="8 bands"):
+        incremental_dedup(corpus, idx, num_hashes=16, bands=4)
+    # width axis still covered (the original probe's test lives in
+    # test_incremental_dedup.py::test_index_width_mismatch_raises)
+
+
+def test_open_band_index_meta_only_path_reads_empty(spark, corpus, tmp_path):
+    """Crash between sidecar write and first row write must read as an
+    EMPTY index, not a schema-inference failure."""
+    d = str(tmp_path / "metaonly")
+    (tmp_path / "metaonly").mkdir()
+    ix.write_index_meta(
+        spark,
+        d,
+        {"kind": ix.BAND_KIND, "id_col": "doc_id", "num_hashes": 16, "bands": 4, "n_buckets": 8},
+    )
+    idx, meta = ix.open_band_index(spark, d)
+    assert idx.count() == 0
+    uniq = corpus.where("doc_id in (2, 3, 4)")  # pairwise-unique docs
+    res = ix.serve_incremental_dedup(uniq, d, append=False)
+    assert res.accepted.count() == 3  # empty index rejects nothing
+
+
+def test_embed_store_auto_center_and_serve_parity(spark, emb, tmp_path):
+    """create_embedding_index's default center is the bootstrap mean
+    (finite vectors only — one NaN vector must NOT poison it into NaN,
+    which would collapse every honest vector into bucket 0), persisted
+    in the sidecar; the pruned serve accepts exactly what the
+    DataFrame path accepts with that same center."""
+    d = str(tmp_path / "embidx")
+    seed = emb.where("vec_id < 20")
+    inc = emb.where("vec_id >= 20")
+    meta = ix.create_embedding_index(seed, d, dims=16, n_planes=6, n_buckets=8)
+    assert all(math.isfinite(c) for c in meta["center"])
+    assert any(c != 0.0 for c in meta["center"])  # actually computed
+    assert ix.read_index_meta(spark, d)["center"] == meta["center"]  # JSON-exact
+
+    res = ix.serve_incremental_embed_near_dup(inc, d, threshold=0.995)
+    got = sorted(r.vec_id for r in res.accepted.collect())
+    cidx = embedding_bucket_index(seed, 16, 6, center=meta["center"])
+    plain = incremental_embed_near_dup(
+        inc, cidx, threshold=0.995, dims=16, n_planes=6, center=meta["center"]
+    )
+    want = sorted(r.vec_id for r in plain.accepted.collect())
+    assert got == want and got  # non-trivial
+
+    # append carried ALL increment rows — corrupt ones included, under
+    # the NULL-pfx partition no serve ever reads
+    idx, _ = ix.open_embedding_index(spark, d)
+    assert idx.select("vec_id").distinct().count() == 40
+    assert idx.where(F.col("pfx").isNull()).count() > 0
+
+
+def test_embed_meta_mismatch_raises_every_axis(spark, emb, tmp_path):
+    d = str(tmp_path / "embmeta")
+    meta = ix.create_embedding_index(
+        emb.where("vec_id < 20"), d, dims=16, n_planes=6, n_buckets=8
+    )
+    with pytest.raises(ValueError, match="dims"):
+        ix.open_embedding_index(spark, d, dims=8)
+    with pytest.raises(ValueError, match="n_planes"):
+        ix.open_embedding_index(spark, d, n_planes=4)
+    with pytest.raises(ValueError, match="center"):
+        ix.open_embedding_index(spark, d, center=[0.0] * 16, check_center=True)
+    idx, _ = ix.open_embedding_index(spark, d, dims=16, n_planes=6)
+    with pytest.raises(ValueError, match="center"):
+        incremental_embed_near_dup(
+            emb, idx.drop("pfx"), dims=16, n_planes=6, center=None, index_meta=meta
+        )
+
+
+def test_embed_probe_fallback_catches_dims(spark, emb):
+    idx = embedding_bucket_index(emb.where("vec_id < 20"), dims=16, n_planes=6)
+    with pytest.raises(ValueError, match="16-dim"):
+        incremental_embed_near_dup(emb, idx, dims=8, n_planes=6)
+
+
+def test_wrong_length_vector_gets_null_bucket(spark, emb):
+    """ADVICE r6: a wrong-LENGTH finite vector used to sign every bit 0
+    (zip_with NULL-pads the dot) and pile into bucket 0 with honest
+    residents; it must bucket NULL like the other corrupt classes."""
+    rows = {r.vec_id: r.bucket for r in embedding_bucket_index(emb, dims=16, n_planes=6).collect()}
+    assert rows[22] is None  # wrong-length finite
+    assert rows[14] is None and rows[19] is None  # NULL / NaN
+    assert rows[0] is not None  # honest
+
+
+def test_wrong_kind_raises(spark, corpus, emb, tmp_path):
+    bd = str(tmp_path / "b")
+    ed = str(tmp_path / "e")
+    ix.create_band_index(corpus.limit(5), bd, n_buckets=8)
+    ix.create_embedding_index(emb.where("vec_id < 10"), ed, dims=16, n_planes=4, n_buckets=8)
+    with pytest.raises(ValueError, match="kind"):
+        ix.open_embedding_index(spark, bd)
+    with pytest.raises(ValueError, match="kind"):
+        ix.open_band_index(spark, ed)
+
+
+def test_auto_index_buckets_rule():
+    assert ix.auto_index_buckets(0) == 32  # floor
+    assert ix.auto_index_buckets(1_000_000, target_rows_per_bucket=500) == 2000
+    # 10× corpus → 10× buckets → constant rows per bucket (the flat-serve argument)
+    assert ix.auto_index_buckets(10_000_000, target_rows_per_bucket=500) == 20000
+    assert ix.auto_index_buckets(10**12) == 1 << 20  # cap bounds dir count
