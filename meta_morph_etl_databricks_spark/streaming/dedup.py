@@ -55,6 +55,55 @@ def dedup_stream_exact(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
+def _seen_dir(index_path: str) -> str:
+    # underscore prefix: parquet partition discovery over the index path
+    # ignores it, like _SUCCESS / _index_meta.json
+    return f"{index_path.rstrip('/')}/_seen_ids"
+
+
+def _seen_pfx(id_col: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
+
+
+def _filter_fresh(batch_df: DataFrame, index_path: str, id_col: str, n_buckets: int) -> DataFrame:
+    """Drop ids already processed by a committed batch.  The seen store
+    is an 8-bytes/doc sidecar partitioned by an id-hash prefix: the
+    batch's touched prefixes are collected (bounded by n_buckets) and
+    the anti-join reads ONLY those partitions — O(batch) per batch, vs
+    the old design's full-index distinct() scan+shuffle every trigger."""
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import path_exists
+
+    spark = batch_df.sparkSession
+    sd = _seen_dir(index_path)
+    if not path_exists(spark, sd):
+        return batch_df
+    touched = [
+        r.p
+        for r in batch_df.select(_seen_pfx(id_col, n_buckets).alias("p")).distinct().collect()
+    ]
+    seen = (
+        spark.read.schema(f"{id_col} long, spfx int")
+        .parquet(sd)
+        .where(F.col("spfx").isin(touched))
+    )
+    return batch_df.join(seen.select(id_col), id_col, "left_anti")
+
+
+def _append_seen(ids_df: DataFrame, index_path: str, id_col: str, n_buckets: int) -> None:
+    from pyspark.sql import functions as F
+
+    (
+        ids_df.select(F.col(id_col), _seen_pfx(id_col, n_buckets).alias("spfx"))
+        .write.mode("append")
+        .partitionBy("spfx")
+        .parquet(_seen_dir(index_path))
+    )
+
+
 def stream_incremental_dedup(
     stream: DataFrame,
     index_path: str,
@@ -65,69 +114,221 @@ def stream_incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     est_threshold: float = 0.8,
+    n_buckets: int | None = None,
     trigger_available_now: bool = True,
 ):
     """Continuous corpus curation: every micro-batch of documents is
     near-dup-deduped against the persisted MinHash band index
-    (operators/incremental.py) — accepted docs append to
-    ``accepted_path``, the batch's band rows append to ``index_path``,
-    and the next micro-batch dedups against the grown index.  The
-    streaming form of the daily-increment shape: the corpus is indexed
-    exactly once, each batch pays O(batch).
+    (operators/incremental.py, stored through operators/index_store.py)
+    — accepted docs append to ``accepted_path``, the batch's band rows
+    append into the pfx-partitioned index, and the next micro-batch
+    dedups against the grown index.  The streaming form of the
+    daily-increment shape, with per-batch cost O(batch):
+
+    - the index read is PRUNED to the batch's touched pfx buckets
+      (directory-level partition pruning — the full-corpus scan the
+      r6 flat-append layout paid per batch is gone);
+    - the processed-id filter reads a compact seen-id sidecar
+      (``<index>/_seen_ids``, 8 bytes/doc, same pruning trick), not a
+      distinct() over the whole index;
+    - build params live in the index's ``_index_meta.json`` (written on
+      the first batch; ``n_buckets`` defaults to auto-sizing over that
+      batch — pass it explicitly when the steady-state corpus is known,
+      buckets should be sized to the CORPUS) and are validated
+      driver-side each batch with zero Spark actions.  Restarting the
+      sink with different num_hashes/bands raises instead of silently
+      joining nothing.
 
     Ordering/delivery contract (same honesty as the batch module):
 
     - ids must be monotone-ish across batches for the drop-higher-id
       policy to mean "first seen wins" (event-time ids, sequence ids);
-    - a doc id already present in the INDEX is dropped before
-      processing — cross-batch redelivery of the same document is a
-      no-op (sub-shingle docs have no index rows and re-accept on
-      redelivery; give them ids and dedupe downstream or gate them out);
-    - the index append is the LAST write per batch, so index presence
-      marks a fully-committed batch.  A crash between the accepted and
-      index appends replays the whole batch: the recomputed accepted
-      set is identical (the index it dedups against is unchanged), so
-      ``accepted_path`` is at-least-once with FULL-ROW duplicates under
-      crash-replay — read it with dropDuplicates([id]) or point the
-      accepted sink at merge_upsert for exactly-once at rewrite cost.
+    - a doc id recorded by a fully-committed batch is dropped before
+      processing — cross-batch redelivery is a no-op, now INCLUDING
+      sub-shingle docs (the seen sidecar records every processed id,
+      not just ids with band rows);
+    - per-batch write order is accepted → index rows → seen ids, so a
+      crash replays the whole batch against consistent state: before
+      the index append the recomputed accepted set is identical (the
+      index is unchanged); after it, the batch's own band rows are in
+      the index and every shingled doc self-matches (est 1.0) so no
+      wrong acceptance ever lands — in both windows ``accepted_path``
+      is at-least-once with FULL-ROW duplicates only.  Read it with
+      dropDuplicates([id]) or point the accepted sink at merge_upsert
+      for exactly-once at rewrite cost.  Replayed index appends can
+      duplicate band rows (duplicate candidates collapse in the
+      rejected-set distinct; compact the index offline if storage
+      matters).
     """
-    from pyspark.sql import functions as F
-
+    from ..operators import index_store as ix
     from ..operators.incremental import incremental_dedup, minhash_band_index
-    from ..sources.sinks import path_exists
-
-    idx_schema = minhash_band_index(
-        stream.sparkSession.createDataFrame([], stream.schema),
-        text_col,
-        id_col,
-        num_hashes,
-        bands,
-    ).schema
 
     def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if path_exists(spark, index_path):
-            index = spark.read.schema(idx_schema).parquet(index_path)
-        else:
-            index = spark.createDataFrame([], idx_schema)
-        seen = index.select(F.col(id_col)).distinct()
-        fresh = batch_df.join(seen, id_col, "left_anti")
+        meta = ix.read_index_meta(spark, index_path)
+        if meta is None:
+            meta = {
+                "kind": ix.BAND_KIND,
+                "id_col": id_col,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
+            }
+            ix.write_index_meta(spark, index_path, meta)
+        elif meta.get("kind") != ix.BAND_KIND:
+            raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+        nb = meta["n_buckets"]
+
+        # persist the seen-filtered batch AND its band rows: fresh
+        # feeds isEmpty, the banding, the accepted anti-join, and the
+        # seen append; banded feeds the touched-pfx probe, both dedup
+        # joins, and the index append.  Both freed before return — a
+        # long-running stream must not accumulate caches.
+        from pyspark.sql import functions as F
+
+        fresh = _filter_fresh(batch_df, index_path, id_col, nb).persist()
         if fresh.isEmpty():
+            fresh.unpersist()
             return
-        res = incremental_dedup(
-            fresh, index, text_col, id_col, num_hashes, bands, est_threshold
+        banded = (
+            minhash_band_index(fresh, text_col, id_col, num_hashes, bands)
+            .withColumn("pfx", ix._band_pfx(nb))
+            .persist()
         )
-        # index_rows is the shared subtree of BOTH writes (accepted's
-        # anti-join derives from it): persist it across the two actions
-        # so the increment's shingle→signature chain runs once per
-        # batch, not twice; freed immediately — a long-running stream
-        # must not accumulate one cache per micro-batch.
-        rows = res.index_rows.persist()
         try:
+            touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
+            full = spark.read.schema(ix._band_schema(id_col)).parquet(index_path)
+            index = (
+                full.where(F.col("pfx").isin(touched))
+                if touched
+                else full.where(F.lit(False))
+            )
+            res = incremental_dedup(
+                fresh,
+                index.drop("pfx"),
+                text_col,
+                id_col,
+                num_hashes,
+                bands,
+                est_threshold,
+                index_meta=meta,
+                _banded=banded.drop("pfx"),
+            )
             res.accepted.write.mode("append").parquet(accepted_path)
-            rows.write.mode("append").parquet(index_path)  # commit marker
+            banded.write.mode("append").partitionBy("pfx").parquet(index_path)
+            _append_seen(fresh, index_path, id_col, nb)  # commit marker
         finally:
-            rows.unpersist()
+            banded.unpersist()
+            fresh.unpersist()
+
+    writer = stream.writeStream.foreachBatch(dedupe_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_incremental_embed_near_dup(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    dims: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: list[float] | str | None = "auto",
+    n_buckets: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Embedding sibling of :func:`stream_incremental_dedup`:
+    continuous embedding-corpus curation against the persisted bucket
+    index — same policy (reject vs index or vs a lower-id row of the
+    same batch, index grows by ALL rows), same pruned-read + seen-
+    sidecar O(batch) shape, same accepted → index → seen commit order
+    and at-least-once accepted contract.
+
+    ``center="auto"`` computes the corpus mean from the FIRST batch
+    (the stream's bootstrap corpus) and persists it in the sidecar —
+    every later batch buckets with that exact value; restarting with
+    different dims/n_planes raises via the sidecar validation.  For
+    crash-replay the self-match argument holds with one nuance: a
+    CORRUPT vector (NULL bucket) never self-matches, so replayed
+    corrupt rows re-accept like sub-shingle docs — full-row duplicates,
+    same dropDuplicates([id]) read contract."""
+    from ..operators import index_store as ix
+    from ..operators.incremental import (
+        embedding_bucket_index,
+        incremental_embed_near_dup,
+    )
+
+    def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import embedding_center
+
+        spark = batch_df.sparkSession
+        meta = ix.read_index_meta(spark, index_path)
+        if meta is None:
+            c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
+            meta = {
+                "kind": ix.EMBED_KIND,
+                "id_col": id_col,
+                "dims": dims,
+                "n_planes": n_planes,
+                "center": c,
+                "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
+            }
+            ix.write_index_meta(spark, index_path, meta)
+        elif meta.get("kind") != ix.EMBED_KIND:
+            raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+        nb = meta["n_buckets"]
+
+        fresh = _filter_fresh(batch_df, index_path, id_col, nb).persist()
+        if fresh.isEmpty():
+            fresh.unpersist()
+            return
+        new_rows = (
+            embedding_bucket_index(
+                fresh, meta["dims"], meta["n_planes"], id_col, vec_col, meta["center"]
+            )
+            .withColumn("pfx", ix._bucket_pfx(nb))
+            .persist()
+        )
+        try:
+            touched = [
+                r.pfx
+                for r in new_rows.select("pfx")
+                .where(F.col("pfx").isNotNull())
+                .distinct()
+                .collect()
+            ]
+            full = spark.read.schema(ix._embed_schema(id_col)).parquet(index_path)
+            index = (
+                full.where(F.col("pfx").isin(touched))
+                if touched
+                else full.where(F.lit(False))
+            )
+            res = incremental_embed_near_dup(
+                fresh,
+                index.drop("pfx"),
+                threshold,
+                meta["dims"],
+                meta["n_planes"],
+                id_col,
+                vec_col,
+                meta["center"],
+                index_meta=meta,
+                _new_rows=new_rows.drop("pfx"),
+            )
+            res.accepted.write.mode("append").parquet(accepted_path)
+            new_rows.write.mode("append").partitionBy("pfx").parquet(index_path)
+            _append_seen(fresh, index_path, id_col, nb)  # commit marker
+        finally:
+            new_rows.unpersist()
+            fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
         "checkpointLocation", checkpoint

@@ -269,6 +269,161 @@ def test_stream_incremental_dedup_two_triggers(spark, tmp_path):
     assert idx_ids == [1, 2, 3, 4, 5]
 
 
+def test_stream_crash_replay_accepted_at_least_once(spark, tmp_path):
+    """The documented crash contract, realized: a crash AFTER the
+    accepted append but BEFORE the index append replays the whole batch
+    against an unchanged index — the recomputed accepted set is
+    identical, so accepted_path holds FULL-ROW duplicates that
+    dropDuplicates([id]) resolves, and the replayed batch's index/seen
+    writes land normally (a later near-dup of its docs is rejected)."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    accepted_path = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    uniq5 = "second unique " + " ".join(f"v{j}" for j in range(25))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_dedup(
+            stream, index_path, accepted_path, ckpt, est_threshold=0.85
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, base), (3, "first unique " + " ".join(f"w{j}" for j in range(25)))]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    run_once()
+
+    # simulate the crash window: batch 2's accepted rows were written,
+    # then the process died before the index/seen appends and before
+    # the checkpoint commit — so the file lands in accepted_path but
+    # the stream will replay the batch in full
+    b2 = [(4, base + " tail4"), (5, uniq5)]
+    spark.createDataFrame([(5, uniq5)], schema).write.mode("append").parquet(accepted_path)
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+    run_once()
+
+    raw = [r.doc_id for r in spark.read.parquet(accepted_path).collect()]
+    assert sorted(raw) == [1, 3, 5, 5]  # full-row duplicate of 5, nothing else
+    dedup = spark.read.parquet(accepted_path).dropDuplicates(["doc_id"])
+    assert sorted(r.doc_id for r in dedup.collect()) == [1, 3, 5]
+
+    # the replayed batch's index append landed: a near-dup of doc 5
+    # (scaled copy semantics don't apply to text — reuse its text) is
+    # rejected by the index in batch 3
+    spark.createDataFrame([(7, uniq5 + " x")], schema).write.parquet(str(src / "b3"))
+    run_once()
+    final = spark.read.parquet(accepted_path).dropDuplicates(["doc_id"])
+    assert sorted(r.doc_id for r in final.collect()) == [1, 3, 5]
+    idx_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [1, 3, 4, 5, 7]
+
+
+def test_replay_self_match_never_reaccepts(spark, tmp_path):
+    """The property the post-index-append crash window relies on: once
+    an increment's band rows are in the index, re-serving the SAME
+    increment accepts nothing (every shingled doc self-matches at
+    est = 1.0) except sub-shingle docs, which have no band rows and
+    re-accept by documented contract."""
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+            (2, "one two three four five six seven eight nine ten " * 5),
+            (3, "tiny"),  # sub-shingle: no band rows ever
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    ix.create_band_index(docs.where("doc_id < 0"), d, n_buckets=8)
+    first = ix.serve_incremental_dedup(docs, d, append=True)
+    assert sorted(r.doc_id for r in first.accepted.collect()) == [1, 2, 3]
+    replay = ix.serve_incremental_dedup(docs, d, append=False)
+    assert sorted(r.doc_id for r in replay.accepted.collect()) == [3]
+
+
+def test_stream_incremental_embed_two_triggers(spark, tmp_path):
+    """Embedding sibling of the two-trigger stream test: batch 1 seeds
+    the index (a scaled copy — identical direction, identical int8
+    codes, qcos exactly 1.0 — collapses within the batch), batch 2's
+    scaled copy of an indexed vector is rejected against the PERSISTED
+    index, its redelivered batch-1 id is dropped by the seen sidecar,
+    and its corrupt (NULL) vector is accepted with a NULL bucket."""
+    import random
+
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_embed_near_dup,
+    )
+
+    rng = random.Random(11)
+    dims = 16
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    uniq3 = [rng.uniform(-1, 1) for _ in range(dims)]
+    uniq5 = [rng.uniform(-1, 1) for _ in range(dims)]
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    index_path = str(tmp_path / "eindex")
+    accepted_path = str(tmp_path / "eaccepted")
+    ckpt = str(tmp_path / "eckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_embed_near_dup(
+            stream,
+            index_path,
+            accepted_path,
+            ckpt,
+            threshold=0.995,
+            dims=dims,
+            n_planes=6,
+            center=None,  # uncentered: scaled copies share buckets by sign
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, base), (2, [x * 1.5 for x in base]), (3, uniq3)]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    run_once()
+    got1 = sorted(r.vec_id for r in spark.read.parquet(accepted_path).collect())
+    assert got1 == [1, 3]  # 2 is a scaled copy of 1 within the batch
+
+    b2 = [
+        (4, [x * 0.5 for x in base]),  # scaled copy of indexed 1 → rejected
+        (5, uniq5),
+        (6, None),                     # corrupt → accepted, NULL bucket
+        (1, base),                     # redelivered id → dropped by seen
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+    run_once()
+    got2 = sorted(r.vec_id for r in spark.read.parquet(accepted_path).collect())
+    assert got2 == [1, 3, 5, 6]
+
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path)
+    idx_ids = sorted(r.vec_id for r in idx.select("vec_id").distinct().collect())
+    assert idx_ids == [1, 2, 3, 4, 5, 6]  # ALL seen rows incl. rejected + corrupt
+    # the corrupt row sits under the NULL pfx partition — invisible to
+    # every pruned serve read
+    assert [r.vec_id for r in idx.where(F.col("pfx").isNull()).collect()] == [6]
+    # sidecar meta pinned the build params
+    from meta_morph_etl_databricks_spark.operators.index_store import read_index_meta
+
+    meta = read_index_meta(spark, index_path)
+    assert meta["dims"] == dims and meta["n_planes"] == 6 and meta["center"] is None
+
+
 def test_incremental_embed_near_dup_matches_one_shot(spark):
     """Vector-space sibling: any monotone-id split of an embedding
     corpus accepts the one-shot set (same bucket join + int8 cosine,
