@@ -67,6 +67,11 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     # pass + count + filtered exact confirm ≈ 3 extra scans of orders
     # next to distinct's one.
     "q_distinct_status": (6, ["q_distinct_status", ("q_distinct_status", 3.0)]),
+    # r7: incremental-parity arm folded into the curation query — one
+    # more minhash chain over the full documents table (three id-range
+    # increments, banded joins against the growing in-plan index) ≈ the
+    # candidates stage ≈ 1x the prior whole query.
+    "q_corpus_curation": (7, ["q_corpus_curation", ("q_corpus_curation", 1.0)]),
 }
 
 
@@ -114,6 +119,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_corpus_split": ("variant", ["split", "mix"]),
     "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
+    "q_corpus_curation": ("variant", ["curation", "incremental"]),
 }
 
 

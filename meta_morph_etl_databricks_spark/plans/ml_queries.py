@@ -830,6 +830,23 @@ _CUR_MINQ, _CUR_JT = 0.94, 0.2
 _S1_PAIRS = _MINHASH_PAIRS.replace("FROM documents", "FROM s1")
 _S1_SHINGLES = _SHINGLES.replace("FROM documents", "FROM s1")
 
+# incremental arm: the MinHash-ESTIMATE dedup policy (operators/
+# incremental.py) run as three id-range increments on the engine side,
+# oracled by the ONE-SHOT est-dedup over the full corpus — the module's
+# parity contract (any monotone-id split accepts a bit-identical set)
+# IS the thing this arm checks end to end.  Threshold note: the engine
+# bands with 64-bit xxhash keys, the oracle with exact VARCHAR concat
+# keys, so their CANDIDATE sets can differ by xxhash collisions — but
+# est >= 13/16 (threshold 0.8) pigeonholes at least one fully-agreeing
+# band (3 misses cannot break all 4 bands), so every est-passing pair
+# is a true band match on BOTH engines and the REJECTED sets are
+# engine-independent.  A threshold <= 12/16 would lose that guarantee.
+_INC_T = 0.8
+_EST_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+    for i in range(_NUM_HASHES)
+)
+
 
 @register(
     "q_corpus_curation",
@@ -849,24 +866,119 @@ _S1_SHINGLES = _SHINGLES.replace("FROM documents", "FROM s1")
         FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
         WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= {_CUR_JT}
+    ),
+    inc_sigs AS ({_SIGS}),
+    inc_valid AS (
+        SELECT * FROM inc_sigs
+        WHERE NOT list_contains(list_transform(sig, x -> x IS NULL), true)
+    ),
+    inc_banded AS (
+        SELECT doc_id, (u).b AS band_idx, (u).k AS band_key
+        FROM inc_valid, UNNEST([{_BAND_STRUCTS}]) AS t(u)
+    ),
+    inc_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inc_banded a JOIN inc_banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    -- one-shot est-dedup: drop the higher id of every pair whose
+    -- MinHash estimate (agreeing components / {_NUM_HASHES}) clears the
+    -- threshold — by the incremental module's parity contract this is
+    -- EXACTLY what the engine's three-increment run must accept
+    inc_rej AS (
+        SELECT DISTINCT c.id_b
+        FROM inc_cand c
+        JOIN inc_valid sa ON c.id_a = sa.doc_id
+        JOIN inc_valid sb ON c.id_b = sb.doc_id
+        WHERE CAST({_EST_AGREE_SQL} AS DOUBLE) / {_NUM_HASHES} >= {_INC_T}
     )
-    SELECT detected_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    SELECT 'curation' AS variant, detected_lang AS grp,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS metric
     FROM s1 WHERE doc_id NOT IN (SELECT id_b FROM near)
     GROUP BY detected_lang
+    UNION ALL
+    SELECT 'incremental' AS variant, lang AS grp,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS metric
+    FROM documents WHERE doc_id NOT IN (SELECT id_b FROM inc_rej)
+    GROUP BY lang
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship training-data pipeline composition: quality gate →
-    exact dedup → MinHash-LSH + Jaccard near-dup removal → per-language
-    corpus rollup.  One oracle checks the whole chain end to end."""
+    """Corpus curation, tagged union (one registry slot):
+
+    - ``variant='curation'`` — the flagship training-data pipeline
+      composition: quality gate → exact dedup → MinHash-LSH + Jaccard
+      near-dup removal → per-language corpus rollup.  One oracle checks
+      the whole chain end to end.
+    - ``variant='incremental'`` — the daily-increment production shape
+      (operators/incremental.py) exercised END TO END: the corpus is
+      split into three monotone-id increments, each deduped against the
+      band index grown by its predecessors (est-threshold policy), and
+      the accepted union rolls up per source language with an id-sum
+      checksum.  The oracle is the ONE-SHOT estimate dedup over the
+      full corpus — the module's split-invariance parity contract made
+      hash-checkable.
+    """
+    from ..operators.incremental import incremental_dedup
+
     docs = _documents(spark, sf_dir)
-    surviving = D.curate_corpus(
-        docs, min_quality=_CUR_MINQ, jaccard_threshold=_CUR_JT
+    surviving = D.curate_corpus(docs, min_quality=_CUR_MINQ, jaccard_threshold=_CUR_JT)
+    curation = (
+        surviving.groupBy("detected_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("metric"),
+        )
+        .select(
+            F.lit("curation").alias("variant"),
+            F.col("detected_lang").alias("grp"),
+            "n_docs",
+            "metric",
+        )
     )
-    return surviving.groupBy("detected_lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+
+    # three fixed id-range increments (one bounded max() probe sizes
+    # the cuts; ids are monotone by construction, the policy's contract)
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = sorted({hi // 3, (2 * hi) // 3, hi + 1})
+    index = spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_key long, sig array<bigint>"
     )
+    meta = {"num_hashes": _NUM_HASHES, "bands": _BANDS}  # dict-validated, no probe
+    accepted = None
+    lo = None
+    for cut in cuts:
+        cond = (F.col("doc_id") < cut) if lo is None else (
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < cut)
+        )
+        res = incremental_dedup(
+            docs.where(cond),
+            index,
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            est_threshold=_INC_T,
+            index_meta=meta,
+        )
+        accepted = (
+            res.accepted if accepted is None else accepted.unionByName(res.accepted)
+        )
+        index = index.union(res.index_rows.select(*index.columns))
+        lo = cut
+    incremental = (
+        accepted.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("metric"),
+        )
+        .select(
+            F.lit("incremental").alias("variant"),
+            F.col("lang").alias("grp"),
+            "n_docs",
+            "metric",
+        )
+    )
+    return curation.unionByName(incremental)
 
 
 # ------------------------------------------------------------- sampling
