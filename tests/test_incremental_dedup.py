@@ -486,6 +486,133 @@ def test_incremental_embed_near_dup_matches_one_shot(spark):
         assert sorted(got) == want, f"split {cuts} diverged"
 
 
+def test_est_threshold_exact_boundary(spark):
+    """Boundary audit (the round-6 method): realize the MinHash
+    estimate EXACTLY at the threshold and pin the one-sided ``est >= t``
+    semantics.  Index rows are crafted from a real doc's band rows with
+    exactly 3 (then 4) signature components perturbed — all inside band
+    0, so bands 1–3 still key-match — giving est = 13/16 = 0.8125
+    (then 12/16 = 0.75) with no rounding anywhere: at t == est the doc
+    is REJECTED (>= passes at exact equality), at the very next double
+    it is accepted."""
+    import math
+
+    doc = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3)],
+        "doc_id long, text string",
+    )
+    band_rows = minhash_band_index(doc, num_hashes=K, bands=B).collect()
+    assert len(band_rows) == B
+
+    def crafted_index(n_perturbed: int):
+        rows = []
+        for r in band_rows:
+            sig = list(r.sig)
+            for i in range(n_perturbed):  # all in band 0 (h0..h3)
+                sig[i] += 1
+            rows.append((0, r.band_idx, r.band_key, sig))
+        return spark.createDataFrame(
+            rows, "doc_id long, band_idx int, band_key long, sig array<bigint>"
+        )
+
+    for n_pert, est in [(3, 13 / 16), (4, 12 / 16)]:
+        idx = crafted_index(n_pert)
+        at_t = incremental_dedup(doc, idx, num_hashes=K, bands=B, est_threshold=est)
+        assert at_t.accepted.count() == 0, f"est == t must reject (est={est})"
+        above = incremental_dedup(
+            doc, idx, num_hashes=K, bands=B, est_threshold=math.nextafter(est, 1.0)
+        )
+        assert above.accepted.count() == 1, f"est < t must accept (est={est})"
+
+
+def test_est_vs_exact_jaccard_disagreement_band(spark):
+    """Precision contract of estimate-based thresholding: decisions can
+    flip vs exact Jaccard only in a NARROW band around the threshold.
+    A ladder of pairs with arithmetically-controlled true Jaccard
+    (shared-prefix construction: J = s/(s+2k) exactly, distinct
+    shingles) is scored by both the exact verify and the 16-hash
+    estimate.  Under the fixed hash family the flips are a fixed fact:
+    every decision flip at t=0.8 has |J − t| <= 0.105 (~1σ of the
+    estimator: sqrt(J(1−J)/16) ≈ 0.1), and pairs farther than 0.12
+    from the threshold NEVER flip.  This quantifies what the
+    incremental path's 1/16-granularity verification trades away vs
+    the one-shot exact-Jaccard pipeline (est-dedup is a coarser
+    POLICY, not an approximation of the exact one — its parity
+    contract is with the est one-shot, q_corpus_curation arm
+    'incremental')."""
+    rows = []
+    ladder = []  # (id_a, id_b, true_jaccard)
+    k = 3
+    for p, s in enumerate([6, 10, 14, 18, 20, 22, 24, 26, 28, 30, 34, 40, 50, 60, 80, 120]):
+        shared = [f"p{p}s{i}" for i in range(s + 2)]
+        rows.append((2 * p, " ".join(shared + [f"p{p}xa{i}" for i in range(k)])))
+        rows.append((2 * p + 1, " ".join(shared + [f"p{p}xb{i}" for i in range(k)])))
+        ladder.append((2 * p, 2 * p + 1, s / (s + 2 * k)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = minhash_lsh_candidates(docs, num_hashes=K, bands=B, with_estimate=True)
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in cands.collect()}
+    from meta_morph_etl_databricks_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=-1.0, candidates=cands).collect()
+    }
+    t = 0.8
+    flips = []
+    for a, b, j_true in ladder:
+        j = exact.get((a, b), 0.0)
+        assert j == pytest.approx(j_true, abs=5e-5)  # construction arithmetic holds
+        e = est.get((a, b))  # missing candidate = no band match = below t
+        dec_exact = j_true >= t
+        dec_est = e is not None and e >= t
+        if dec_exact != dec_est:
+            flips.append((j_true, e))
+            assert abs(j_true - t) <= 0.105, f"flip too far from t: J={j_true} est={e}"
+        elif abs(j_true - t) >= 0.12:
+            pass  # far pairs must agree — reaching here means they did
+    assert flips, "ladder must realize at least one flip or the band is untested"
+
+
+def test_int8_cosine_exact_boundary(spark):
+    """Boundary audit for the embedding path's quantized-cosine cut
+    (incremental_embed_near_dup thresholds ``qcos >= t``): vectors
+    chosen so the int8 codes are exact ([127,0,0,...] and [127,0,95,...]
+    — 0.75·127 = 95.25 rounds to 95 deterministically) give
+    qcos = 16129 / (sqrt(25154)·127) computed in pure IEEE double ops
+    that Python mirrors bit-for-bit.  At threshold == qcos the pair is
+    rejected (>= at exact equality); at the very next double it is
+    accepted.  Both vectors provably share LSH bucket 3 under the fixed
+    plane family (asserted), so the bucket join cannot mask the
+    threshold."""
+    import math
+
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+        incremental_embed_near_dup,
+    )
+
+    dims, n_planes = 16, 4
+    a = [1.0] + [0.0] * (dims - 1)
+    b = [1.0, 0.0, 0.75] + [0.0] * (dims - 3)
+    corpus = spark.createDataFrame([(0, a)], "vec_id long, embedding array<double>")
+    inc = spark.createDataFrame([(1, b)], "vec_id long, embedding array<double>")
+
+    idx = embedding_bucket_index(corpus, dims=dims, n_planes=n_planes)
+    inc_rows = embedding_bucket_index(inc, dims=dims, n_planes=n_planes)
+    buckets = {r.vec_id: r.bucket for r in idx.union(inc_rows).collect()}
+    assert buckets[0] == buckets[1] == 3  # same bucket — join reaches the cut
+
+    # the engine's _qcos order: d / (n.q_norm * x.q_norm), n = increment
+    t = 16129.0 / (math.sqrt(25154.0) * 127.0)
+    at_t = incremental_embed_near_dup(inc, idx, threshold=t, dims=dims, n_planes=n_planes)
+    assert at_t.accepted.count() == 0, "qcos == t must reject"
+    above = incremental_embed_near_dup(
+        inc, idx, threshold=math.nextafter(t, 1.0), dims=dims, n_planes=n_planes
+    )
+    assert above.accepted.count() == 1, "qcos < t must accept"
+
+
 def test_corrupt_vectors_get_null_bucket(spark):
     """Corrupt vectors must carry a NULL bucket (never equi-join, never
     hot-bucket): without the guard every NULL/NaN vector signs all bits
