@@ -85,11 +85,9 @@ def _filter_fresh(batch_df: DataFrame, index_path: str, id_col: str, n_buckets: 
         r.p
         for r in batch_df.select(_seen_pfx(id_col, n_buckets).alias("p")).distinct().collect()
     ]
-    seen = (
-        spark.read.schema(f"{id_col} long, spfx int")
-        .parquet(sd)
-        .where(F.col("spfx").isin(touched))
-    )
+    from ..operators.index_store import pruned_read
+
+    seen = pruned_read(spark, sd, f"{id_col} long, spfx int", touched, prefix="spfx")
     return batch_df.join(seen.select(id_col), id_col, "left_anti")
 
 
@@ -197,12 +195,7 @@ def stream_incremental_dedup(
         )
         try:
             touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
-            full = spark.read.schema(ix._band_schema(id_col)).parquet(index_path)
-            index = (
-                full.where(F.col("pfx").isin(touched))
-                if touched
-                else full.where(F.lit(False))
-            )
+            index = ix.pruned_read(spark, index_path, ix._band_schema(id_col), touched)
             res = incremental_dedup(
                 fresh,
                 index.drop("pfx"),
@@ -305,12 +298,7 @@ def stream_incremental_embed_near_dup(
                 .distinct()
                 .collect()
             ]
-            full = spark.read.schema(ix._embed_schema(id_col)).parquet(index_path)
-            index = (
-                full.where(F.col("pfx").isin(touched))
-                if touched
-                else full.where(F.lit(False))
-            )
+            index = ix.pruned_read(spark, index_path, ix._embed_schema(id_col), touched)
             res = incremental_embed_near_dup(
                 fresh,
                 index.drop("pfx"),

@@ -106,17 +106,32 @@ class _Sampler:
         return round(cal_ref, 3)
 
 
-def bench_ivf_indexed(spark, sf_dir: str) -> dict:
+def bench_ivf_indexed(spark, sf_dir: str, recall_queries: int = 20) -> dict:
     """Auto-sized IVF with the index/serve split: seed-rule codebook at
     nlist=√n, assignment kernel auto-picked (BLAS matmul past 64 lists),
     index persisted once, then one 5-query serve batch at nprobe=5% of
     the list space.  build_sec is the amortized cost; probe_sec is the
-    per-batch serve cost the √n rule keeps sublinear."""
+    per-batch serve cost the √n rule keeps sublinear.
+
+    VERDICT r6 #6: latency without recall is half a measurement — the
+    record now also reports recall@10 vs brute-force ground truth for
+    both the float IVF and the IVF-PQ (ADC) serve paths, at nprobe=2
+    (the declared-query floor) and at auto_nprobe (the 5% dial).  The
+    auto dial must hold recall ≥ 0.9 at every corpus size or it is
+    mis-sized; nprobe=2 SHOWS the recall floor the fixed setting pays
+    at scale (2/nlist of the list space shrinks as √n grows)."""
     from pyspark.sql import functions as F
 
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_codebooks_from_codes,
+        quantize_int8,
+    )
     from meta_morph_etl_databricks_spark.operators.similarity import (
         auto_nlist,
         auto_nprobe,
+        cosine_topk,
         ivf_centroids,
         ivf_index,
         ivf_topk_indexed,
@@ -136,6 +151,43 @@ def bench_ivf_indexed(spark, sf_dir: str) -> dict:
     t0 = time.time()
     rows = ivf_topk_indexed(idx, q, cents, k=10, nprobe=nprobe, exclude_self=True).count()
     probe = time.time() - t0
+
+    # ---- recall@10 vs brute force (untimed; more queries than the
+    # timed batch for a tighter estimate)
+    qr = emb.filter(f"vec_id < {recall_queries}").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_sets(df) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for r in df.select("query_id", "vec_id").collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    truth = topk_sets(cosine_topk(emb, qr, k=10, exclude_self=True))
+
+    def recall_of(df) -> float:
+        got = topk_sets(df)
+        per_q = [
+            len(got.get(qid, set()) & ids) / max(len(ids), 1)
+            for qid, ids in truth.items()
+        ]
+        return round(sum(per_q) / max(len(per_q), 1), 4)
+
+    cb = pq_codebooks_from_codes(quantize_int8(emb).select("vec_id", "q_vec"), m=4, ksub=16)
+    pq_idx = ivf_pq_index(emb, cents, cb).persist()
+    pq_idx.count()
+    recall = {}
+    for tag, npb in [("nprobe=2", 2), (f"auto({nprobe})", nprobe)]:
+        recall[tag] = {
+            "ivf": recall_of(
+                ivf_topk_indexed(idx, qr, cents, k=10, nprobe=npb, exclude_self=True)
+            ),
+            "ivfpq": recall_of(
+                ivf_pq_topk(pq_idx, qr, cents, cb, k=10, nprobe=npb, exclude_self=True)
+            ),
+        }
+    pq_idx.unpersist()
     idx.unpersist()
     return {
         "n": n,
@@ -144,6 +196,118 @@ def bench_ivf_indexed(spark, sf_dir: str) -> dict:
         "build_sec": round(build, 2),
         "probe_sec": round(probe, 2),
         "rows": rows,
+        "recall_queries": recall_queries,
+        "recall_at_10": recall,
+    }
+
+
+def bench_incremental_partitioned(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 3, inc_docs: int = 32
+) -> dict:
+    """VERDICT r6 #1 — the flat-serve proof: a FIXED-size increment
+    served against the pfx-partitioned persisted index
+    (operators/index_store.py) must cost ~the same whether the corpus
+    behind the index is 49k or 490k docs, because auto_index_buckets
+    scales the bucket count with the corpus (constant rows per bucket)
+    and the serve reads only the increment's touched buckets.  The r6
+    flat-append layout re-scanned the whole index per serve and grew
+    1.39→1.61→3.7 s across 4.9k→49k→490k.  ``touched_buckets`` is
+    recorded so the pruned fraction is visible next to the time."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _documents
+
+    docs = _documents(spark, d)
+    cut = (
+        docs.orderBy(F.col("doc_id").desc())
+        .limit(inc_docs)
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    corpus = docs.where(F.col("doc_id") < cut)
+    increment = docs.where(F.col("doc_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_pidx_")
+    try:
+        t0 = time.time()
+        meta = ix.create_band_index(corpus, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        touched = (
+            ix.minhash_band_index(increment)
+            .select(ix._band_pfx(meta["n_buckets"]).alias("p"))
+            .distinct()
+            .count()
+        )
+        serve_rec = sampler.measure(
+            lambda: ix.serve_incremental_dedup(
+                increment, idx_dir, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "n_buckets": meta["n_buckets"],
+        "touched_buckets": touched,
+        "index_build_sec": build_sec,
+        "serve": serve_rec,
+    }
+
+
+def bench_incremental_embed_partitioned(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 3, inc_vecs: int = 32
+) -> dict:
+    """Embedding sibling of :func:`bench_incremental_partitioned`: a
+    fixed 32-vector increment against the pfx-partitioned bucket index
+    (center='auto' — the production default — computed from the
+    bootstrap corpus and read back from the sidecar by the serve)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    cut = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(inc_vecs)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    corpus = emb.where(F.col("vec_id") < cut)
+    increment = emb.where(F.col("vec_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_pembidx_")
+    try:
+        t0 = time.time()
+        meta = ix.create_embedding_index(corpus, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        serve_rec = sampler.measure(
+            lambda: ix.serve_incremental_embed_near_dup(
+                increment, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "n_buckets": meta["n_buckets"],
+        "index_build_sec": build_sec,
+        "serve": serve_rec,
     }
 
 
@@ -425,6 +589,25 @@ def main() -> None:
             bench_incremental_embed(spark, sampler, "scale100", scale100_dir, passes=1)
         )
 
+    # flat-serve proof: fixed increment, partitioned store, corpus 10×
+    part_recs = [
+        bench_incremental_partitioned(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_incremental_partitioned(spark, sampler, "scale10", scale_dir, passes=3),
+    ]
+    part_embed_recs = [
+        bench_incremental_embed_partitioned(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_incremental_embed_partitioned(spark, sampler, "scale10", scale_dir, passes=3),
+    ]
+    if scale100_dir:
+        part_recs.append(
+            bench_incremental_partitioned(spark, sampler, "scale100", scale100_dir, passes=2)
+        )
+        part_embed_recs.append(
+            bench_incremental_embed_partitioned(
+                spark, sampler, "scale100", scale100_dir, passes=2
+            )
+        )
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -456,6 +639,20 @@ def main() -> None:
                 f"build={p['index_build_sec']}s serve={p['incremental']['sec_norm']}s "
                 f"vs one-shot {p['one_shot_full_corpus']['sec_norm']}s"
             )
+    for tag, recs in (
+        ("incremental_partitioned", part_recs),
+        ("incremental_embed_partitioned", part_embed_recs),
+    ):
+        for p in recs:
+            extra = (
+                f" touched={p['touched_buckets']}/{p['n_buckets']}"
+                if "touched_buckets" in p
+                else f" buckets={p['n_buckets']}"
+            )
+            print(
+                f"{tag}[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']}"
+                f"{extra} build={p['index_build_sec']}s serve={p['serve']['sec_norm']}s"
+            )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -480,7 +677,8 @@ def main() -> None:
         r = ivf_rec[label]
         print(
             f"ivf_indexed_auto[{label}]: n={r['n']} nlist={r['nlist']} nprobe={r['nprobe']} "
-            f"build={r['build_sec']}s probe={r['probe_sec']}s rows={r['rows']}"
+            f"build={r['build_sec']}s probe={r['probe_sec']}s rows={r['rows']} "
+            f"recall@10={r['recall_at_10']}"
         )
 
     payload = {
@@ -493,6 +691,8 @@ def main() -> None:
         "minhash_prefilter": prefilter_recs,
         "incremental_dedup": incremental_recs,
         "incremental_embed_near_dup": embed_recs,
+        "incremental_partitioned": part_recs,
+        "incremental_embed_partitioned": part_embed_recs,
         "ivf_indexed_auto": ivf_rec,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
