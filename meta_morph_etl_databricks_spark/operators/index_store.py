@@ -313,6 +313,57 @@ def serve_incremental_dedup(
         banded.unpersist()
 
 
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Rewrite an index into one file per bucket, dropping duplicate
+    rows.  Appends add O(touched) small files per increment and
+    crash-replayed streaming batches can append the same band rows
+    twice (both documented, both correctness-neutral — duplicate rows
+    only produce duplicate candidates that the rejected-set distinct
+    collapses); periodic compaction bounds the file count and the
+    replay bloat.  Distinct is row-level-safe here because index rows
+    are pure functions of the document (identical on re-derivation).
+
+    The rewrite goes through a sibling temp directory and two renames
+    (old → trash, tmp → live), so a reader either sees the old or the
+    new layout, and the metadata sidecar is re-written into the
+    compacted directory unchanged.  Not safe under concurrent WRITERS —
+    run it where the appender runs (e.g. between streaming triggers)."""
+    from ..sources.sinks import _hadoop_fs
+
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no {META_FILE} at {path} — nothing to compact")
+    schema = (
+        _band_schema(meta["id_col"])
+        if meta.get("kind") == BAND_KIND
+        else _embed_schema(meta["id_col"])
+    )
+    root = path.rstrip("/")
+    tmp, trash = f"{root}__compact_tmp", f"{root}__compact_trash"
+    (
+        spark.read.schema(schema)
+        .parquet(root)
+        .distinct()
+        .repartition("pfx")
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(tmp)
+    )
+    write_index_meta(spark, tmp, meta)
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    if not fs.rename(path_cls(root), path_cls(trash)):
+        raise IOError(f"compact_index: could not move {root} aside")
+    if not fs.rename(path_cls(tmp), path_cls(root)):
+        fs.rename(path_cls(trash), path_cls(root))  # roll back
+        raise IOError(f"compact_index: could not install {tmp}")
+    # the streaming seen-id sidecar lives INSIDE the index dir and is
+    # not part of the parquet rewrite — carry it over, not to the trash
+    old_seen = path_cls(f"{trash}/_seen_ids")
+    if fs.exists(old_seen):
+        fs.rename(old_seen, path_cls(f"{root}/_seen_ids"))
+    fs.delete(path_cls(trash), True)
+
+
 # ---------------------------------------------------- embedding index
 def create_embedding_index(
     embeddings: DataFrame,

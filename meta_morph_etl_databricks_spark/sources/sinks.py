@@ -305,14 +305,14 @@ def merge_upsert_transactional(
     merge_upsert exactly: matched rows take all source values, unmatched
     source rows insert, unmatched target rows survive.
 
-    Execution attempted 2026-08-13 and re-attempted twice on 2026-08-14
-    (rounds 5 and 6: ``pip install delta-spark`` → connection broken,
-    name resolution fails on the package index host — no package
-    network; ``import delta`` → ModuleNotFoundError; filesystem-wide
-    search for ``*delta*jar`` / a vendored wheel → nothing): no delta
-    jars under pyspark/jars, so neither pip nor ``spark.jars.packages``
-    can fetch it.  Until a runtime ships the
-    jar, the executable concurrent-merge story is
+    Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
+    and 6) and again 2026-08-15 (round 7): ``pip download delta-spark``
+    → connection broken, name resolution fails on the package index
+    host — no package network; ``import delta`` → ModuleNotFoundError;
+    filesystem-wide search for ``delta-{spark,core,storage}*.jar`` / a
+    vendored wheel → nothing; zero delta jars under pyspark/jars, so
+    neither pip nor ``spark.jars.packages`` can fetch it.  Until a
+    runtime ships the jar, the executable concurrent-merge story is
     ``merge_upsert(lock_retries=N)``: one writer wins, the other waits
     and re-merges against the installed result (serialized, tested).
     """

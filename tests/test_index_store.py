@@ -237,6 +237,41 @@ def test_wrong_kind_raises(spark, corpus, emb, tmp_path):
         ix.open_band_index(spark, ed)
 
 
+def test_compact_index_dedupes_preserves_meta_and_seen(spark, corpus, tmp_path):
+    """Compaction drops replay-duplicated rows, keeps the sidecar and
+    the streaming seen store, and serves identically afterwards."""
+    d = str(tmp_path / "cidx")
+    seed = corpus.where("doc_id < 40")
+    inc = corpus.where("doc_id >= 40")
+    meta = ix.create_band_index(seed, d, n_buckets=8)
+    ix.serve_incremental_dedup(inc, d, append=True)
+    ix.serve_incremental_dedup(inc, d, append=True)  # replayed append → dup rows
+    # plant a seen sidecar like the streaming sink's
+    spark.createDataFrame([(1, 0)], "doc_id long, spfx int").write.partitionBy(
+        "spfx"
+    ).parquet(f"{d}/_seen_ids")
+
+    before, _ = ix.open_band_index(spark, d)
+    n_before, n_distinct = before.count(), before.distinct().count()
+    assert n_before > n_distinct  # the replay really duplicated rows
+
+    ix.compact_index(spark, d)
+    after, meta2 = ix.open_band_index(spark, d)
+    assert meta2 == meta
+    assert after.count() == n_distinct
+    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1  # seen survived
+    # one file per bucket
+    import glob
+
+    for bucket_dir in glob.glob(f"{d}/pfx=*"):
+        assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
+    # serving after compaction behaves exactly like before: everything
+    # in inc is already indexed, so only sub-shingle docs could pass —
+    # this corpus has none, so nothing is accepted
+    replay = ix.serve_incremental_dedup(inc, d, append=False)
+    assert replay.accepted.count() == 0
+
+
 def test_auto_index_buckets_rule():
     assert ix.auto_index_buckets(0) == 32  # floor
     assert ix.auto_index_buckets(1_000_000, target_rows_per_bucket=500) == 2000
