@@ -72,6 +72,13 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     # increments, banded joins against the growing in-plan index) ≈ the
     # candidates stage ≈ 1x the prior whole query.
     "q_corpus_curation": (7, ["q_corpus_curation", ("q_corpus_curation", 1.0)]),
+    # r8: semantic (SemDeDup k-means) arm folded into the LSH near-dup
+    # query — k-means adds seeds + assignment + centroid-update jobs
+    # (driver-bounded, ~3s of per-job fixed cost at sf0.1 that
+    # amortizes at scale) and the k=16-cell pair join scores ~200× the
+    # pairs of the 2^8-bucket LSH arm.  Measured union ≈ 6.9s warm vs
+    # 0.83s lsh-only → the arm is ~7.3× the prior whole.
+    "q_embed_near_dup_lsh": (8, ["q_embed_near_dup_lsh", ("q_embed_near_dup_lsh", 7.3)]),
 }
 
 
@@ -120,6 +127,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
     "q_corpus_curation": ("variant", ["curation", "incremental"]),
+    "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic"]),
 }
 
 

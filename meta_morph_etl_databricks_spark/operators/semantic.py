@@ -1,0 +1,251 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023,
+arXiv:2303.09540): cluster the embedding corpus with k-means, then
+score cosine only WITHIN clusters and drop near-duplicates — the
+curation step that removes *semantically* redundant documents, where
+MinHash/SimHash (lexical) and sign-LSH (random partitions) both miss:
+k-means cells follow the corpus's actual density, so paraphrases land
+in the same cell even when no hyperplane bucket or shingle overlap
+would pair them.
+
+Scale shape — identical cost profile to the other dedup families:
+
+- clustering is ``iters`` passes of (broadcast-join the k centroids,
+  one hash aggregate per pass) — the narrow-explode kernel from
+  ``similarity._assign_scored``: the shuffle carries one row per
+  vector, never the vector itself;
+- centroid updates are a (cluster, dim) grouped integer sum — k·d rows
+  collected to the driver (bounded: 16×64 here; a 100k-cluster corpus
+  collects 6.4M ints once per iteration, still driver-trivial);
+- pair scoring is an equi-join on cluster id: O(Σ per-cluster n²)
+  instead of O(n²).  Size ``k`` to the corpus (``auto_k``) so the
+  per-cluster population — and with it the quadratic term — stays
+  constant as the corpus grows; the registry query pins k=16 so its
+  oracle stays in lockstep.
+
+Exactness contract (what makes this oracle-checkable where MLlib
+KMeans is not): Lloyd runs entirely in INTEGER arithmetic over the
+int8 codes (:func:`~.quantize.quantize_int8`), so every engine that
+implements the same recurrence produces bit-identical clusters —
+floating-point k-means is order-sensitive in the centroid sums and
+diverges across engines in the last ulp, flipping boundary
+assignments.  The recurrence:
+
+- ``u = q + 127`` — shift codes to [0, 254] so every later division is
+  on nonnegative ints (DuckDB ``//`` floors, Spark ``div`` truncates
+  toward zero; they agree only for nonnegative operands);
+- centroids live in fixed point at ``scale=1024``: seeds are
+  ``1024·u`` of the k lowest-id vectors, updates are
+  ``(1024·sum) div count`` — exact integer division, no fp mean;
+- assignment minimizes ``‖1024·u − m‖²``, compared via the monotone
+  surrogate ``‖m‖² − 2048·⟨u, m⟩`` (the ``‖1024·u‖²`` term is constant
+  per vector and cancels from the argmin).  Bounds: ``‖m‖² ≤
+  64·(254·1024)² < 2^53`` and ``2048·⟨u,m⟩ ≤ 2^44`` — exact in int64
+  AND in the double lane DuckDB routes list_dot_product through, for
+  ANY corpus size (nothing here grows with n);
+- ties break to the smallest cluster id; empty clusters drop out of
+  the update (both engines derive them from the same assignment, so
+  they drop identically).
+
+Reference parity: the reference has no semantic-dedup surface; this
+extends its ETL model with the embedding-curation op a training-data
+pipeline needs (SURVEY.md training-pipeline mandate, same family as
+operators/dedup.py and operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .quantize import quantize_int8
+from .similarity import cosine_with_norms, norm
+
+_SCALE = 1024
+
+
+def auto_k(n_rows: int, target_cluster_size: int = 300, floor: int = 2, cap: int = 1 << 17) -> int:
+    """Cluster-count dial: k = rows / target, clamped.  Constant
+    per-cluster population keeps the within-cluster quadratic scoring
+    term flat as the corpus grows — the same argument as
+    ``index_store.auto_index_buckets``."""
+    import math
+
+    return max(floor, min(cap, math.ceil(max(n_rows, 1) / target_cluster_size)))
+
+
+def _shifted_codes(
+    embeddings: DataFrame, dims: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, u) with ``u = int8code + 127 ∈ [0, 254]`` as array<long>.
+    Corrupt vectors (NULL / non-finite / empty — NULL codes by the
+    quantize contract — and WRONG-LENGTH: a finite 11-dim row would
+    otherwise both pollute positions ≥ dims of every centroid update
+    and be scored on a truncated dot) are EXCLUDED: they belong to no
+    cluster and can never pair, mirroring the NULL-bucket convention of
+    the LSH and incremental-index paths."""
+    return (
+        quantize_int8(embeddings, vec_col=vec_col, out_col="_qc")
+        .where(F.col("_qc").isNotNull() & (F.size(vec_col) == dims))
+        .select(
+            id_col,
+            F.transform("_qc", lambda x: x.cast("long") + F.lit(127)).alias("_u"),
+        )
+    )
+
+
+def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: str) -> DataFrame:
+    """One integer assignment pass → (id, _cl).  Narrow explode +
+    broadcast flat centroids + conditional integer sums in a single
+    hash aggregate (see similarity._assign_scored for why this shape —
+    one row per vector through the shuffle, HashAggregate not
+    SortAggregate); integer sums make the fold order irrelevant, so
+    this kernel is exact without the fp-accumulation-order argument the
+    double kernel needs."""
+    spark = codes.sparkSession
+    flat = [(cid, pos, int(y)) for cid, mv in cents for pos, y in enumerate(mv)]
+    flat_df = F.broadcast(spark.createDataFrame(flat, "cid int, _pos int, _y long"))
+    mm = {cid: sum(y * y for y in mv) for cid, mv in cents}
+    ex = codes.select(id_col, F.posexplode("_u").alias("_pos", "_x"))
+    per = ex.join(flat_df, "_pos").groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("cid") == cid, F.col("_x") * F.col("_y"))).alias(f"_d{cid}")
+            for cid, _ in cents
+        ]
+    )
+    # surrogate distance ‖m‖² − 2·scale·⟨u,m⟩ — monotone in the true
+    # squared distance per vector; argmin ties to the smallest cid
+    structs = [
+        F.struct(
+            (F.lit(mm[cid]).cast("long") - F.lit(2 * _SCALE) * F.col(f"_d{cid}")).alias("o"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, _ in cents
+    ]
+    return per.select(id_col, F.array_min(F.array(*structs)).getField("cid").alias("_cl"))
+
+
+def kmeans_int8(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Integer-exact Lloyd k-means over int8 codes.  Returns
+    ``(assignment, centroids)`` — assignment is a lazy (id, cluster)
+    frame under the FINAL centroids; centroids are the fixed-point
+    vectors ``[(cid, [m_0..m_d])]`` after ``iters`` updates.
+
+    ``k=None`` auto-sizes from ``n_docs`` (catalog stats — no scan) or
+    one count().  Driver actions: 1 seed collect (k rows) + ``iters``
+    update collects (k·d ints each) — all bounded by k·d, never by the
+    corpus.  Seeds are the k lowest-id valid vectors: deterministic,
+    layout-independent, and the same rule the PQ/IVF codebooks use."""
+    if k is None:
+        k = auto_k(embeddings.count() if n_docs is None else n_docs)
+    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+    seeds = codes.orderBy(id_col).limit(k).collect()
+    cents = [
+        (cid, [_SCALE * int(x) for x in row["_u"]]) for cid, row in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        if not cents:
+            break
+        asg = _assign_int(codes, cents, id_col)
+        upd = (
+            codes.join(asg, id_col)
+            .select("_cl", F.posexplode("_u").alias("_pos", "_x"))
+            .groupBy("_cl", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_c"))
+            .withColumn("_m", F.expr(f"({_SCALE} * _s) div _c"))
+            .select("_cl", "_pos", "_m")
+            .collect()
+        )
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cl.setdefault(r["_cl"], {})[r["_pos"]] = r["_m"]
+        cents = [
+            (cl, [dims[p] for p in sorted(dims)]) for cl, dims in sorted(by_cl.items())
+        ]
+    if not cents:
+        empty = embeddings.limit(0).select(
+            F.col(id_col), F.lit(None).cast("int").alias("cluster")
+        )
+        return empty, []
+    final = _assign_int(codes, cents, id_col).withColumnRenamed("_cl", "cluster")
+    return final, cents
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    iters: int = 1,
+    threshold: float = 0.9,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+    _assign: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs WITHIN k-means cells: (id_a < id_b,
+    cosine_sim ≥ threshold), cosine on the ORIGINAL double vectors
+    rounded to 6dp — the same scorer as lsh_bucketed_pairs, so the two
+    families differ only in how they partition the corpus."""
+    assign = (
+        kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[0]
+        if _assign is None
+        else _assign
+    )
+    # the assignment subtree (explode + broadcast join + 16-way agg)
+    # would otherwise be COMPUTED TWICE by the pair self-join below —
+    # checkpoint the (id, cluster) frame (8·n bytes + an int) so both
+    # sides read the materialized rows (measured: pairs 5.4s → ~2s at
+    # sf0.1; same device as q_dedup_ngram_jaccard's scored-pair
+    # checkpoint before the components rounds)
+    assign = assign.localCheckpoint(eager=True)
+    memb = embeddings.join(assign, id_col).select(
+        id_col, vec_col, "cluster", norm(F.col(vec_col)).alias("_n")
+    )
+    a, b = memb.alias("a"), memb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            cosine_with_norms(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), F.col("a._n"), F.col("b._n")
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    iters: int = 1,
+    threshold: float = 0.9,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Keep-one-per-near-dup-set curation: every row that is the HIGHER
+    id of a within-cluster pair at ≥ threshold is dropped (the repo's
+    standard drop-higher-id / first-seen-wins policy); corrupt vectors
+    survive (no cluster → no pair), same as every other dedup family.
+    Returns the accepted rows with their cluster id (NULL for corrupt
+    rows) — the cluster column is the SemDeDup byproduct callers use
+    for stratified sampling and mixing."""
+    assign, _ = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)
+    pairs = semantic_dedup_pairs(
+        embeddings, k, iters, threshold, dims, id_col, vec_col, n_docs, _assign=assign
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dups, id_col, "left_anti").join(assign, id_col, "left")

@@ -631,24 +631,95 @@ def _bucket_sql(planes: list[list[float]]) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# Semantic-dedup arm (SemDeDup): k-means cells instead of hyperplane
+# buckets, pairs scored with the SAME rounded cosine.  Clustering is
+# operators/semantic.py's integer-exact Lloyd — shifted int8 codes,
+# fixed-point centroids at scale 1024, surrogate-distance argmin,
+# floor-div updates — every intermediate an exact integer < 2^53 in
+# both engines' lanes (int64 in Spark, the DOUBLE that DuckDB routes
+# list_dot_product through), so cluster assignments are bit-identical
+# and the arm is hash-comparable where float k-means never could be.
+_SEM_K, _SEM_ITERS = 16, 1
+
+
+def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
+    """CTE chain replaying kmeans_int8 in DuckDB: seeds = the k
+    lowest-id codes, ``iters`` (assign → floor-div update) rounds, one
+    final assignment, membership joined back to the double vectors."""
+    ctes = [
+        """scodes AS (
+    SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qc
+    FROM (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+          FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs))
+)""",
+        "su AS (SELECT vec_id, list_transform(qc, x -> x + 127) AS u FROM scodes)",
+        f"""m0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(u, x -> {scale}*x) AS mv FROM su ORDER BY vec_id LIMIT {k})""",
+    ]
+    prev_m = "m0"
+    for i in range(iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, u, cid AS cl FROM (
+    SELECT s.vec_id, s.u, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(c.mv, c.mv) - {2 * scale}*list_dot_product(s.u, c.mv), c.cid) AS rk
+    FROM su s, {prev_m} c) WHERE rk = 1)""")
+        if i < iters:
+            prev_m = f"m{i + 1}"
+            ctes.append(f"""{prev_m} AS (
+  SELECT cl AS cid, list(({scale}*sx) // cnt ORDER BY pos) AS mv FROM (
+    SELECT a.cl, t.i AS pos, SUM(a.u[t.i+1]) AS sx, COUNT(*) AS cnt
+    FROM a{i} a, range({dims}) t(i) GROUP BY a.cl, t.i) GROUP BY cl)""")
+    ctes.append(
+        f"memb AS (SELECT f.cl, x.vec_id, x.v FROM a{iters} f JOIN vecs x USING (vec_id))"
+    )
+    return ",\n".join(ctes)
+
+
 @register(
     "q_embed_near_dup_lsh",
     f"""
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    bucketed AS (SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM vecs)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_COS}, 6) AS cosine_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    bucketed AS (SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM vecs),
+    lshp AS (
+        SELECT 'lsh' AS variant, a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS}, 6) AS cosine_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    ),
+    {_sem_ctes(_SEM_K, _SEM_ITERS, _DIMS)},
+    semp AS (
+        SELECT 'semantic' AS variant, a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS}, 6) AS cosine_sim
+        FROM memb a JOIN memb b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    )
+    SELECT * FROM lshp UNION ALL SELECT * FROM semp
     """,
 )
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via sign-random-projection LSH: the
-    O(n²) all-pairs join becomes a per-bucket equi-join (2^8 buckets),
-    cosine scored only within buckets — the 100 TB ANN shape."""
+    """Embedding-cosine near-dup, tagged union (one registry slot), two
+    corpus-partitioning strategies over the same rounded-cosine scorer:
+
+    - ``variant='lsh'`` — sign-random-projection buckets (2^8): the
+      O(n²) all-pairs join becomes a per-bucket equi-join — the
+      random-partition ANN shape.
+    - ``variant='semantic'`` — SemDeDup (operators/semantic.py):
+      integer-exact k-means cells (k=16, one Lloyd update) — the
+      density-following partition that pairs paraphrases LSH's random
+      hyperplanes split apart.  At scale, k grows with the corpus
+      (auto_k) so the per-cell quadratic term stays flat."""
+    from ..operators.semantic import semantic_dedup_pairs
+
     emb = _embeddings(spark, sf_dir)
-    return lsh_bucketed_pairs(emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T)
+    lsh = lsh_bucketed_pairs(
+        emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T
+    ).select(F.lit("lsh").alias("variant"), "id_a", "id_b", "cosine_sim")
+    sem = semantic_dedup_pairs(
+        emb, k=_SEM_K, iters=_SEM_ITERS, threshold=_NEAR_DUP_T
+    ).select(F.lit("semantic").alias("variant"), "id_a", "id_b", "cosine_sim")
+    return lsh.unionByName(sem)
 
 
 # IVF: deterministic codebook = the 16 lowest-id vectors; assignment and

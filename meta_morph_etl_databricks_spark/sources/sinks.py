@@ -306,7 +306,7 @@ def merge_upsert_transactional(
     source rows insert, unmatched target rows survive.
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
-    and 6) and again 2026-08-15 (round 7): ``pip download delta-spark``
+    and 6) and 2026-08-15 (rounds 7 and 8): ``pip download delta-spark``
     → connection broken, name resolution fails on the package index
     host — no package network; ``import delta`` → ModuleNotFoundError;
     filesystem-wide search for ``delta-{spark,core,storage}*.jar`` / a

@@ -1,0 +1,177 @@
+"""Semantic dedup (operators/semantic.py): integer-exact k-means +
+within-cluster cosine pairs (SemDeDup).
+
+Contracts under test:
+
+1. the Lloyd recurrence is EXACT — a pure-Python replay of the same
+   integer arithmetic produces identical assignments (this is the
+   engine-independence claim the DuckDB oracle arm rides on, pinned
+   here against a second independent implementation);
+2. partition invariance — clusters are a pure function of the data,
+   not the layout (integer sums are order-free, seeds are id-ordered);
+3. density structure is respected — planted tight clusters separate,
+   and pairs never cross cells;
+4. the keep policy — accepted = corpus minus every higher-id end of a
+   ≥ threshold pair; corrupt vectors survive with NULL cluster;
+5. the auto_k dial.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.operators.semantic import (
+    _SCALE,
+    auto_k,
+    kmeans_int8,
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """40 vectors in 8 dims: two planted tight clusters + scatter +
+    three corrupt rows (NULL / NaN / wrong length)."""
+    rng = random.Random(23)
+    a = [5.0, 5.0, 5.0, 5.0, -5.0, -5.0, -5.0, -5.0]
+    b = [-5.0, 5.0, -5.0, 5.0, 5.0, -5.0, 5.0, -5.0]
+    rows = []
+    for i in range(40):
+        if i == 11:
+            v = None
+        elif i == 17:
+            v = [float("nan")] * 8
+        elif i == 29:
+            v = [1.0] * 11
+        elif i % 3 == 0:
+            v = [x + rng.uniform(-0.2, 0.2) for x in a]
+        elif i % 3 == 1:
+            v = [x + rng.uniform(-0.2, 0.2) for x in b]
+        else:
+            v = [rng.uniform(-5, 5) for _ in range(8)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int):
+    """Independent pure-Python replay of the documented recurrence:
+    int8-quantize, shift +127, fixed-point seeds, surrogate argmin,
+    floor-div update."""
+    u = {}
+    for i, v in sorted(vecs.items()):
+        m = max(abs(x) for x in v)
+        s = m / 127.0 if m > 0 else 1.0
+        # Spark/DuckDB round() is half-away-from-zero; Python's is
+        # banker's — replay the engines' rule
+        u[i] = [int(math.floor(abs(x / s) + 0.5)) * (1 if x >= 0 else -1) + 127 for x in v]
+    seeds = sorted(u)[:k]
+    cents = {cid: [_SCALE * x for x in u[seeds[cid]]] for cid in range(k)}
+
+    def assign():
+        out = {}
+        for i, uv in u.items():
+            best = min(
+                (sum(y * y for y in mv) - 2 * _SCALE * sum(x * y for x, y in zip(uv, mv)), cid)
+                for cid, mv in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters):
+        asg = assign()
+        new = {}
+        for cid in set(asg.values()):
+            members = [u[i] for i, c in asg.items() if c == cid]
+            new[cid] = [
+                (_SCALE * sum(m[d] for m in members)) // len(members)
+                for d in range(len(members[0]))
+            ]
+        cents = new
+    return assign()
+
+
+def test_kmeans_matches_pure_python_replay(spark, emb):
+    asg, _ = kmeans_int8(emb, k=4, iters=2, dims=8, vec_col="embedding")
+    got = {r.vec_id: r.cluster for r in asg.collect()}
+    valid = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.collect()
+        if r.embedding is not None
+        and len(r.embedding) == 8
+        and all(not math.isnan(x) for x in r.embedding)
+    }
+    want = _py_kmeans(valid, k=4, iters=2)
+    assert got == want
+
+
+def test_kmeans_partition_invariance(spark, emb):
+    base, _ = kmeans_int8(emb, k=4, iters=1, dims=8)
+    want = sorted((r.vec_id, r.cluster) for r in base.collect())
+    for n in (1, 7):
+        asg, _ = kmeans_int8(emb.repartition(n), k=4, iters=1, dims=8)
+        assert sorted((r.vec_id, r.cluster) for r in asg.collect()) == want
+
+
+def test_planted_clusters_separate_and_pairs_stay_within(spark, emb):
+    """With k=2 the two planted antipodal clusters must land in
+    different cells, and every emitted pair is within one cell (the
+    planted members are ±0.2 noise around ±5 bases → within-cluster
+    cosine ≈ 1, cross ≈ -1)."""
+    asg, _ = kmeans_int8(emb, k=2, iters=2, dims=8)
+    cl = {r.vec_id: r.cluster for r in asg.collect()}
+    a_ids = [i for i in cl if i % 3 == 0]
+    b_ids = [i for i in cl if i % 3 == 1]
+    assert len({cl[i] for i in a_ids}) == 1
+    assert len({cl[i] for i in b_ids}) == 1
+    assert cl[a_ids[0]] != cl[b_ids[0]]
+
+    pairs = semantic_dedup_pairs(emb, k=2, iters=2, threshold=0.99, dims=8).collect()
+    assert pairs  # the planted near-dups are found
+    for p in pairs:
+        assert cl[p.id_a] == cl[p.id_b]
+        assert p.id_a < p.id_b and p.cosine_sim >= 0.99
+
+
+def test_semantic_dedup_keep_policy_and_corrupt_rows(spark, emb):
+    """accepted = corpus minus the higher-id end of every pair; corrupt
+    vectors (NULL / NaN / wrong-length) are never paired, always
+    survive, and carry a NULL cluster."""
+    t = 0.99
+    pairs = semantic_dedup_pairs(emb, k=2, iters=1, threshold=t, dims=8)
+    dropped = {r.id_b for r in pairs.collect()}
+    kept = semantic_dedup(emb, k=2, iters=1, threshold=t, dims=8)
+    got = {r.vec_id: r.cluster for r in kept.collect()}
+    assert set(got) == set(range(40)) - dropped
+    for corrupt in (11, 17, 29):
+        assert corrupt in got and got[corrupt] is None
+    # non-corrupt survivors all carry a real cluster id
+    assert all(c is not None for i, c in got.items() if i not in (11, 17, 29))
+
+
+def test_empty_and_all_corrupt_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    asg, cents = kmeans_int8(empty, k=4, iters=1, dims=8)
+    assert asg.count() == 0 and cents == []
+    assert semantic_dedup(empty, k=4, dims=8).count() == 0
+
+    corrupt = spark.createDataFrame(
+        [(1, None), (2, [float("nan")] * 8)], "vec_id long, embedding array<double>"
+    )
+    asg2, cents2 = kmeans_int8(corrupt, k=4, iters=1, dims=8)
+    assert asg2.count() == 0 and cents2 == []
+    out = {r.vec_id: r.cluster for r in semantic_dedup(corrupt, k=4, dims=8).collect()}
+    assert out == {1: None, 2: None}  # corrupt rows all survive
+
+
+def test_auto_k_rule():
+    assert auto_k(0) == 2  # floor
+    assert auto_k(300_000, target_cluster_size=300) == 1000
+    # 10x corpus → 10x cells → constant per-cell population (the flat
+    # quadratic-term argument)
+    assert auto_k(3_000_000, target_cluster_size=300) == 10_000
+    assert auto_k(10**12) == 1 << 17  # cap
