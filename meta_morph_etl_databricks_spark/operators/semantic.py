@@ -21,6 +21,13 @@ Scale shape — identical cost profile to the other dedup families:
   per-cluster population — and with it the quadratic term — stays
   constant as the corpus grows; the registry query pins k=16 so its
   oracle stays in lockstep.
+- large k (what auto_k produces at real corpus sizes) routes through a
+  two-level coarse-to-fine decomposition: flat assignment is O(n·d·k)
+  and k grows with the corpus, so flat auto-k SemDeDup would be
+  quadratic in n — two-level is O(n·d·2√k) (measured: 200k vectors /
+  667 cells serve in one ~250s pass where the flat kernel never
+  finished; BENCH_SCALE ``semantic_dedup`` shows time tracking pair
+  OUTPUT, 26× time for 100× corpus).
 
 Exactness contract (what makes this oracle-checkable where MLlib
 KMeans is not): Lloyd runs entirely in INTEGER arithmetic over the
@@ -124,28 +131,13 @@ def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: st
     return per.select(id_col, F.array_min(F.array(*structs)).getField("cid").alias("_cl"))
 
 
-def kmeans_int8(
-    embeddings: DataFrame,
-    k: int | None = 16,
-    iters: int = 1,
-    dims: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_docs: int | None = None,
-) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
-    """Integer-exact Lloyd k-means over int8 codes.  Returns
-    ``(assignment, centroids)`` — assignment is a lazy (id, cluster)
-    frame under the FINAL centroids; centroids are the fixed-point
-    vectors ``[(cid, [m_0..m_d])]`` after ``iters`` updates.
-
-    ``k=None`` auto-sizes from ``n_docs`` (catalog stats — no scan) or
-    one count().  Driver actions: 1 seed collect (k rows) + ``iters``
-    update collects (k·d ints each) — all bounded by k·d, never by the
-    corpus.  Seeds are the k lowest-id valid vectors: deterministic,
-    layout-independent, and the same rule the PQ/IVF codebooks use."""
-    if k is None:
-        k = auto_k(embeddings.count() if n_docs is None else n_docs)
-    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+def _kmeans_flat(
+    codes: DataFrame, k: int, iters: int, id_col: str
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+    """The flat Lloyd loop over pre-shifted codes: seeds = the k
+    lowest-id vectors, ``iters`` (assign → floor-div update) rounds,
+    final assignment under the last centroids.  Returns (assignment
+    with column ``_cl``, centroids); (None, []) on an empty corpus."""
     seeds = codes.orderBy(id_col).limit(k).collect()
     cents = [
         (cid, [_SCALE * int(x) for x in row["_u"]]) for cid, row in enumerate(seeds)
@@ -170,12 +162,181 @@ def kmeans_int8(
             (cl, [dims[p] for p in sorted(dims)]) for cl, dims in sorted(by_cl.items())
         ]
     if not cents:
+        return None, []
+    return _assign_int(codes, cents, id_col), cents
+
+
+# the flat kernel turns k into AGGREGATE COLUMNS (k conditional sums)
+# and its centroid join fans every exploded element out k ways — fine
+# to ~64, catastrophic at auto_k scale (667 agg expressions defeat
+# codegen; 200k×64×667 ≈ 8.5e9 join rows — measured: the kernel that
+# serves 16 cells in ~1s never finished a 667-cell pass).  Past this
+# knee kmeans_int8 switches to the two-level decomposition below.
+_FLAT_K_MAX = 64
+
+
+def _grouped_assign(
+    codes2: DataFrame, cents2: dict[int, list[tuple[int, list[int]]]], k2: int, id_col: str
+) -> DataFrame:
+    """Per-cell assignment for the two-level path: each vector competes
+    only against ITS coarse cell's k2 centroids.  Same narrow-explode /
+    conditional-sum kernel as :func:`_assign_int`, but the centroid
+    join is keyed (cell, pos) — the fan-out per exploded element is k2
+    = √k, not k — and the per-cell ‖m‖² vector rides in on a broadcast
+    k1-row frame.  Missing (cell, cid) slots (cells smaller than k2,
+    dropped-empty clusters) coalesce to a +∞ sentinel so the argmin
+    never selects them.  Returns (id, _c1, _cl2)."""
+    spark = codes2.sparkSession
+    flat = [
+        (c1, cid, pos, int(y))
+        for c1, cl in cents2.items()
+        for cid, mv in cl
+        for pos, y in enumerate(mv)
+    ]
+    flat_df = F.broadcast(
+        spark.createDataFrame(flat, "_c1 int, cid int, _pos int, _y long")
+    )
+    mm_rows = []
+    for c1, cl in cents2.items():
+        mm = {cid: sum(y * y for y in mv) for cid, mv in cl}
+        mm_rows.append(tuple([c1] + [mm.get(cid) for cid in range(k2)]))
+    mm_schema = "_c1 int, " + ", ".join(f"_mm{c} long" for c in range(k2))
+    mm_df = F.broadcast(codes2.sparkSession.createDataFrame(mm_rows, mm_schema))
+    ex = codes2.select(id_col, "_c1", F.posexplode("_u").alias("_pos", "_x"))
+    per = (
+        ex.join(flat_df, ["_c1", "_pos"])
+        .groupBy(id_col, "_c1")
+        .agg(
+            *[
+                F.sum(F.when(F.col("cid") == cid, F.col("_x") * F.col("_y"))).alias(f"_d{cid}")
+                for cid in range(k2)
+            ]
+        )
+        .join(mm_df, "_c1")
+    )
+    sentinel = F.lit(1 << 62).cast("long")
+    structs = [
+        F.struct(
+            F.coalesce(
+                F.col(f"_mm{cid}") - F.lit(2 * _SCALE) * F.col(f"_d{cid}"), sentinel
+            ).alias("o"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid in range(k2)
+    ]
+    return per.select(
+        id_col, "_c1", F.array_min(F.array(*structs)).getField("cid").alias("_cl2")
+    )
+
+
+def _kmeans_two_level(
+    codes: DataFrame, k: int, iters: int, id_col: str
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+    """Coarse-to-fine Lloyd for large k: k1 ≈ √k coarse cells via the
+    flat kernel, then an independent k2-way Lloyd INSIDE each coarse
+    cell (seeds = the cell's k2 lowest ids, same recurrence, all cells
+    advanced simultaneously by one grouped job per round).  Assignment
+    cost is O(n·d·(k1+k2)) = O(n·d·2√k) instead of the flat kernel's
+    O(n·d·k) — the standard hierarchical trade (IVF, hierarchical
+    k-means): cells are conditioned on the coarse split, slightly
+    different from flat k-means cells, but every step stays integer-
+    exact, deterministic, and layout-independent.  Global cluster id =
+    c1·k2 + cid (sparse labels; only equality is ever used).  Driver
+    state is O(k·d) ints — same bound as the flat path."""
+    import math
+
+    k1 = max(2, math.isqrt(k - 1) + 1)
+    k2 = max(2, math.ceil(k / k1))
+    coarse, _ = _kmeans_flat(codes, k1, iters, id_col)
+    if coarse is None:
+        return None, []
+    # one materialization of (id, cell): every level-2 round joins
+    # against it; without this each of the 2·iters+1 jobs below replays
+    # the whole coarse Lloyd inside its plan
+    codes2 = (
+        codes.join(coarse.withColumnRenamed("_cl", "_c1"), id_col).localCheckpoint(
+            eager=False
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_c1").orderBy(id_col)
+    seed_rows = (
+        codes2.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k2)
+        .select("_c1", (F.col("_rn") - 1).alias("_cid"), "_u")
+        .collect()
+    )
+    cents2: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in seed_rows:
+        cents2.setdefault(r["_c1"], []).append(
+            (r["_cid"], [_SCALE * int(x) for x in r["_u"]])
+        )
+    for _ in range(iters):
+        asg = _grouped_assign(codes2, cents2, k2, id_col)
+        upd = (
+            codes2.join(asg.select(id_col, "_cl2"), id_col)
+            .select("_c1", "_cl2", F.posexplode("_u").alias("_pos", "_x"))
+            .groupBy("_c1", "_cl2", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_c"))
+            .withColumn("_m", F.expr(f"({_SCALE} * _s) div _c"))
+            .select("_c1", "_cl2", "_pos", "_m")
+            .collect()
+        )
+        nxt: dict[tuple[int, int], dict[int, int]] = {}
+        for r in upd:
+            nxt.setdefault((r["_c1"], r["_cl2"]), {})[r["_pos"]] = r["_m"]
+        cents2 = {}
+        for (c1, cid), dims_ in sorted(nxt.items()):
+            cents2.setdefault(c1, []).append((cid, [dims_[p] for p in sorted(dims_)]))
+    final = _grouped_assign(codes2, cents2, k2, id_col).select(
+        id_col, (F.col("_c1") * k2 + F.col("_cl2")).alias("_cl")
+    )
+    cents = [
+        (c1 * k2 + cid, mv) for c1, cl in sorted(cents2.items()) for cid, mv in cl
+    ]
+    return final, cents
+
+
+def kmeans_int8(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Integer-exact Lloyd k-means over int8 codes.  Returns
+    ``(assignment, centroids)`` — assignment is a lazy (id, cluster)
+    frame under the FINAL centroids; centroids are the fixed-point
+    vectors ``[(cid, [m_0..m_d])]`` after ``iters`` updates.
+
+    ``k=None`` auto-sizes from ``n_docs`` (catalog stats — no scan) or
+    one count().  Driver actions: 1 seed collect (k rows) + ``iters``
+    update collects (k·d ints each) — all bounded by k·d, never by the
+    corpus.  Seeds are the k lowest-id valid vectors: deterministic,
+    layout-independent, and the same rule the PQ/IVF codebooks use.
+
+    k ≤ 64 runs the flat kernel (the oracle-checked recurrence); larger
+    k — what auto_k produces at real corpus sizes — routes through the
+    two-level decomposition (:func:`_kmeans_two_level`, O(n·d·2√k)
+    assignment), because flat assignment cost is O(n·d·k) and k grows
+    linearly with the corpus under the constant-cell-size dial."""
+    if k is None:
+        k = auto_k(embeddings.count() if n_docs is None else n_docs)
+    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+    final, cents = (
+        _kmeans_flat(codes, k, iters, id_col)
+        if k <= _FLAT_K_MAX
+        else _kmeans_two_level(codes, k, iters, id_col)
+    )
+    if final is None:
         empty = embeddings.limit(0).select(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
         )
         return empty, []
-    final = _assign_int(codes, cents, id_col).withColumnRenamed("_cl", "cluster")
-    return final, cents
+    return final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster"), cents
 
 
 def semantic_dedup_pairs(

@@ -1034,6 +1034,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted = (
             res.accepted if accepted is None else accepted.unionByName(res.accepted)
         )
+        # NOT checkpointed: re-deriving predecessors' banding inside
+        # each step's plan is CHEAPER here than materializing the index
+        # (A/B measured warm 5.7s lineage vs 7.3s localCheckpoint at
+        # sf0.1 — three small increments, minhash is one map pass).
+        # Production increments use the persisted index_store, where
+        # the index is parquet and the question doesn't arise.
         index = index.union(res.index_rows.select(*index.columns))
         lo = cut
     incremental = (

@@ -58,10 +58,7 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int):
-    """Independent pure-Python replay of the documented recurrence:
-    int8-quantize, shift +127, fixed-point seeds, surrogate argmin,
-    floor-div update."""
+def _py_codes(vecs: dict[int, list[float]]) -> dict[int, list[int]]:
     u = {}
     for i, v in sorted(vecs.items()):
         m = max(abs(x) for x in v)
@@ -69,8 +66,14 @@ def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int):
         # Spark/DuckDB round() is half-away-from-zero; Python's is
         # banker's — replay the engines' rule
         u[i] = [int(math.floor(abs(x / s) + 0.5)) * (1 if x >= 0 else -1) + 127 for x in v]
+    return u
+
+
+def _py_lloyd(u: dict[int, list[int]], k: int, iters: int) -> dict[int, int]:
+    """Flat Lloyd over shifted codes — seeds, surrogate argmin,
+    floor-div update, final assignment."""
     seeds = sorted(u)[:k]
-    cents = {cid: [_SCALE * x for x in u[seeds[cid]]] for cid in range(k)}
+    cents = {cid: [_SCALE * x for x in u[seeds[cid]]] for cid in range(len(seeds))}
 
     def assign():
         out = {}
@@ -93,6 +96,30 @@ def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int):
             ]
         cents = new
     return assign()
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int) -> dict[int, int]:
+    """Independent pure-Python replay of the documented recurrence:
+    int8-quantize, shift +127, fixed-point seeds, surrogate argmin,
+    floor-div update."""
+    return _py_lloyd(_py_codes(vecs), k, iters)
+
+
+def _py_kmeans_two_level(vecs: dict[int, list[float]], k: int, iters: int) -> dict[int, int]:
+    """Two-level replay: flat k1 ≈ √k coarse split, then an independent
+    flat k2-way Lloyd inside each coarse cell; global id = c1·k2 + cid."""
+    u = _py_codes(vecs)
+    k1 = max(2, math.isqrt(k - 1) + 1)
+    k2 = max(2, math.ceil(k / k1))
+    a1 = _py_lloyd(u, k1, iters)
+    cells: dict[int, dict[int, list[int]]] = {}
+    for i, c in a1.items():
+        cells.setdefault(c, {})[i] = u[i]
+    out = {}
+    for c1, members in cells.items():
+        for i, cid in _py_lloyd(members, k2, iters).items():
+            out[i] = c1 * k2 + cid
+    return out
 
 
 def test_kmeans_matches_pure_python_replay(spark, emb):
@@ -175,3 +202,57 @@ def test_auto_k_rule():
     # quadratic-term argument)
     assert auto_k(3_000_000, target_cluster_size=300) == 10_000
     assert auto_k(10**12) == 1 << 17  # cap
+
+
+def test_two_level_matches_pure_python_replay(spark, emb):
+    """k > 64 routes through the coarse-to-fine decomposition — pinned
+    against an independent pure-Python replay of the same two-level
+    recurrence (coarse flat Lloyd, per-cell seeds, per-cell Lloyd,
+    c1·k2 + cid labels)."""
+    k = 66  # > _FLAT_K_MAX → two-level (k1=9, k2=8 over 37 vectors)
+    asg, cents = kmeans_int8(emb, k=k, iters=2, dims=8)
+    got = {r.vec_id: r.cluster for r in asg.collect()}
+    valid = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.collect()
+        if r.embedding is not None
+        and len(r.embedding) == 8
+        and all(not math.isnan(x) for x in r.embedding)
+    }
+    want = _py_kmeans_two_level(valid, k=k, iters=2)
+    assert got == want
+    # returned centroid labels cover exactly the assigned clusters
+    assert {c for c in got.values()} <= {cid for cid, _ in cents}
+
+
+def test_two_level_partition_invariance_and_nesting(spark, emb):
+    base, _ = kmeans_int8(emb, k=66, iters=1, dims=8)
+    want = sorted((r.vec_id, r.cluster) for r in base.collect())
+    asg, _ = kmeans_int8(emb.repartition(5), k=66, iters=1, dims=8)
+    assert sorted((r.vec_id, r.cluster) for r in asg.collect()) == want
+    # fine cells nest inside the coarse split: cluster // k2 IS the
+    # coarse cell, so two rows sharing a fine cluster share its cell
+    k2 = 8
+    coarse = {r.vec_id: r.cluster // k2 for r in base.collect()}
+    valid = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.collect()
+        if r.embedding is not None
+        and len(r.embedding) == 8
+        and all(not math.isnan(x) for x in r.embedding)
+    }
+    a1 = _py_lloyd(_py_codes(valid), 9, 1)
+    assert coarse == a1
+
+
+def test_two_level_pairs_still_contract(spark, emb):
+    """semantic_dedup_pairs through the two-level path keeps the pair
+    contract: id_a < id_b, cosine ≥ t, both ends in one (fine) cell."""
+    pairs = semantic_dedup_pairs(emb, k=66, iters=1, threshold=0.99, dims=8)
+    asg, _ = kmeans_int8(emb, k=66, iters=1, dims=8)
+    cl = {r.vec_id: r.cluster for r in asg.collect()}
+    rows = pairs.collect()
+    assert rows  # 37 vectors in ~66 requested cells still co-locate planted dups
+    for p in rows:
+        assert p.id_a < p.id_b and p.cosine_sim >= 0.99
+        assert cl[p.id_a] == cl[p.id_b]

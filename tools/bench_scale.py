@@ -311,6 +311,43 @@ def bench_incremental_embed_partitioned(
     }
 
 
+def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3) -> dict:
+    """Semantic dedup (operators/semantic.py) at scale: auto_k sizes the
+    cell count to the corpus, so per-cell population — and with it the
+    within-cell quadratic pair term — should stay ~flat while the cell
+    COUNT grows; expected shape is time tracking the corpus (k-means
+    passes are linear) plus the pair output, never n².  The registry
+    query pins k=16 for its oracle; this row exercises the production
+    auto-dial the 100 TB story actually rides on."""
+    from meta_morph_etl_databricks_spark.operators.semantic import (
+        auto_k,
+        semantic_dedup_pairs,
+    )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    n = emb.count()
+    k = auto_k(n)
+    rows: list[int] = []
+
+    def run():
+        rows.append(
+            semantic_dedup_pairs(
+                emb, k=k, iters=1, threshold=0.18, dims=64, n_docs=n
+            ).count()
+        )
+
+    rec = sampler.measure(run, passes)
+    return {
+        "label": label,
+        "n_vectors": n,
+        "k": k,
+        "per_cell": round(n / k, 1),
+        "pairs": rows[-1],
+        "run": rec,
+    }
+
+
 def bench_skew_band(spark, sampler: _Sampler, n_docs: int = 10_000, hot_frac: int = 5) -> dict:
     """VERDICT r5 #2: measure AQE skew-split on a hot LSH band.  A
     corpus where 1/hot_frac of documents share one boilerplate text puts
@@ -608,6 +645,15 @@ def main() -> None:
             )
         )
 
+    semantic_recs = [
+        bench_semantic(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_semantic(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:
+        semantic_recs.append(
+            bench_semantic(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -653,6 +699,11 @@ def main() -> None:
                 f"{tag}[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']}"
                 f"{extra} build={p['index_build_sec']}s serve={p['serve']['sec_norm']}s"
             )
+    for p in semantic_recs:
+        print(
+            f"semantic_dedup[{p['label']}]: n={p['n_vectors']} k={p['k']} "
+            f"per_cell={p['per_cell']} pairs={p['pairs']} t={p['run']['sec_norm']}s"
+        )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -694,6 +745,7 @@ def main() -> None:
         "incremental_partitioned": part_recs,
         "incremental_embed_partitioned": part_embed_recs,
         "ivf_indexed_auto": ivf_rec,
+        "semantic_dedup": semantic_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
     }
