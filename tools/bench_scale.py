@@ -338,7 +338,7 @@ def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3
         )
 
     rec = sampler.measure(run, passes)
-    return {
+    out = {
         "label": label,
         "n_vectors": n,
         "k": k,
@@ -346,6 +346,39 @@ def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3
         "pairs": rows[-1],
         "run": rec,
     }
+    # quality of the two-level trade at the 10× point (the largest
+    # corpus where the flat kernel still runs): pair recall of the
+    # hierarchical cells vs flat k-means at the same k.  Coarse-split
+    # conditioning can only LOSE pairs that straddle a coarse boundary;
+    # this quantifies how many.
+    if label == "scale10" and k > 64:
+        from meta_morph_etl_databricks_spark.operators.semantic import (
+            _kmeans_flat,
+            _kmeans_two_level,
+            _shifted_codes,
+        )
+
+        flat_k = 64  # flat kernel ceiling — both paths at the SAME k
+        # recall on TRUE near-duplicates (cosine ≥ 0.9, the dedup
+        # targets) — at the arm's permissive 0.18 nearly every
+        # within-cell pair qualifies, so overlap there measures where
+        # the cell boundaries fall, not whether duplicates are found
+        codes = _shifted_codes(emb, 64, "vec_id", "embedding")
+        pair_sets = []
+        for fn in (_kmeans_flat, _kmeans_two_level):
+            asg, _ = fn(codes, flat_k, 1, "vec_id")
+            pairs = semantic_dedup_pairs(
+                emb, threshold=0.9, dims=64,
+                _assign=asg.withColumnRenamed("_cl", "cluster"),
+            )
+            pair_sets.append({(r.id_a, r.id_b) for r in pairs.collect()})
+        f_pairs, t_pairs = pair_sets
+        out["two_level_neardup_recall_vs_flat"] = round(
+            len(t_pairs & f_pairs) / max(len(f_pairs), 1), 4
+        )
+        out["flat_neardup_pairs"] = len(f_pairs)
+        out["two_level_neardup_pairs"] = len(t_pairs)
+    return out
 
 
 def bench_skew_band(spark, sampler: _Sampler, n_docs: int = 10_000, hot_frac: int = 5) -> dict:
