@@ -259,3 +259,74 @@ def repetition_profile(
             F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
         )
     )
+
+
+# PII patterns restricted to the Java/RE2 COMMON SUBSET: concatenated
+# greedy bounded quantifiers over explicit classes — no alternation, no
+# backreferences, no lookaround.  Java regex is leftmost-FIRST
+# (backtracking) while RE2 (DuckDB) is leftmost-LONGEST; alternation is
+# where they visibly diverge (`a|ab` on "ab" matches "a" in Java, "ab"
+# in RE2), so none is used.  Cross-engine equality on these patterns is
+# pinned by tests/test_text_pii.py's DuckDB parity case.  Dict order is
+# REDACTION order and load-bearing: email before ipv4/phones (an email's
+# local part may contain digit runs), ipv4 before phones (dotted
+# quads must not be half-eaten by a phone rule).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_intl": r"\+\d{7,14}\b",          # E.164-ish: rigid, one quantifier
+    "phone_dashed": r"\b\d{3}-\d{3}-\d{4}\b",  # fixed widths: no elasticity
+}
+
+
+def redact_pii(
+    text: Column | str,
+    kinds: list[str] | None = None,
+    token: str = "<PII:{kind}>",
+) -> Column:
+    """Replace every PII match with a typed placeholder — the standard
+    pre-training scrub (RefinedWeb/FineWeb pipelines redact emails, IPs
+    and phone numbers exactly like this).  Chained ``regexp_replace``
+    column expressions: map-only, JVM-side, whole-stage-codegen'd — at
+    100 TB this is a projection, not a job.  Spark's regexp_replace is
+    global by default (DuckDB needs the explicit 'g' flag — see the
+    parity test)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token.format(kind=kind))
+    return out
+
+
+def pii_counts(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Per-kind match counts as a struct — the audit signal a curation
+    run reports next to the redacted text (docs with extreme counts are
+    list-like spam, usually dropped rather than scrubbed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+            for k in (kinds or list(PII_PATTERNS))
+        ]
+    )
+
+
+def pii_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """(id, redacted text, per-kind counts, total) — one map-only
+    projection over the corpus.  NULL text stays NULL with NULL counts
+    (regexp functions propagate NULL; no crash, no phantom zero row)."""
+    ks = kinds or list(PII_PATTERNS)
+    staged = docs.select(
+        id_col,
+        redact_pii(text_col, ks).alias("redacted"),
+        pii_counts(text_col, ks).alias("pii"),
+    )
+    total = None
+    for k in ks:
+        c = F.col(f"pii.n_{k}")
+        total = c if total is None else total + c
+    return staged.withColumn("n_pii", total)
