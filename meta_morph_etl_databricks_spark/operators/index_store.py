@@ -365,8 +365,10 @@ def compact_index(spark: SparkSession, path: str) -> None:
 
     Crash-safety contract: the rewrite goes through a sibling temp
     directory; the metadata sidecar AND the streaming seen-id store
-    (``_seen_ids``) are copied into tmp BEFORE the swap, so every
-    directory that can become live is complete on its own.  The swap is
+    (``_seen_ids``, itself deduplicated and re-packed — it accumulates
+    per-batch small files like the index does) are written into tmp
+    BEFORE the swap, so every directory that can become live is
+    complete on its own.  The swap is
     two renames (live → trash, tmp → live) — not atomic together, so a
     crash exactly between them leaves no live directory; the old index
     survives intact in the trash dir and :func:`recover_compaction`
@@ -399,16 +401,23 @@ def compact_index(spark: SparkSession, path: str) -> None:
     )
     write_index_meta(spark, tmp, meta)
     fs, path_cls, _ = _hadoop_fs(spark, root)
-    # COPY (not move) the seen store into tmp pre-swap: it is never
-    # outside a live-capable tree, whichever side a crash leaves live
-    old_seen = path_cls(f"{root}/_seen_ids")
-    if fs.exists(old_seen):
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        if not jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, old_seen, fs, path_cls(f"{tmp}/_seen_ids"), False, conf
-        ):
-            raise IOError(f"compact_index: could not copy _seen_ids into {tmp}")
+    # REWRITE (not move) the seen store into tmp pre-swap — it is never
+    # outside a live-capable tree, whichever side a crash leaves live —
+    # and compact it on the way: each streaming batch appends one file
+    # per touched prefix, so the sidecar accumulates small files exactly
+    # like the index does, and replayed batches can duplicate its rows
+    # (harmless to the anti-join, pure bloat).  Distinct is safe: rows
+    # are (id, prefix-of-id) — pure functions of the id.
+    if fs.exists(path_cls(f"{root}/_seen_ids")):
+        (
+            spark.read.schema(f"{meta['id_col']} long, spfx int")
+            .parquet(f"{root}/_seen_ids")
+            .distinct()
+            .repartition("spfx")
+            .write.mode("overwrite")
+            .partitionBy("spfx")
+            .parquet(f"{tmp}/_seen_ids")
+        )
     if not fs.rename(path_cls(root), path_cls(trash)):
         raise IOError(f"compact_index: could not move {root} aside")
     if not fs.rename(path_cls(tmp), path_cls(root)):

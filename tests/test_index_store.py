@@ -354,7 +354,9 @@ def test_seen_store_copied_before_swap(spark, corpus, tmp_path):
     d = str(tmp_path / "sidx")
     ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
     _plant_seen(spark, d, doc_id=1)
+    _plant_seen(spark, d, doc_id=1)  # replayed-batch duplicate
     _plant_seen(spark, d, doc_id=2)
     ix.compact_index(spark, d)
+    # compaction also dedupes + re-packs the seen sidecar
     got = sorted(r.doc_id for r in spark.read.parquet(f"{d}/_seen_ids").collect())
     assert got == [1, 2]
