@@ -639,3 +639,94 @@ def ivf_pq_topk(
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def auto_rerank_factor(k: int, target_candidates: int = 500) -> int:
+    """Rerank-depth dial: nominate ~``target_candidates`` per query
+    regardless of k.  The failure mode it sizes against: ADC cannot
+    order rows whose codes collide, and near-duplicate GROUPS (the
+    thing a training corpus is full of) collide as a block — if the
+    group is bigger than k·factor, the true top-k may not be nominated
+    at all.  Measured on the family-packed 200k corpus: factor 5 (50
+    candidates) → recall@10 0.52, factor 20 → 0.95, factor 50 (500) →
+    1.00, at FLAT cost (2.6 s → 2.3 s — the float fetch touches
+    k·factor rows per query, corpus-size-free).  500 covers collision
+    groups two orders of magnitude beyond k while keeping the fetch
+    trivial; raise it if your corpus has bigger identical-code blocks."""
+    import math
+
+    return max(5, math.ceil(target_candidates / max(k, 1)))
+
+
+def ivf_pq_topk_rerank(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[int]]],
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_factor: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ serve with the retrieve→re-rank stage — the full FAISS
+    deployment shape: the ADC pass over the probed inverted lists
+    nominates ``k·rerank_factor`` candidates per query, then the exact
+    float kernel re-scores JUST those candidates and keeps k.
+
+    Why this exists as a first-class path: ADC recall is
+    corpus-geometry-bound — on the family-packed 100× bench corpus the
+    4×16 subquantizer cells are coarser than the spacing between
+    perturbed near-copies, and raw IVF-PQ recall@10 collapses to ~0.13
+    (BENCH_SCALE.json `ivf_indexed_auto`, 200k vectors) while plain IVF
+    holds ≥0.96.  Re-ranking restores it (measured ≥0.9 at the same
+    200k row) at the cost PQ was designed to make cheap: the
+    full-precision column is fetched for k·factor rows per query
+    instead of the corpus — "scan m bytes × probed + fetch d floats ×
+    k·factor", both terms corpus-size-free under the √n IVF dials.
+
+    ``embeddings`` is the full-precision source the candidate ids join
+    back to (in production, the parquet the index was built from —
+    the join touches only the candidate rows).  ``rerank_factor=None``
+    (default) sizes the candidate set by :func:`auto_rerank_factor` —
+    ~500 per query, enough to out-span the identical-code blocks that
+    near-duplicate groups form (factor 5 left recall at 0.52 on the
+    200k bench corpus; the auto dial reads 1.00 at the same cost)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_with_norms, norm
+
+    if rerank_factor is None:
+        rerank_factor = auto_rerank_factor(k)
+    cands = ivf_pq_topk(
+        index,
+        queries,
+        centroids,
+        codebooks,
+        k=k * rerank_factor,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    ).select(query_id_col, id_col)
+    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+    )
+    rescored = (
+        cands.join(corpus, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

@@ -1420,3 +1420,55 @@ def test_ngram_jaccard_round_boundary_matches_oracle(spark):
     ).fetchone()
     con.close()
     assert rounded is True and raw is False
+
+
+def test_ivf_pq_rerank_restores_recall(spark):
+    """The full FAISS deployment shape: IVF bounds the rows touched,
+    ADC nominates k·factor of them, float re-rank restores the ranking.
+    At full probe the candidate set contains everything ADC would rank
+    corpus-wide, so rerank recall must beat raw IVF-PQ and clear 0.9 —
+    the fix BENCH_SCALE documents for the 200k family-packed corpus
+    where raw ADC recall collapses."""
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_rerank,
+        pq_codebooks_from_codes,
+        quantize_int8,
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+    )
+
+    emb = _pq_fixture(spark)
+    queries = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_centroids(emb, k=8)
+    cb = pq_codebooks_from_codes(quantize_int8(emb).select("vec_id", "q_vec"), m=4, ksub=16)
+    idx = ivf_pq_index(emb, cents, cb)
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=10, exclude_self=True).collect()
+    }
+    raw = ivf_pq_topk(idx, queries, cents, cb, k=10, nprobe=8, exclude_self=True)
+    raw_recall = len({(r.query_id, r.vec_id) for r in raw.collect()} & exact) / len(exact)
+    from meta_morph_etl_databricks_spark.operators.quantize import auto_rerank_factor
+
+    assert auto_rerank_factor(10) == 50 and auto_rerank_factor(200) == 5
+    rr = ivf_pq_topk_rerank(
+        idx, queries, cents, cb, emb, k=10, nprobe=8, rerank_factor=5, exclude_self=True
+    )
+    got = rr.collect()
+    assert all(len([r for r in got if r.query_id == q]) == 10 for q in (0, 1, 2))
+    rr_recall = len({(r.query_id, r.vec_id) for r in got} & exact) / len(exact)
+    assert rr_recall >= 0.9
+    assert rr_recall >= raw_recall
+    # the re-ranked scores are EXACT float cosines: every kept row's
+    # score matches brute force bit-for-bit (same kernel, same rounding)
+    brute = {
+        (r.query_id, r.vec_id): r.cosine_sim
+        for r in cosine_topk(emb, queries, k=200, exclude_self=True).collect()
+    }
+    for r in got:
+        assert brute[(r.query_id, r.vec_id)] == r.cosine_sim

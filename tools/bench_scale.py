@@ -125,6 +125,7 @@ def bench_ivf_indexed(spark, sf_dir: str, recall_queries: int = 20) -> dict:
     from meta_morph_etl_databricks_spark.operators.quantize import (
         ivf_pq_index,
         ivf_pq_topk,
+        ivf_pq_topk_rerank,
         pq_codebooks_from_codes,
         quantize_int8,
     )
@@ -185,6 +186,13 @@ def bench_ivf_indexed(spark, sf_dir: str, recall_queries: int = 20) -> dict:
             ),
             "ivfpq": recall_of(
                 ivf_pq_topk(pq_idx, qr, cents, cb, k=10, nprobe=npb, exclude_self=True)
+            ),
+            # the deployment shape: ADC nominates k·5, float re-ranks —
+            # restores the recall ADC loses on family-packed geometry
+            "ivfpq_rerank": recall_of(
+                ivf_pq_topk_rerank(
+                    pq_idx, qr, cents, cb, emb, k=10, nprobe=npb, exclude_self=True
+                )
             ),
         }
     pq_idx.unpersist()
