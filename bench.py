@@ -62,7 +62,10 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     "q_corpus_split": (5, ["q_corpus_split", ("q_corpus_split", 1.0)]),
     # r6: IVF-PQ arm folded in — a second index build (assignment, same
     # cost as the ivf arm's) + map-only PQ encode + full-probe ADC scan.
-    "q_similarity_ivf_topk": (6, ["q_similarity_ivf_topk", ("q_similarity_ivf_topk", 1.0)]),
+    # r6 folded the ivfpq arm (weight 1.0 of the prior whole); r8 folds
+    # the rerank arm — ADC nomination over the cached index (~the ivfpq
+    # arm's cost) + a candidate-bounded float rescore (~free).
+    "q_similarity_ivf_topk": (8, ["q_similarity_ivf_topk", ("q_similarity_ivf_topk", 0.7)]),
     # r6: heavy-hitters arm folded into the distinct query — freqItems
     # pass + count + filtered exact confirm ≈ 3 extra scans of orders
     # next to distinct's one.
@@ -124,7 +127,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_dedup_ngram_jaccard": ("variant", ["candidates", "verified", "components"]),
     "q_train_prep": ("variant", ["decontaminate", "pack", "chunk"]),
     "q_corpus_split": ("variant", ["split", "mix"]),
-    "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq"]),
+    "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq", "rerank"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
     "q_corpus_curation": ("variant", ["curation", "incremental"]),
     "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic"]),

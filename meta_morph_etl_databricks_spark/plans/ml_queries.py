@@ -761,8 +761,34 @@ ivf AS (
 ),
 {_CODES_CTES},
 {_PQ_CTES},
-ivfpq AS ({_pq_topk_select('ivfpq')})
-SELECT * FROM ivf UNION ALL SELECT * FROM ivfpq
+ivfpq AS ({_pq_topk_select('ivfpq')}),
+rr_cands AS (
+    SELECT query_id, vec_id FROM (
+        SELECT a.query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+                   ROUND(CASE WHEN a.pn > 0 AND n.n > 0
+                              THEN CAST(a.dot AS DOUBLE) / (sqrt(CAST(a.pn AS DOUBLE)) * n.n)
+                              ELSE 0.0 END, 6) DESC, a.vec_id ASC) AS rnk
+        FROM adc a JOIN norms n ON n.vec_id = a.query_id
+        WHERE a.vec_id <> a.query_id
+    ) WHERE rnk <= 50
+),
+rerank AS (
+    SELECT 'rerank' AS variant, query_id, vec_id, cosine_sim FROM (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+        FROM (
+            SELECT c.query_id, c.vec_id,
+                   ROUND(list_dot_product(x.v, q.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine_sim
+            FROM rr_cands c
+            JOIN vecs x ON x.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        )
+    ) WHERE rnk <= 10
+)
+SELECT * FROM ivf UNION ALL SELECT * FROM ivfpq UNION ALL SELECT * FROM rerank
 """
 
 
@@ -782,12 +808,25 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the pq oracle chain checks the whole composition bit-exactly;
       the recall/cost behavior at nprobe < nlist stays in pytest
       (full-probe equality + nprobe=2 recall floor).
+    - ``variant='rerank'`` — the DEPLOYMENT serve
+      (operators/quantize.py ivf_pq_topk_rerank): ADC nominates
+      k·factor candidates (factor pinned to 5 so the oracle's rank
+      boundary is inlined — production auto-sizes via
+      auto_rerank_factor), then the exact float kernel re-scores just
+      those rows and keeps k.  The oracle replays nomination (ADC rank
+      ≤ 50, the same tie-break) and rescoring (the proven double-cosine
+      expression), hash-checking the full retrieve→re-rank composition.
 
     Centroids and PQ codebooks come from the per-(session, sf_dir)
     caches — the build-once/serve-many split, same values every run
     (deterministic seed rules).
     """
-    from ..operators.quantize import ivf_pq_index, ivf_pq_topk, quantize_int8
+    from ..operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_rerank,
+        quantize_int8,
+    )
     from ..operators.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -799,6 +838,7 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _pq_codebooks_cached(spark, sf_dir, quantize_int8(emb).select("vec_id", "q_vec"))
     if not cents or cb is None:  # drained corpus — nothing to index
         ivfpq = ivf.limit(0)
+        rr = ivf.limit(0)
     else:
         # index built+persisted ONCE per (session, sf_dir) — the
         # ivf_pq_index docstring's own deployment contract ("persist or
@@ -813,7 +853,11 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq = ivf_pq_topk(
             index, queries, cents, cb, k=10, nprobe=_IVF_K, exclude_self=True
         ).select(F.lit("ivfpq").alias("variant"), "query_id", "vec_id", "cosine_sim")
-    return ivf.unionByName(ivfpq)
+        rr = ivf_pq_topk_rerank(
+            index, queries, cents, cb, emb,
+            k=10, nprobe=_IVF_K, rerank_factor=5, exclude_self=True,
+        ).select(F.lit("rerank").alias("variant"), "query_id", "vec_id", "cosine_sim")
+    return ivf.unionByName(ivfpq).unionByName(rr)
 
 
 # ------------------------------------------------------- fingerprinting
