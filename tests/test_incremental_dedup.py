@@ -731,3 +731,65 @@ def test_stream_restart_embed_param_mismatch_raises(spark, tmp_path):
 
     # default center='auto' restart defers to the stored center: clean
     run_once(9, center="auto")
+
+
+def test_stream_embed_crash_replay_accepted_at_least_once(spark, tmp_path):
+    """Embedding sibling of the band-stream crash-replay test: a crash
+    AFTER the accepted append but BEFORE the index/seen appends replays
+    the batch against an unchanged index — identical recomputed
+    accepted set, so accepted_path holds FULL-ROW duplicates that
+    dropDuplicates([id]) resolves; the replayed index append then lands
+    and a later scaled copy of the replayed vector is rejected."""
+    import random
+
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_embed_near_dup,
+    )
+
+    rng = random.Random(29)
+    dims = 16
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    uniq5 = [rng.uniform(-1, 1) for _ in range(dims)]
+
+    src = tmp_path / "ecsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "ecidx")
+    accepted_path = str(tmp_path / "ecacc")
+    ckpt = str(tmp_path / "ecckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_embed_near_dup(
+            stream, index_path, accepted_path, ckpt,
+            threshold=0.995, dims=dims, n_planes=6, center=None,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base)], schema).write.parquet(str(src / "b1"))
+    run_once()
+
+    # crash window: batch 2's accepted rows landed, then the process
+    # died before the index/seen appends and the checkpoint commit
+    spark.createDataFrame([(5, uniq5)], schema).write.mode("append").parquet(accepted_path)
+    spark.createDataFrame(
+        [(4, [x * 0.5 for x in base]), (5, uniq5)], schema
+    ).write.parquet(str(src / "b2"))
+    run_once()
+
+    raw = sorted(r.vec_id for r in spark.read.parquet(accepted_path).collect())
+    assert raw == [1, 5, 5]  # full-row duplicate of 5; 4 rejected vs index
+    dedup = spark.read.parquet(accepted_path).dropDuplicates(["vec_id"])
+    assert sorted(r.vec_id for r in dedup.collect()) == [1, 5]
+
+    # the replayed batch's index append landed: a scaled copy of 5 is
+    # rejected in batch 3
+    spark.createDataFrame([(7, [x * 2.0 for x in uniq5])], schema).write.parquet(str(src / "b3"))
+    run_once()
+    final = spark.read.parquet(accepted_path).dropDuplicates(["vec_id"])
+    assert sorted(r.vec_id for r in final.collect()) == [1, 5]
+    idx_ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(index_path).select("vec_id").distinct().collect()
+    )
+    assert idx_ids == [1, 4, 5, 7]
