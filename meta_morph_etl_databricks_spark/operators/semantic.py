@@ -61,7 +61,7 @@ operators/dedup.py and operators/similarity.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .quantize import quantize_int8
@@ -242,12 +242,25 @@ def _kmeans_two_level(
     different from flat k-means cells, but every step stays integer-
     exact, deterministic, and layout-independent.  Global cluster id =
     c1·k2 + cid (sparse labels; only equality is ever used).  Driver
-    state is O(k·d) ints — same bound as the flat path."""
+    state is O(k·d) ints — same bound as the flat path.
+
+    NEITHER level may exceed ``_FLAT_K_MAX`` — each level IS a
+    conditional-sum kernel and re-enters the measured never-finishes
+    regime past ~64 aggregate columns.  The √k split keeps both ≤ 64
+    up to k = 4096; beyond that the fine level pins k2 = 64 and the
+    COARSE level recurses through :func:`_kmeans_dispatch` (depth
+    ⌈log₆₄ k⌉: k = 100k clusters → 64-way fine over a recursed
+    ~1563-cell coarse over a flat 25) — every level stays a ≤64-column
+    kernel, assignment cost O(n·d·64·depth)."""
     import math
 
-    k1 = max(2, math.isqrt(k - 1) + 1)
-    k2 = max(2, math.ceil(k / k1))
-    coarse, _ = _kmeans_flat(codes, k1, iters, id_col)
+    if k <= _FLAT_K_MAX * _FLAT_K_MAX:
+        k1 = max(2, math.isqrt(k - 1) + 1)
+        k2 = max(2, math.ceil(k / k1))
+    else:
+        k2 = _FLAT_K_MAX
+        k1 = math.ceil(k / k2)  # > _FLAT_K_MAX → the dispatch recurses
+    coarse, _ = _kmeans_dispatch(codes, k1, iters, id_col)
     if coarse is None:
         return None, []
     # one materialization of (id, cell): every level-2 round joins
@@ -298,6 +311,17 @@ def _kmeans_two_level(
     return final, cents
 
 
+def _kmeans_dispatch(
+    codes: DataFrame, k: int, iters: int, id_col: str
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+    """Route by k: the flat kernel up to its measured column knee,
+    coarse-to-fine beyond (recursing on the coarse level when even
+    ⌈k/64⌉ coarse cells exceed the knee)."""
+    if k <= _FLAT_K_MAX:
+        return _kmeans_flat(codes, k, iters, id_col)
+    return _kmeans_two_level(codes, k, iters, id_col)
+
+
 def kmeans_int8(
     embeddings: DataFrame,
     k: int | None = 16,
@@ -320,17 +344,15 @@ def kmeans_int8(
 
     k ≤ 64 runs the flat kernel (the oracle-checked recurrence); larger
     k — what auto_k produces at real corpus sizes — routes through the
-    two-level decomposition (:func:`_kmeans_two_level`, O(n·d·2√k)
-    assignment), because flat assignment cost is O(n·d·k) and k grows
-    linearly with the corpus under the constant-cell-size dial."""
+    coarse-to-fine decomposition (:func:`_kmeans_two_level`, O(n·d·2√k)
+    assignment; past k = 4096 the coarse level itself recurses so no
+    level ever exceeds the 64-column kernel knee), because flat
+    assignment cost is O(n·d·k) and k grows linearly with the corpus
+    under the constant-cell-size dial."""
     if k is None:
         k = auto_k(embeddings.count() if n_docs is None else n_docs)
     codes = _shifted_codes(embeddings, dims, id_col, vec_col)
-    final, cents = (
-        _kmeans_flat(codes, k, iters, id_col)
-        if k <= _FLAT_K_MAX
-        else _kmeans_two_level(codes, k, iters, id_col)
-    )
+    final, cents = _kmeans_dispatch(codes, k, iters, id_col)
     if final is None:
         empty = embeddings.limit(0).select(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
@@ -354,18 +376,20 @@ def semantic_dedup_pairs(
     cosine_sim ≥ threshold), cosine on the ORIGINAL double vectors
     rounded to 6dp — the same scorer as lsh_bucketed_pairs, so the two
     families differ only in how they partition the corpus."""
-    assign = (
-        kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[0]
-        if _assign is None
-        else _assign
-    )
-    # the assignment subtree (explode + broadcast join + 16-way agg)
-    # would otherwise be COMPUTED TWICE by the pair self-join below —
-    # checkpoint the (id, cluster) frame (8·n bytes + an int) so both
-    # sides read the materialized rows (measured: pairs 5.4s → ~2s at
-    # sf0.1; same device as q_dedup_ngram_jaccard's scored-pair
-    # checkpoint before the components rounds)
-    assign = assign.localCheckpoint(eager=True)
+    if _assign is None:
+        # the assignment subtree (explode + broadcast join + k-way agg)
+        # would otherwise be COMPUTED TWICE by the pair self-join below —
+        # checkpoint the (id, cluster) frame (8·n bytes + an int) so both
+        # sides read the materialized rows (same device as
+        # q_dedup_ngram_jaccard's scored-pair checkpoint before the
+        # components rounds).  A passed _assign is the CALLER's to
+        # checkpoint — semantic_dedup does, and re-checkpointing here
+        # would materialize the same rows a second time.
+        assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[
+            0
+        ].localCheckpoint(eager=True)
+    else:
+        assign = _assign
     memb = embeddings.join(assign, id_col).select(
         id_col, vec_col, "cluster", norm(F.col(vec_col)).alias("_n")
     )
@@ -404,7 +428,13 @@ def semantic_dedup(
     Returns the accepted rows with their cluster id (NULL for corrupt
     rows) — the cluster column is the SemDeDup byproduct callers use
     for stratified sampling and mixing."""
-    assign, _ = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)
+    # checkpoint HERE (not inside semantic_dedup_pairs): the assignment
+    # feeds the pair self-join twice AND the final cluster join-back —
+    # a local checkpoint inside the callee would rebind only its own
+    # variable and this frame would recompute the whole k-means subtree
+    assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[
+        0
+    ].localCheckpoint(eager=True)
     pairs = semantic_dedup_pairs(
         embeddings, k, iters, threshold, dims, id_col, vec_col, n_docs, _assign=assign
     )

@@ -300,14 +300,22 @@ def redact_pii(
 def pii_counts(text: Column | str, kinds: list[str] | None = None) -> Column:
     """Per-kind match counts as a struct — the audit signal a curation
     run reports next to the redacted text (docs with extreme counts are
-    list-like spam, usually dropped rather than scrubbed)."""
-    col = F.col(text) if isinstance(text, str) else text
-    return F.struct(
-        *[
-            F.regexp_count(col, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
-            for k in (kinds or list(PII_PATTERNS))
-        ]
-    )
+    list-like spam, usually dropped rather than scrubbed).
+
+    Counts follow REDACTION PRECEDENCE: kind k is counted on the text
+    with all earlier kinds already replaced, exactly like
+    :func:`redact_pii` matches — otherwise the digits inside an email's
+    local part (``bob+14155550123@mail.com``) would double-count as a
+    phone the redaction never touches, and the totals would disagree
+    with the redacted output (round-8 review finding).  The placeholder
+    token contains no digits/@, so a replacement never CREATES a later
+    match."""
+    cur = F.col(text) if isinstance(text, str) else text
+    counts = []
+    for k in kinds or list(PII_PATTERNS):
+        counts.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).alias(f"n_{k}"))
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], f"<PII:{k}>")
+    return F.struct(*counts)
 
 
 def pii_profile(

@@ -410,13 +410,22 @@ _COS = (
 # int8/pq arms and _IVF_ORACLE's ivfpq arm (full-probe IVF-PQ == flat
 # ADC row-for-row, so the same SQL checks both).  Both blocks assume a
 # preceding ``vecs(vec_id, v)`` CTE.
-_CODES_CTES = """codes AS (
+def _quantize_cte(src: str) -> str:
+    """The int8-quantize replay (operators/quantize.py quantize_int8:
+    max-|v|/127 scale, half-away round, BIGINT codes) over source
+    relation ``src`` — ONE definition shared by every oracle that
+    quantizes (the similarity chains and the semantic-dedup k-means),
+    so the recurrence cannot silently fork between them."""
+    return f"""(
     SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qc
     FROM (
         SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
-        FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs)
+        FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM {src})
     )
-),
+)"""
+
+
+_CODES_CTES = f"""codes AS {_quantize_cte('vecs')},
 norms AS (
     SELECT vec_id, qc, sqrt(CAST(list_dot_product(qc, qc) AS DOUBLE)) AS n FROM codes
 )"""
@@ -645,13 +654,25 @@ _SEM_K, _SEM_ITERS = 16, 1
 def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
     """CTE chain replaying kmeans_int8 in DuckDB: seeds = the k
     lowest-id codes, ``iters`` (assign → floor-div update) rounds, one
-    final assignment, membership joined back to the double vectors."""
+    final assignment, membership joined back to the double vectors.
+
+    ``val_vecs`` mirrors operators/semantic.py ``_shifted_codes``'s
+    corrupt-row exclusion (NULL / wrong-length / non-finite max-|v|)
+    BEFORE quantization — without it a NULL embedding would
+    rank-1-assign to cid 0 through all-NULL order keys and poison the
+    centroid counts, a NaN would error the CAST, and an off-length row
+    would error list_dot_product.  The current generator plants no
+    corrupt embeddings (the filter is a no-op on today's data), but the
+    operators advertise corrupt-row tolerance and the oracle must match
+    them the day the generator does."""
     ctes = [
-        """scodes AS (
-    SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS qc
-    FROM (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
-          FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs))
+        f"""val_vecs AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs
+    ) WHERE v IS NOT NULL AND len(v) = {dims}
+          AND m IS NOT NULL AND NOT isnan(m) AND NOT isinf(m)
 )""",
+        f"scodes AS {_quantize_cte('val_vecs')}",
         "su AS (SELECT vec_id, list_transform(qc, x -> x + 127) AS u FROM scodes)",
         f"""m0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
               list_transform(u, x -> {scale}*x) AS mv FROM su ORDER BY vec_id LIMIT {k})""",

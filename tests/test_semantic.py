@@ -105,13 +105,18 @@ def _py_kmeans(vecs: dict[int, list[float]], k: int, iters: int) -> dict[int, in
     return _py_lloyd(_py_codes(vecs), k, iters)
 
 
-def _py_kmeans_two_level(vecs: dict[int, list[float]], k: int, iters: int) -> dict[int, int]:
-    """Two-level replay: flat k1 ≈ √k coarse split, then an independent
-    flat k2-way Lloyd inside each coarse cell; global id = c1·k2 + cid."""
-    u = _py_codes(vecs)
-    k1 = max(2, math.isqrt(k - 1) + 1)
-    k2 = max(2, math.ceil(k / k1))
-    a1 = _py_lloyd(u, k1, iters)
+def _py_dispatch(u: dict[int, list[int]], k: int, iters: int) -> dict[int, int]:
+    """Replay of _kmeans_dispatch: flat ≤ 64, coarse-to-fine beyond,
+    recursing on the coarse level past k = 64²."""
+    if k <= 64:
+        return _py_lloyd(u, k, iters)
+    if k <= 64 * 64:
+        k1 = max(2, math.isqrt(k - 1) + 1)
+        k2 = max(2, math.ceil(k / k1))
+    else:
+        k2 = 64
+        k1 = math.ceil(k / k2)
+    a1 = _py_dispatch(u, k1, iters)
     cells: dict[int, dict[int, list[int]]] = {}
     for i, c in a1.items():
         cells.setdefault(c, {})[i] = u[i]
@@ -120,6 +125,12 @@ def _py_kmeans_two_level(vecs: dict[int, list[float]], k: int, iters: int) -> di
         for i, cid in _py_lloyd(members, k2, iters).items():
             out[i] = c1 * k2 + cid
     return out
+
+
+def _py_kmeans_two_level(vecs: dict[int, list[float]], k: int, iters: int) -> dict[int, int]:
+    """Two-level replay: flat k1 ≈ √k coarse split, then an independent
+    flat k2-way Lloyd inside each coarse cell; global id = c1·k2 + cid."""
+    return _py_dispatch(_py_codes(vecs), k, iters)
 
 
 def test_kmeans_matches_pure_python_replay(spark, emb):
@@ -256,3 +267,62 @@ def test_two_level_pairs_still_contract(spark, emb):
     for p in rows:
         assert p.id_a < p.id_b and p.cosine_sim >= 0.99
         assert cl[p.id_a] == cl[p.id_b]
+
+
+def test_deep_k_recursion_matches_replay(spark, emb):
+    """k > 64² forces the coarse level itself past the flat kernel's
+    column knee — the dispatch must RECURSE (round-8 review finding:
+    the unclamped k1 re-entered the measured never-finishes regime at
+    auto_k ≥ 4097).  Pinned against the recursive pure-Python replay."""
+    k = 5000  # k2=64, k1=79 → coarse recurses (9×9)
+    asg, cents = kmeans_int8(emb, k=k, iters=1, dims=8)
+    got = {r.vec_id: r.cluster for r in asg.collect()}
+    valid = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.collect()
+        if r.embedding is not None
+        and len(r.embedding) == 8
+        and all(not math.isnan(x) for x in r.embedding)
+    }
+    want = _py_kmeans_two_level(valid, k=k, iters=1)
+    assert got == want
+    assert {c for c in got.values()} <= {cid for cid, _ in cents}
+
+
+def test_oracle_sql_corrupt_row_parity(spark, emb):
+    """The registry arm's DuckDB replay must agree with the Spark
+    operator even when the corpus carries corrupt vectors — today's
+    generator plants none, so this pins the val_vecs exclusion
+    (round-8 review: a NULL embedding would otherwise rank-1-assign to
+    cid 0 through all-NULL order keys; NaN would error the CAST;
+    wrong-length would error list_dot_product).  Runs the REAL
+    _sem_ctes SQL over the same 40-row fixture (3 corrupt rows) in
+    DuckDB and compares pair-for-pair with semantic_dedup_pairs."""
+    import duckdb
+
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _COS, _sem_ctes
+
+    k, iters, dims, t = 4, 1, 8, 0.18
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in semantic_dedup_pairs(emb, k=k, iters=iters, threshold=t, dims=dims).collect()
+    )
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        vals = ", ".join("'nan'::DOUBLE" if x != x else repr(float(x)) for x in v)
+        return f"[{vals}]::DOUBLE[]"
+
+    values = ",\n".join(f"({r.vec_id}, {lit(r.embedding)})" for r in emb.collect())
+    sql = f"""
+    WITH vecs AS (SELECT * FROM (VALUES {values}) AS t(vec_id, v)),
+    {_sem_ctes(k, iters, dims)}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cosine_sim
+    FROM memb a JOIN memb b ON a.cl = b.cl AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS}, 6) >= {t}
+    ORDER BY id_a, id_b
+    """
+    con = duckdb.connect()
+    want = [(a, b, c) for a, b, c in con.sql(sql).fetchall()]
+    assert got == want and got  # non-empty, bit-identical through corruption

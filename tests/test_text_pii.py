@@ -33,6 +33,7 @@ FIXTURE = [
     (6, None),
     (7, "edge: a@b.cd then +1234567 then 123-456-7890x999"),
     (8, "digits 1234567890123 without plus are NOT an intl phone"),
+    (9, "bob+14155550123@mail.com hides a phone-shaped local part"),
 ]
 
 
@@ -54,6 +55,7 @@ def test_redaction_kinds_and_order(spark, docs):
     # not hold after 7890 and the dashed rule must NOT fire
     assert out[7] == "edge: <PII:email> then <PII:phone_intl> then 123-456-7890x999"
     assert out[8] == "digits 1234567890123 without plus are NOT an intl phone"
+    assert out[9] == "<PII:email> hides a phone-shaped local part"
 
 
 def test_counts_and_total(spark, docs):
@@ -64,6 +66,11 @@ def test_counts_and_total(spark, docs):
     assert rows[2].n_pii == 3
     assert rows[3].n_pii == 0
     assert rows[6].n_pii is None  # NULL text → NULL counts, not zero
+    # counts follow redaction precedence: the +digits inside doc 9's
+    # email local part are redacted AS the email, so they must not
+    # double-count as a phone (one PII item, not two)
+    assert (rows[9].pii.n_email, rows[9].pii.n_phone_intl) == (1, 0)
+    assert rows[9].n_pii == 1
 
 
 def test_duckdb_parity_byte_identical(spark, docs):
