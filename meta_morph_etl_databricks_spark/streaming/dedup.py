@@ -114,6 +114,7 @@ def stream_incremental_dedup(
     est_threshold: float = 0.8,
     n_buckets: int | None = None,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Continuous corpus curation: every micro-batch of documents is
     near-dup-deduped against the persisted MinHash band index
@@ -160,12 +161,26 @@ def stream_incremental_dedup(
       duplicate band rows (duplicate candidates collapse in the
       rejected-set distinct; compact the index offline if storage
       matters).
+
+    ``compact_every=N`` runs :func:`~..operators.index_store
+    .compact_index` after every Nth committed batch — BETWEEN triggers,
+    the exact spot its single-writer contract names (foreachBatch
+    serializes batches, so no appender is live during the rewrite).
+    With it set, every batch first runs ``recover_compaction``: a crash
+    mid-swap otherwise leaves no live index and the next batch's
+    meta-read would silently BOOTSTRAP A FRESH EMPTY INDEX over the
+    trash — losing all dedup state without an error.  Appends add
+    O(touched) small files per batch and replays duplicate rows, so
+    long-running streams should set this (file-count and replay-bloat
+    bound, amortized one rewrite per N batches).
     """
     from ..operators import index_store as ix
     from ..operators.incremental import incremental_dedup, minhash_band_index
 
     def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every:
+            ix.recover_compaction(spark, index_path)
         meta = ix.read_index_meta(spark, index_path)
         if meta is None:
             meta = {
@@ -219,6 +234,8 @@ def stream_incremental_dedup(
             res.accepted.write.mode("append").parquet(accepted_path)
             banded.write.mode("append").partitionBy("pfx").parquet(index_path)
             _append_seen(fresh, index_path, id_col, nb)  # commit marker
+            if compact_every and (_batch_id + 1) % compact_every == 0:
+                ix.compact_index(spark, index_path)
         finally:
             banded.unpersist()
             fresh.unpersist()
@@ -244,6 +261,7 @@ def stream_incremental_embed_near_dup(
     center: list[float] | str | None = "auto",
     n_buckets: int | None = None,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Embedding sibling of :func:`stream_incremental_dedup`:
     continuous embedding-corpus curation against the persisted bucket
@@ -264,7 +282,9 @@ def stream_incremental_embed_near_dup(
     crash-replay the self-match argument holds with one nuance: a
     CORRUPT vector (NULL bucket) never self-matches, so replayed
     corrupt rows re-accept like sub-shingle docs — full-row duplicates,
-    same dropDuplicates([id]) read contract."""
+    same dropDuplicates([id]) read contract.  ``compact_every`` behaves
+    exactly as in :func:`stream_incremental_dedup` (compaction between
+    triggers + per-batch crash recovery)."""
     from ..operators import index_store as ix
     from ..operators.incremental import (
         embedding_bucket_index,
@@ -277,6 +297,8 @@ def stream_incremental_embed_near_dup(
         from ..operators.similarity import embedding_center
 
         spark = batch_df.sparkSession
+        if compact_every:
+            ix.recover_compaction(spark, index_path)
         meta = ix.read_index_meta(spark, index_path)
         if meta is None:
             c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
@@ -336,6 +358,8 @@ def stream_incremental_embed_near_dup(
             res.accepted.write.mode("append").parquet(accepted_path)
             new_rows.write.mode("append").partitionBy("pfx").parquet(index_path)
             _append_seen(fresh, index_path, id_col, nb)  # commit marker
+            if compact_every and (_batch_id + 1) % compact_every == 0:
+                ix.compact_index(spark, index_path)
         finally:
             new_rows.unpersist()
             fresh.unpersist()

@@ -793,3 +793,60 @@ def test_stream_embed_crash_replay_accepted_at_least_once(spark, tmp_path):
         for r in spark.read.parquet(index_path).select("vec_id").distinct().collect()
     )
     assert idx_ids == [1, 4, 5, 7]
+
+
+def test_stream_compact_every_and_mid_swap_recovery(spark, tmp_path):
+    """compact_every=1 compacts the index after every committed batch
+    (one file per bucket, dedup semantics unchanged), and a compaction
+    crash BETWEEN triggers — live dir renamed away, mid-swap — is
+    recovered by the next batch instead of silently bootstrapping a
+    fresh empty index over the old state."""
+    import glob
+    import os
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "cmsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "cmidx")
+    accepted_path = str(tmp_path / "cmacc")
+    ckpt = str(tmp_path / "cmckpt")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_incremental_dedup(
+            stream, index_path, accepted_path, ckpt,
+            est_threshold=0.85, compact_every=1,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base)], schema).write.parquet(str(src / "b1"))
+    run_once()
+    for bucket_dir in glob.glob(f"{index_path}/pfx=*"):
+        assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1  # compacted
+
+    # simulate a compaction crash between triggers: mid-swap state
+    tmp_dir, trash = ix._compact_paths(index_path)
+    os.rename(index_path, trash)
+    assert ix.read_index_meta(spark, index_path) is None  # no live index
+
+    # next trigger: near-dup of doc 1 must still be REJECTED — the
+    # recovery restored the old index instead of bootstrapping empty
+    spark.createDataFrame(
+        [(4, base + " tail4"), (5, "unique " + " ".join(f"v{j}" for j in range(25)))],
+        schema,
+    ).write.parquet(str(src / "b2"))
+    run_once()
+    got = sorted(r.doc_id for r in spark.read.parquet(accepted_path).collect())
+    assert got == [1, 5]  # 4 rejected against the RECOVERED index
+    idx_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [1, 4, 5]
+    assert not os.path.exists(trash) and not os.path.exists(tmp_dir)
