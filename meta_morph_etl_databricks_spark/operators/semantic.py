@@ -85,14 +85,19 @@ def _shifted_codes(
 ) -> DataFrame:
     """(id, u) with ``u = int8code + 127 ∈ [0, 254]`` as array<long>.
     Corrupt vectors (NULL / non-finite / empty — NULL codes by the
-    quantize contract — and WRONG-LENGTH: a finite 11-dim row would
+    quantize contract — WRONG-LENGTH: a finite 11-dim row would
     otherwise both pollute positions ≥ dims of every centroid update
-    and be scored on a truncated dot) are EXCLUDED: they belong to no
+    and be scored on a truncated dot — and NULL-ELEMENT: array_max
+    skips interior NULLs so the quantize probe passes, but the NULL
+    rides into the code where Spark's conditional sums SKIP it and
+    DuckDB's list_dot_product NULLs the whole key — divergence, or an
+    int(None) crash if the row seeds) are EXCLUDED: they belong to no
     cluster and can never pair, mirroring the NULL-bucket convention of
     the LSH and incremental-index paths."""
+    no_null_elem = ~F.exists(F.col(vec_col), lambda x: x.isNull())
     return (
         quantize_int8(embeddings, vec_col=vec_col, out_col="_qc")
-        .where(F.col("_qc").isNotNull() & (F.size(vec_col) == dims))
+        .where(F.col("_qc").isNotNull() & (F.size(vec_col) == dims) & no_null_elem)
         .select(
             id_col,
             F.transform("_qc", lambda x: x.cast("long") + F.lit(127)).alias("_u"),
@@ -248,10 +253,11 @@ def _kmeans_two_level(
     conditional-sum kernel and re-enters the measured never-finishes
     regime past ~64 aggregate columns.  The √k split keeps both ≤ 64
     up to k = 4096; beyond that the fine level pins k2 = 64 and the
-    COARSE level recurses through :func:`_kmeans_dispatch` (depth
-    ⌈log₆₄ k⌉: k = 100k clusters → 64-way fine over a recursed
-    ~1563-cell coarse over a flat 25) — every level stays a ≤64-column
-    kernel, assignment cost O(n·d·64·depth)."""
+    COARSE level recurses through :func:`_kmeans_dispatch` (k = 100k
+    clusters → 64-way fine over a recursed 1563-cell coarse, which the
+    isqrt branch splits 40×40) — every level stays a ≤64-column
+    kernel, depth ⌈log₆₄ k⌉, assignment cost O(n·d·Σ levelᵢ) with
+    every levelᵢ ≤ 64."""
     import math
 
     if k <= _FLAT_K_MAX * _FLAT_K_MAX:

@@ -279,10 +279,18 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+# The ONE placeholder literal both redact_pii (replacement) and
+# pii_counts (neutralizing earlier kinds before counting later ones)
+# substitute — load-bearing invariant: it must never itself match a
+# later pattern (no digits, no '@'), or a replacement would CREATE
+# matches and counts would diverge from the redacted output.
+_PII_TOKEN = "<PII:{kind}>"
+
+
 def redact_pii(
     text: Column | str,
     kinds: list[str] | None = None,
-    token: str = "<PII:{kind}>",
+    token: str = _PII_TOKEN,
 ) -> Column:
     """Replace every PII match with a typed placeholder — the standard
     pre-training scrub (RefinedWeb/FineWeb pipelines redact emails, IPs
@@ -314,7 +322,7 @@ def pii_counts(text: Column | str, kinds: list[str] | None = None) -> Column:
     counts = []
     for k in kinds or list(PII_PATTERNS):
         counts.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).alias(f"n_{k}"))
-        cur = F.regexp_replace(cur, PII_PATTERNS[k], f"<PII:{k}>")
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], _PII_TOKEN.format(kind=k))
     return F.struct(*counts)
 
 

@@ -657,11 +657,13 @@ def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
     final assignment, membership joined back to the double vectors.
 
     ``val_vecs`` mirrors operators/semantic.py ``_shifted_codes``'s
-    corrupt-row exclusion (NULL / wrong-length / non-finite max-|v|)
-    BEFORE quantization — without it a NULL embedding would
-    rank-1-assign to cid 0 through all-NULL order keys and poison the
-    centroid counts, a NaN would error the CAST, and an off-length row
-    would error list_dot_product.  The current generator plants no
+    corrupt-row exclusion (NULL / wrong-length / NULL-element /
+    non-finite max-|v|) BEFORE quantization — without it a NULL
+    embedding would rank-1-assign to cid 0 through all-NULL order keys
+    and poison the centroid counts, a NaN would error the CAST, an
+    off-length row would error list_dot_product, and a NULL ELEMENT
+    would split the engines (Spark's conditional sums skip it, DuckDB's
+    list_dot_product NULLs the key).  The current generator plants no
     corrupt embeddings (the filter is a no-op on today's data), but the
     operators advertise corrupt-row tolerance and the oracle must match
     them the day the generator does."""
@@ -670,6 +672,7 @@ def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
     SELECT vec_id, v FROM (
         SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs
     ) WHERE v IS NOT NULL AND len(v) = {dims}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
           AND m IS NOT NULL AND NOT isnan(m) AND NOT isinf(m)
 )""",
         f"scodes AS {_quantize_cte('val_vecs')}",

@@ -166,10 +166,11 @@ def stream_incremental_dedup(
     .compact_index` after every Nth committed batch — BETWEEN triggers,
     the exact spot its single-writer contract names (foreachBatch
     serializes batches, so no appender is live during the rewrite).
-    With it set, every batch first runs ``recover_compaction``: a crash
-    mid-swap otherwise leaves no live index and the next batch's
-    meta-read would silently BOOTSTRAP A FRESH EMPTY INDEX over the
-    trash — losing all dedup state without an error.  Appends add
+    Every batch (with or without the flag — a restart may drop it)
+    first runs ``recover_compaction``: a crash mid-swap otherwise
+    leaves no live index and the next batch's meta-read would silently
+    BOOTSTRAP A FRESH EMPTY INDEX over the trash — losing all dedup
+    state without an error.  Appends add
     O(touched) small files per batch and replays duplicate rows, so
     long-running streams should set this (file-count and replay-bloat
     bound, amortized one rewrite per N batches).
@@ -179,8 +180,14 @@ def stream_incremental_dedup(
 
     def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if compact_every:
-            ix.recover_compaction(spark, index_path)
+        # UNCONDITIONAL (not gated on compact_every): a compaction crash
+        # mid-swap leaves no live index, and a restart that dropped the
+        # flag would otherwise read meta=None and silently bootstrap a
+        # fresh EMPTY index over the trash — then a later recovery call
+        # would see root+trash, declare the compaction "finished", and
+        # delete the old index permanently.  Two fs.exists calls per
+        # batch buys immunity to that whole class.
+        ix.recover_compaction(spark, index_path)
         meta = ix.read_index_meta(spark, index_path)
         if meta is None:
             meta = {
@@ -297,8 +304,14 @@ def stream_incremental_embed_near_dup(
         from ..operators.similarity import embedding_center
 
         spark = batch_df.sparkSession
-        if compact_every:
-            ix.recover_compaction(spark, index_path)
+        # UNCONDITIONAL (not gated on compact_every): a compaction crash
+        # mid-swap leaves no live index, and a restart that dropped the
+        # flag would otherwise read meta=None and silently bootstrap a
+        # fresh EMPTY index over the trash — then a later recovery call
+        # would see root+trash, declare the compaction "finished", and
+        # delete the old index permanently.  Two fs.exists calls per
+        # batch buys immunity to that whole class.
+        ix.recover_compaction(spark, index_path)
         meta = ix.read_index_meta(spark, index_path)
         if meta is None:
             c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center

@@ -295,23 +295,38 @@ def test_oracle_sql_corrupt_row_parity(spark, emb):
     generator plants none, so this pins the val_vecs exclusion
     (round-8 review: a NULL embedding would otherwise rank-1-assign to
     cid 0 through all-NULL order keys; NaN would error the CAST;
-    wrong-length would error list_dot_product).  Runs the REAL
-    _sem_ctes SQL over the same 40-row fixture (3 corrupt rows) in
-    DuckDB and compares pair-for-pair with semantic_dedup_pairs."""
+    wrong-length would error list_dot_product; a NULL ELEMENT would
+    split the engines — Spark's conditional sums skip it, DuckDB's
+    list_dot_product NULLs the key).  Runs the REAL _sem_ctes SQL over
+    the 40-row fixture (3 corrupt rows) PLUS two planted NULL-element
+    rows in DuckDB and compares pair-for-pair with
+    semantic_dedup_pairs."""
     import duckdb
 
     from meta_morph_etl_databricks_spark.plans.ml_queries import _COS, _sem_ctes
 
     k, iters, dims, t = 4, 1, 8, 0.18
+    extra = spark.createDataFrame(
+        [
+            (50, [1.0, None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # partial NULL
+            (51, [None] * 8),                                  # all-NULL elems
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    emb = emb.unionByName(extra)
     got = sorted(
         (r.id_a, r.id_b, r.cosine_sim)
         for r in semantic_dedup_pairs(emb, k=k, iters=iters, threshold=t, dims=dims).collect()
     )
+    assert not any(50 in (a, b) or 51 in (a, b) for a, b, _ in got)
 
     def lit(v):
         if v is None:
             return "NULL"
-        vals = ", ".join("'nan'::DOUBLE" if x != x else repr(float(x)) for x in v)
+        vals = ", ".join(
+            "NULL" if x is None else ("'nan'::DOUBLE" if x != x else repr(float(x)))
+            for x in v
+        )
         return f"[{vals}]::DOUBLE[]"
 
     values = ",\n".join(f"({r.vec_id}, {lit(r.embedding)})" for r in emb.collect())

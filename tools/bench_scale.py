@@ -375,9 +375,13 @@ def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3
         pair_sets = []
         for fn in (_kmeans_flat, _kmeans_two_level):
             asg, _ = fn(codes, flat_k, 1, "vec_id")
+            # the _assign contract: the CALLER checkpoints — the pair
+            # self-join reads the assignment twice
             pairs = semantic_dedup_pairs(
                 emb, threshold=0.9, dims=64,
-                _assign=asg.withColumnRenamed("_cl", "cluster"),
+                _assign=asg.withColumnRenamed("_cl", "cluster").localCheckpoint(
+                    eager=True
+                ),
             )
             pair_sets.append({(r.id_a, r.id_b) for r in pairs.collect()})
         f_pairs, t_pairs = pair_sets
