@@ -642,8 +642,15 @@ def ivf_pq_topk(
 
 
 def auto_rerank_factor(k: int, target_candidates: int = 500) -> int:
-    """Rerank-depth dial: nominate ~``target_candidates`` per query
-    regardless of k.  The failure mode it sizes against: ADC cannot
+    """Rerank-depth dial: nominate ~``target_candidates`` per query —
+    with a floor of 5× overfetch, so for k > ``target_candidates``/5 the
+    candidate count is 5·k, not the flat target (k=200 → 1000, k=1000 →
+    5000).  The floor is deliberate: re-ranking exactly k candidates is
+    a no-op, and a thin margin re-admits the collision-group failure
+    mode below at large k — so the cost claim is precisely
+    ``max(target_candidates, 5k)`` float fetches per query,
+    corpus-size-free in n but linear in k past k = target/5.
+    The failure mode the target sizes against: ADC cannot
     order rows whose codes collide, and near-duplicate GROUPS (the
     thing a training corpus is full of) collide as a block — if the
     group is bigger than k·factor, the true top-k may not be nominated

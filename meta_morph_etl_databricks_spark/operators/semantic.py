@@ -235,7 +235,7 @@ def _grouped_assign(
 
 
 def _kmeans_two_level(
-    codes: DataFrame, k: int, iters: int, id_col: str
+    codes: DataFrame, k: int, iters: int, id_col: str, kmax: int = _FLAT_K_MAX
 ) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
     """Coarse-to-fine Lloyd for large k: k1 ≈ √k coarse cells via the
     flat kernel, then an independent k2-way Lloyd INSIDE each coarse
@@ -258,15 +258,8 @@ def _kmeans_two_level(
     isqrt branch splits 40×40) — every level stays a ≤64-column
     kernel, depth ⌈log₆₄ k⌉, assignment cost O(n·d·Σ levelᵢ) with
     every levelᵢ ≤ 64."""
-    import math
-
-    if k <= _FLAT_K_MAX * _FLAT_K_MAX:
-        k1 = max(2, math.isqrt(k - 1) + 1)
-        k2 = max(2, math.ceil(k / k1))
-    else:
-        k2 = _FLAT_K_MAX
-        k1 = math.ceil(k / k2)  # > _FLAT_K_MAX → the dispatch recurses
-    coarse, _ = _kmeans_dispatch(codes, k1, iters, id_col)
+    k1, k2 = _two_level_split(k, kmax)
+    coarse, _ = _kmeans_dispatch(codes, k1, iters, id_col, kmax)
     if coarse is None:
         return None, []
     # one materialization of (id, cell): every level-2 round joins
@@ -317,15 +310,32 @@ def _kmeans_two_level(
     return final, cents
 
 
+def _two_level_split(k: int, kmax: int = _FLAT_K_MAX) -> tuple[int, int]:
+    """The (k1, k2) decomposition the two-level path uses for target
+    cell count ``k`` under flat-kernel knee ``kmax`` — factored out so
+    the oracle SQL generator derives the SAME split it replays."""
+    import math
+
+    if k <= kmax * kmax:
+        k1 = max(2, math.isqrt(k - 1) + 1)
+        k2 = max(2, math.ceil(k / k1))
+    else:
+        k2 = kmax
+        k1 = math.ceil(k / k2)  # > kmax → the dispatch recurses
+    return k1, k2
+
+
 def _kmeans_dispatch(
-    codes: DataFrame, k: int, iters: int, id_col: str
+    codes: DataFrame, k: int, iters: int, id_col: str, kmax: int = _FLAT_K_MAX
 ) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
     """Route by k: the flat kernel up to its measured column knee,
     coarse-to-fine beyond (recursing on the coarse level when even
-    ⌈k/64⌉ coarse cells exceed the knee)."""
-    if k <= _FLAT_K_MAX:
+    ⌈k/kmax⌉ coarse cells exceed the knee).  ``kmax`` defaults to the
+    measured production knee; tests and the two-level oracle arm pass a
+    small value to force the scale path at oracle-friendly k."""
+    if k <= kmax:
         return _kmeans_flat(codes, k, iters, id_col)
-    return _kmeans_two_level(codes, k, iters, id_col)
+    return _kmeans_two_level(codes, k, iters, id_col, kmax)
 
 
 def kmeans_int8(
@@ -336,6 +346,7 @@ def kmeans_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_docs: int | None = None,
+    flat_k_max: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Integer-exact Lloyd k-means over int8 codes.  Returns
     ``(assignment, centroids)`` — assignment is a lazy (id, cluster)
@@ -354,11 +365,30 @@ def kmeans_int8(
     assignment; past k = 4096 the coarse level itself recurses so no
     level ever exceeds the 64-column kernel knee), because flat
     assignment cost is O(n·d·k) and k grows linearly with the corpus
-    under the constant-cell-size dial."""
+    under the constant-cell-size dial.
+
+    Label contract for k > 64: the two-level path can emit UP TO k1·k2
+    ≥ k cells (k=66 → 9×8 = 72 possible) and its labels are SPARSE,
+    non-contiguous ints (c1·k2 + cid) — only label EQUALITY is
+    meaningful.  Callers must not treat k as an exact cluster count or
+    labels as 0..k−1 (e.g. to size stratified-sampling buckets); derive
+    the realized cells from the assignment itself.  ``flat_k_max``
+    overrides the knee — a small value forces the two-level path at
+    oracle-friendly k (the hash-gated arm and tests use it), exposing
+    the same label contract at test scale.
+
+    Driver-memory note: each update collect is k·d INTS but arrives as
+    Python Row objects (~50 bytes/value) — ~3 GB transient at k=100k,
+    d=64.  Anyone dialing k ≫ 100k should swap the update ``collect()``
+    calls for Arrow collection (``toPandas`` on the grouped frame) or
+    ``toLocalIterator``; at the k this repo's dials produce it is
+    driver-trivial."""
     if k is None:
         k = auto_k(embeddings.count() if n_docs is None else n_docs)
     codes = _shifted_codes(embeddings, dims, id_col, vec_col)
-    final, cents = _kmeans_dispatch(codes, k, iters, id_col)
+    final, cents = _kmeans_dispatch(
+        codes, k, iters, id_col, _FLAT_K_MAX if flat_k_max is None else flat_k_max
+    )
     if final is None:
         empty = embeddings.limit(0).select(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
@@ -377,6 +407,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     n_docs: int | None = None,
     _assign: DataFrame | None = None,
+    flat_k_max: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs WITHIN k-means cells: (id_a < id_b,
     cosine_sim ≥ threshold), cosine on the ORIGINAL double vectors
@@ -391,9 +422,9 @@ def semantic_dedup_pairs(
         # components rounds).  A passed _assign is the CALLER's to
         # checkpoint — semantic_dedup does, and re-checkpointing here
         # would materialize the same rows a second time.
-        assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[
-            0
-        ].localCheckpoint(eager=True)
+        assign = kmeans_int8(
+            embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max
+        )[0].localCheckpoint(eager=True)
     else:
         assign = _assign
     memb = embeddings.join(assign, id_col).select(

@@ -267,13 +267,34 @@ def repetition_profile(
 # (backtracking) while RE2 (DuckDB) is leftmost-LONGEST; alternation is
 # where they visibly diverge (`a|ab` on "ab" matches "a" in Java, "ab"
 # in RE2), so none is used.  Cross-engine equality on these patterns is
-# pinned by tests/test_text_pii.py's DuckDB parity case.  Dict order is
-# REDACTION order and load-bearing: email before ipv4/phones (an email's
-# local part may contain digit runs), ipv4 before phones (dotted
-# quads must not be half-eaten by a phone rule).
+# pinned by tests/test_text_pii.py's DuckDB parity case.
+#
+# Dict order is REDACTION order and load-bearing — each rule must not be
+# able to half-eat a LATER rule's target, so more-structured shapes run
+# first:
+#
+# - email first: its local part may contain digit runs (phone/card
+#   shapes) that belong to the email, not to a later rule;
+# - ipv6 before ipv4: an IPv4-mapped tail aside (compressed `::` forms
+#   need alternation and are documented out of the subset), hex groups
+#   must not have embedded all-digit groups picked off;
+# - ipv4 before the dashed/digit-run rules: dotted quads are digit runs
+#   with structure — the dots break \b digit runs, but the quad must be
+#   typed as an address, not left for a weaker rule;
+# - ssn before card/phones: 3-2-4 dashed digits are fully structured
+#   and disjoint from phone_dashed's 3-3-4 by the middle width;
+# - card (a plain 13–16 digit run — the common contiguous-PAN shape;
+#   separator-grouped PANs need optional-separator groups whose
+#   backtracking order is NOT in the proven common subset, so they are
+#   deliberately out) before phones: a 13+ digit run must not have its
+#   first 14 digits eaten as an overlong intl phone;
+# - the two phone shapes last — the least structured digit patterns.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv6": r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}\b",  # full 8-group form
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",        # fixed 3-2-4: no elasticity
+    "card": r"\b\d{13,16}\b",               # contiguous PAN digit run
     "phone_intl": r"\+\d{7,14}\b",          # E.164-ish: rigid, one quantifier
     "phone_dashed": r"\b\d{3}-\d{3}-\d{4}\b",  # fixed widths: no elasticity
 }
@@ -282,9 +303,19 @@ PII_PATTERNS: dict[str, str] = {
 # The ONE placeholder literal both redact_pii (replacement) and
 # pii_counts (neutralizing earlier kinds before counting later ones)
 # substitute — load-bearing invariant: it must never itself match a
-# later pattern (no digits, no '@'), or a replacement would CREATE
-# matches and counts would diverge from the redacted output.
+# later pattern (no digits, no '@', and never 8 colon-joined hex
+# groups), or a replacement would CREATE matches and counts would
+# diverge from the redacted output.
 _PII_TOKEN = "<PII:{kind}>"
+
+
+def _quote_replacement(s: str) -> str:
+    """Escape ``\\`` and ``$`` for Java's regexp_replace REPLACEMENT
+    lane (Matcher.quoteReplacement semantics), where both are
+    group-reference metacharacters — a caller token like ``"$1"`` would
+    otherwise throw or splice match groups into the output.  Applied to
+    the FORMATTED token only; patterns are never touched."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
 
 
 def redact_pii(
@@ -301,7 +332,9 @@ def redact_pii(
     parity test)."""
     out = F.col(text) if isinstance(text, str) else text
     for kind in kinds or list(PII_PATTERNS):
-        out = F.regexp_replace(out, PII_PATTERNS[kind], token.format(kind=kind))
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], _quote_replacement(token.format(kind=kind))
+        )
     return out
 
 

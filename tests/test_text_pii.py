@@ -34,6 +34,11 @@ FIXTURE = [
     (7, "edge: a@b.cd then +1234567 then 123-456-7890x999"),
     (8, "digits 1234567890123 without plus are NOT an intl phone"),
     (9, "bob+14155550123@mail.com hides a phone-shaped local part"),
+    (10, "ssn 123-45-6789 next to phone 123-456-7890 — disjoint widths"),
+    (11, "card 4111111111111111 and a 12-digit run 123456789012 (no match)"),
+    (12, "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 but ::1 is compressed"),
+    (13, "17 digits 12345678901234567 are neither card nor phone"),
+    (14, "fe80:1:2:3:4:5:6:7 short-group v6; 1.2.3.4 stays an ipv4"),
 ]
 
 
@@ -54,8 +59,15 @@ def test_redaction_kinds_and_order(spark, docs):
     # 'x' is a non-word char boundary? 'x' IS a word char, so \b does
     # not hold after 7890 and the dashed rule must NOT fire
     assert out[7] == "edge: <PII:email> then <PII:phone_intl> then 123-456-7890x999"
-    assert out[8] == "digits 1234567890123 without plus are NOT an intl phone"
+    # 13 contiguous digits: not an intl phone (no +), but since r9 a
+    # card-shaped PAN run — redacted as card, not left in the clear
+    assert out[8] == "digits <PII:card> without plus are NOT an intl phone"
     assert out[9] == "<PII:email> hides a phone-shaped local part"
+    assert out[10] == "ssn <PII:ssn> next to phone <PII:phone_dashed> — disjoint widths"
+    assert out[11] == "card <PII:card> and a 12-digit run 123456789012 (no match)"
+    assert out[12] == "v6 <PII:ipv6> but ::1 is compressed"
+    assert out[13] == "17 digits 12345678901234567 are neither card nor phone"
+    assert out[14] == "<PII:ipv6> short-group v6; <PII:ipv4> stays an ipv4"
 
 
 def test_counts_and_total(spark, docs):
@@ -106,3 +118,18 @@ def test_custom_kinds_and_token(spark, docs):
     }
     assert out[1] == "contact [email] or +14155550123 today"  # phones untouched
     assert out[2] == FIXTURE[1][1]  # ipv4 untouched when only email asked
+
+
+def test_token_with_replacement_metacharacters(spark, docs):
+    """`$` and `\\` are group-reference metacharacters in Java's
+    replacement lane — a caller token containing them must land
+    literally (Matcher.quoteReplacement semantics), not throw or splice
+    match groups (round-8 advice)."""
+    out = {
+        r.doc_id: r.redacted
+        for r in docs.select(
+            "doc_id",
+            redact_pii("text", kinds=["email"], token="$0\\{kind}$").alias("redacted"),
+        ).collect()
+    }
+    assert out[4] == "$0\\email$ wrote to $0\\email$ from 8.8.8.8"
