@@ -65,6 +65,109 @@ _LANG_CASE = (
     + " END"
 )
 
+def _hex15_to_bigint(expr: str) -> str:
+    """First 15 hex chars → bigint, DuckDB side: a '0x'-prefixed string
+    cast, which DuckDB evaluates natively and bit-identically to Spark's
+    ``conv(substr(md5(x),1,15), 16, 10)`` (verified: both yield
+    648541476951500027 for md5('abc')).  Replaces an earlier 15-step
+    per-hex-digit CASE ladder that dominated oracle runtime."""
+    return f"(('0x' || substr({expr}, 1, 15)))::BIGINT"
+
+
+# ---- PII hash gate.  The synthetic corpus carries no PII (audited:
+# zero '@' / 7-digit runs at sf0.01), so redact_pii on raw documents
+# would pass vacuously.  The declared query therefore PLANTS one PII
+# item per document, deterministically from doc_id, with the SAME
+# concat expression on both sides (the planting is shared input, like
+# the corpus itself) — then each engine runs its OWN redaction/count
+# chain: Spark through operators/text.py (Java regex, leftmost-first),
+# the oracle through an independently-written RE2 regexp_replace /
+# regexp_extract_all chain.  Residues 0–6 plant one item of one kind
+# each (every kind covered); residue 7 is the no-PII control — so
+# per-kind counts are pinned to the planting rate (≈1/8 of docs each)
+# and the redacted-text fingerprint hash-gates every replacement byte.
+# tools/gen_scale.py plants the SAME tails into the scale corpora so
+# the 10×/100× audits see the same known rates.
+# (residue, literal prefix, id-derived middle, literal suffix)
+_PII_PLANTS: list[tuple[int, str, str, str]] = [
+    (0, " reach user", "id", "@example.com"),
+    (1, " v6 2001:db8:85a3:42:8a2e:370:7334:", "mod4", ""),
+    (2, " from 10.", "mod200", ".3.7"),
+    (3, " ssn 123-45-", "mod4", ""),
+    (4, " card 411111111111", "mod4", ""),
+    (5, " call +1415555", "mod4", ""),
+    (6, " tel 555-867-", "mod4", ""),
+]
+
+# residue → planted kind, aligned with _PII_PLANTS (asserted by
+# tests/test_text_pii.py's planted-rate check)
+PII_PLANT_KINDS = ["email", "ipv6", "ipv4", "ssn", "card", "phone_intl", "phone_dashed"]
+
+
+def pii_plant_tail(id_col: Column) -> Column:
+    """The deterministic planted-PII tail for a document id (Spark) —
+    shared by the declared query and tools/gen_scale.py so test and
+    scale corpora plant at the same known rates."""
+    mids = {
+        "id": id_col.cast("string"),
+        "mod4": (F.lit(1000) + id_col % 9000).cast("string"),
+        "mod200": (id_col % 200).cast("string"),
+    }
+    plant = F.lit("")
+    for res, pre, mid, suf in _PII_PLANTS:
+        plant = F.when(
+            id_col % 8 == res, F.concat(F.lit(pre), mids[mid], F.lit(suf))
+        ).otherwise(plant)
+    return plant
+
+
+def _planted_text_col() -> Column:
+    """documents.text with the deterministic planted PII tail (Spark)."""
+    return F.concat(F.col("text"), pii_plant_tail(F.col("doc_id")))
+
+
+def _planted_text_sql() -> str:
+    mids = {
+        "id": "CAST(doc_id AS VARCHAR)",
+        "mod4": "CAST(1000 + doc_id % 9000 AS VARCHAR)",
+        "mod200": "CAST(doc_id % 200 AS VARCHAR)",
+    }
+    whens = " ".join(
+        f"WHEN {res} THEN '{pre}' || {mids[mid]} || '{suf}'"
+        for res, pre, mid, suf in _PII_PLANTS
+    )
+    return f"text || (CASE doc_id % 8 {whens} ELSE '' END)"
+
+
+def _pii_ctes() -> str:
+    """The oracle's redaction replay: one CTE per PII kind, each
+    counting kind k on the text with all EARLIER kinds already replaced
+    (operators/text.py pii_counts precedence) then replacing it —
+    RE2 regexp_extract_all/regexp_replace where the engine runs Java
+    regexp_count/regexp_replace, over patterns written in the proven
+    common subset (tests/test_text_pii.py byte-parity)."""
+    kinds = list(T.PII_PATTERNS)
+    ctes = [f"pii0 AS (SELECT doc_id, {_planted_text_sql()} AS t FROM documents)"]
+    carried: list[str] = []
+    for i, k in enumerate(kinds):
+        p = T.PII_PATTERNS[k].replace("'", "''")
+        prev = ", ".join(carried) + (", " if carried else "")
+        ctes.append(
+            f"pii{i + 1} AS (SELECT doc_id, {prev}"
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_pii_{k}, "
+            f"regexp_replace(t, '{p}', '<PII:{k}>', 'g') AS t FROM pii{i})"
+        )
+        carried.append(f"n_pii_{k}")
+    total = " + ".join(carried)
+    ctes.append(
+        f"piif AS (SELECT doc_id, {', '.join(carried)}, {total} AS n_pii, "
+        f"{_hex15_to_bigint('md5(t)')} AS redacted_fp FROM pii{len(kinds)})"
+    )
+    return ",\n".join(ctes)
+
+
+_PII_COUNT_COLS = ", ".join(f"n_pii_{k}" for k in T.PII_PATTERNS)
+
 _TEXT_PROFILE_ORACLE = f"""
 WITH bigrams AS (
     SELECT doc_id, unnest(s) AS g
@@ -91,24 +194,33 @@ WITH bigrams AS (
            CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END AS punct_ratio,
            CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio
     FROM base
-)
+),
+{_pii_ctes()}
 SELECT s.doc_id, lang, n_tokens, n_bpe_tokens,
        {_LANG_CASE} AS detected_lang,
        ROUND((CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END
               + (1.0 - punct_ratio) + alpha_ratio) / 3.0, 4) AS quality,
        ROUND(COALESCE(1.0 - CAST(dist AS DOUBLE) / CAST(n_grams AS DOUBLE), 0.0), 4) AS dup_gram_frac,
-       ROUND(COALESCE(CAST(topg AS DOUBLE) / CAST(n_grams AS DOUBLE), 0.0), 4) AS top_gram_frac
+       ROUND(COALESCE(CAST(topg AS DOUBLE) / CAST(n_grams AS DOUBLE), 0.0), 4) AS top_gram_frac,
+       {_PII_COUNT_COLS}, n_pii, redacted_fp
 FROM scored s LEFT JOIN rep ON s.doc_id = rep.doc_id
+              JOIN piif ON s.doc_id = piif.doc_id
 """
 
 
 @register("q_text_profile", _TEXT_PROFILE_ORACLE)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts (whitespace + BPE-ish regex),
-    language-ID heuristic, quality score, and since r5 the Gopher-style
+    language-ID heuristic, quality score, since r5 the Gopher-style
     repetition signals (duplicate-bigram and top-bigram fractions —
     operators/text.py repetition_profile, two map-side-combining hash
-    aggregations joined back on doc_id)."""
+    aggregations joined back on doc_id), and since r9 the PII scrub
+    hash gate: per-kind counts + redacted-text fingerprint over the
+    deterministically PLANTED corpus (see ``_PII_PLANTS`` — the raw
+    corpus carries no PII, so the gate plants one item per doc from
+    doc_id and each engine redacts with its own regex engine).  The
+    whole PII block is a map-only projection — at 100 TB it rides the
+    same scan as the profile, zero extra shuffle."""
     docs = _documents(spark, sf_dir)
     profile = T.profile_documents(docs).select(
         "doc_id", "lang", "n_tokens", "n_bpe_tokens", "detected_lang", "quality"
@@ -118,15 +230,31 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = T.repetition_profile(docs, dense=False).select(
         "doc_id", "dup_gram_frac", "top_gram_frac"
     )
-    return profile.join(rep, "doc_id", "left").select(
+    planted = docs.select("doc_id", _planted_text_col().alias("text"))
+    pii = T.pii_profile(planted).select(
         "doc_id",
-        "lang",
-        "n_tokens",
-        "n_bpe_tokens",
-        "detected_lang",
-        "quality",
-        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
-        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+        *[F.col(f"pii.n_{k}").cast("int").alias(f"n_pii_{k}") for k in T.PII_PATTERNS],
+        F.col("n_pii").cast("int").alias("n_pii"),
+        F.conv(F.substring(F.md5("redacted"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("redacted_fp"),
+    )
+    return (
+        profile.join(rep, "doc_id", "left")
+        .join(pii, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_bpe_tokens",
+            "detected_lang",
+            "quality",
+            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+            F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+            *[f"n_pii_{k}" for k in T.PII_PATTERNS],
+            "n_pii",
+            "redacted_fp",
+        )
     )
 
 
@@ -157,14 +285,6 @@ def q_text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------- dedup
 _NORM_TEXT = f"trim(regexp_replace({_ascii_lower('text')}, '[{_WS}]+', ' ', 'g'))"
-
-def _hex15_to_bigint(expr: str) -> str:
-    """First 15 hex chars → bigint, DuckDB side: a '0x'-prefixed string
-    cast, which DuckDB evaluates natively and bit-identically to Spark's
-    ``conv(substr(md5(x),1,15), 16, 10)`` (verified: both yield
-    648541476951500027 for md5('abc')).  Replaces an earlier 15-step
-    per-hex-digit CASE ladder that dominated oracle runtime."""
-    return f"(('0x' || substr({expr}, 1, 15)))::BIGINT"
 
 
 @register(
@@ -650,6 +770,79 @@ def _bucket_sql(planes: list[list[float]]) -> str:
 # and the arm is hash-comparable where float k-means never could be.
 _SEM_K, _SEM_ITERS = 16, 1
 
+# Forced-two-level arm: the scale path of kmeans_int8 (coarse flat
+# Lloyd → per-cell fine Lloyd, operators/semantic.py _kmeans_two_level)
+# hash-gated at oracle-friendly k — the round-6 hyperplane lesson: the
+# gate must see the code that RUNS at scale, not just the flat kernel.
+# k=12 under a forced knee of 4 routes two-level with (k1, k2) =
+# _two_level_split(12, 4) = (4, 3); the arm runs on the deterministic
+# 1/3 subcorpus (vec_id % 3 = 0) so its ~n²/(9·12) pair join stays a
+# fraction of the k=16 arm's cost at every sf.
+_SEM2_K, _SEM2_KMAX, _SEM2_MOD = 12, 4, 3
+
+
+def _sem2_ctes(k1: int, k2: int, iters: int, dims: int, scale: int = 1024) -> str:
+    """CTE chain replaying _kmeans_two_level in DuckDB over a preceding
+    ``vecs2(vec_id, v)`` CTE: coarse flat Lloyd at k1 (same recurrence
+    as :func:`_sem_ctes`, t-prefixed names), then an independent k2-way
+    Lloyd INSIDE each coarse cell — seeds are each cell's k2 lowest
+    ids, assignment ranks a vector only against ITS cell's centroids
+    (mirroring _grouped_assign: missing slots simply don't join, the
+    engine's +∞ sentinel never wins), updates floor-div per (c1, cl2),
+    global label = c1·k2 + cl2.  Every intermediate is an exact
+    integer < 2^53 in both engines' lanes, so two-level assignments are
+    hash-comparable exactly like the flat kernel's."""
+    ctes = [
+        f"""tval AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs2
+    ) WHERE v IS NOT NULL AND len(v) = {dims}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
+          AND m IS NOT NULL AND NOT isnan(m) AND NOT isinf(m)
+)""",
+        f"tsc AS {_quantize_cte('tval')}",
+        "tsu AS (SELECT vec_id, list_transform(qc, x -> x + 127) AS u FROM tsc)",
+        f"""tm0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(u, x -> {scale}*x) AS mv FROM tsu ORDER BY vec_id LIMIT {k1})""",
+    ]
+    prev_m = "tm0"
+    for i in range(iters + 1):
+        ctes.append(f"""ta{i} AS (
+  SELECT vec_id, u, cid AS cl FROM (
+    SELECT s.vec_id, s.u, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(c.mv, c.mv) - {2 * scale}*list_dot_product(s.u, c.mv), c.cid) AS rk
+    FROM tsu s, {prev_m} c) WHERE rk = 1)""")
+        if i < iters:
+            prev_m = f"tm{i + 1}"
+            ctes.append(f"""{prev_m} AS (
+  SELECT cl AS cid, list(({scale}*sx) // cnt ORDER BY pos) AS mv FROM (
+    SELECT a.cl, t.i AS pos, SUM(a.u[t.i+1]) AS sx, COUNT(*) AS cnt
+    FROM ta{i} a, range({dims}) t(i) GROUP BY a.cl, t.i) GROUP BY cl)""")
+    # fine level: codes2 = (vec, u, coarse cell) is ta{iters} itself
+    ctes.append(
+        f"""tf0 AS (SELECT cl AS c1, rn - 1 AS cid, list_transform(u, x -> {scale}*x) AS mv FROM (
+    SELECT cl, u, vec_id, ROW_NUMBER() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+    FROM ta{iters}) WHERE rn <= {k2})"""
+    )
+    for i in range(iters + 1):
+        ctes.append(f"""tb{i} AS (
+  SELECT vec_id, u, c1, cid AS cl2 FROM (
+    SELECT s.vec_id, s.u, s.cl AS c1, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(c.mv, c.mv) - {2 * scale}*list_dot_product(s.u, c.mv), c.cid) AS rk
+    FROM ta{iters} s JOIN tf{i} c ON s.cl = c.c1) WHERE rk = 1)""")
+        if i < iters:
+            ctes.append(f"""tf{i + 1} AS (
+  SELECT c1, cl2 AS cid, list(({scale}*sx) // cnt ORDER BY pos) AS mv FROM (
+    SELECT a.c1, a.cl2, t.i AS pos, SUM(a.u[t.i+1]) AS sx, COUNT(*) AS cnt
+    FROM tb{i} a, range({dims}) t(i) GROUP BY a.c1, a.cl2, t.i) GROUP BY c1, cl2)""")
+    ctes.append(
+        f"tmemb AS (SELECT f.c1 * {k2} + f.cl2 AS cl, x.vec_id, x.v "
+        f"FROM tb{iters} f JOIN vecs2 x USING (vec_id))"
+    )
+    return ",\n".join(ctes)
+
 
 def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
     """CTE chain replaying kmeans_int8 in DuckDB: seeds = the k
@@ -700,6 +893,11 @@ def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
     return ",\n".join(ctes)
 
 
+from ..operators.semantic import _two_level_split as _sem_split  # noqa: E402
+
+_SEM2_K1, _SEM2_K2 = _sem_split(_SEM2_K, _SEM2_KMAX)
+
+
 @register(
     "q_embed_near_dup_lsh",
     f"""
@@ -718,8 +916,16 @@ def _sem_ctes(k: int, iters: int, dims: int, scale: int = 1024) -> str:
                ROUND({_COS}, 6) AS cosine_sim
         FROM memb a JOIN memb b ON a.cl = b.cl AND a.vec_id < b.vec_id
         WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    ),
+    vecs2 AS (SELECT vec_id, v FROM vecs WHERE vec_id % {_SEM2_MOD} = 0),
+    {_sem2_ctes(_SEM2_K1, _SEM2_K2, _SEM_ITERS, _DIMS)},
+    sem2p AS (
+        SELECT 'semantic2' AS variant, a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS}, 6) AS cosine_sim
+        FROM tmemb a JOIN tmemb b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
     )
-    SELECT * FROM lshp UNION ALL SELECT * FROM semp
+    SELECT * FROM lshp UNION ALL SELECT * FROM semp UNION ALL SELECT * FROM sem2p
     """,
 )
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +939,14 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       integer-exact k-means cells (k=16, one Lloyd update) — the
       density-following partition that pairs paraphrases LSH's random
       hyperplanes split apart.  At scale, k grows with the corpus
-      (auto_k) so the per-cell quadratic term stays flat."""
+      (auto_k) so the per-cell quadratic term stays flat.
+    - ``variant='semantic2'`` — the SAME operator forced down its SCALE
+      path (``flat_k_max=4`` routes k=12 through _kmeans_two_level:
+      coarse k1=4 flat Lloyd, fine k2=3 per-cell Lloyd) on the
+      deterministic 1/3 subcorpus; the oracle replays the full
+      two-level recurrence (:func:`_sem2_ctes`), so the hash gate
+      covers the code that runs at auto_k corpus sizes, not only the
+      flat kernel."""
     from ..operators.semantic import semantic_dedup_pairs
 
     emb = _embeddings(spark, sf_dir)
@@ -743,7 +956,14 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_dedup_pairs(
         emb, k=_SEM_K, iters=_SEM_ITERS, threshold=_NEAR_DUP_T
     ).select(F.lit("semantic").alias("variant"), "id_a", "id_b", "cosine_sim")
-    return lsh.unionByName(sem)
+    sem2 = semantic_dedup_pairs(
+        emb.filter(F.col("vec_id") % _SEM2_MOD == 0),
+        k=_SEM2_K,
+        iters=_SEM_ITERS,
+        threshold=_NEAR_DUP_T,
+        flat_k_max=_SEM2_KMAX,
+    ).select(F.lit("semantic2").alias("variant"), "id_a", "id_b", "cosine_sim")
+    return lsh.unionByName(sem).unionByName(sem2)
 
 
 # IVF: deterministic codebook = the 16 lowest-id vectors; assignment and

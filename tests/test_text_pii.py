@@ -120,6 +120,29 @@ def test_custom_kinds_and_token(spark, docs):
     assert out[2] == FIXTURE[1][1]  # ipv4 untouched when only email asked
 
 
+def test_planted_rates_on_corpus(spark):
+    """The declared query's PII gate on real corpus data: every doc
+    gets EXACTLY its planted item (residue → kind, one match, zero for
+    the control residue) — i.e. the base corpus contributes no
+    accidental PII and the planting recipe and patterns agree."""
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.plans.ml_queries import (
+        PII_PLANT_KINDS,
+        q_text_profile,
+    )
+
+    df = q_text_profile(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "n_pii", *[f"n_pii_{k}" for k in PII_PATTERNS]
+    )
+    assert df.count() > 0
+    res = F.col("doc_id") % 8
+    assert df.filter((res < 7) & (F.col("n_pii") != 1)).count() == 0
+    assert df.filter((res == 7) & (F.col("n_pii") != 0)).count() == 0
+    for i, kind in enumerate(PII_PLANT_KINDS):
+        assert df.filter((res == i) & (F.col(f"n_pii_{kind}") != 1)).count() == 0
+
+
 def test_token_with_replacement_metacharacters(spark, docs):
     """`$` and `\\` are group-reference metacharacters in Java's
     replacement lane — a caller token containing them must land

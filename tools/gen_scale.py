@@ -137,16 +137,27 @@ def _scale_ml_tables(spark: SparkSession, out_dir: str, copies: int) -> None:
                 " ",
             )
         )
+    # PII planted at the declared-query recipe's known rates (one item
+    # per doc for 7 of every 8 FINAL doc_ids, kind by residue — see
+    # plans/ml_queries._PII_PLANTS) so scale-bench redaction audits can
+    # pin counts against the planting rate instead of hoping the
+    # synthetic text contains none.
+    from meta_morph_etl_databricks_spark.plans.ml_queries import pii_plant_tail
+
+    scaled_id = F.col("doc_id") + F.col("copy") * DOC_SPAN
     _explode_copies(docs, copies).withColumn(
         "text",
-        F.when(F.col("copy") == 0, F.col("text")).otherwise(
-            F.concat(
-                base_text,
-                F.lit(" variant "),
-                F.conv(F.xxhash64("doc_id", "copy").cast("string"), 10, 16),
-            )
+        F.concat(
+            F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                F.concat(
+                    base_text,
+                    F.lit(" variant "),
+                    F.conv(F.xxhash64("doc_id", "copy").cast("string"), 10, 16),
+                )
+            ),
+            pii_plant_tail(scaled_id),
         ),
-    ).withColumn("doc_id", F.col("doc_id") + F.col("copy") * DOC_SPAN).drop(
+    ).withColumn("doc_id", scaled_id).drop(
         "copy"
     ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
