@@ -349,6 +349,133 @@ def _validate_embed_params(
         )
 
 
+def semantic_cell_index(
+    embeddings: DataFrame,
+    tree,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _cells: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic-dedup index rows: ``(id_col, cell, q_vec, q_norm)`` —
+    the k-means cell from a finished run's ASSIGNER TREE
+    (operators/semantic.py assign_cells: O(d·64·depth) per vector, no
+    Lloyd replay) plus the int8 code and its norm, the same
+    deterministic scoring payload as :func:`embedding_bucket_index`.
+    Corrupt vectors (NULL / empty / NaN / Inf / wrong-length /
+    NULL-element) carry a NULL cell — never equi-join, never pair,
+    never pile into a hot cell — mirroring the NULL-bucket convention.
+
+    ``_cells`` lets a caller that already computed the assignment (the
+    bootstrap, whose Lloyd run IS the assignment) hand it in as an
+    (id, cell) frame instead of re-routing through the tree."""
+    from .quantize import qnorm, quantize_int8
+    from .semantic import semantic_cell_assign
+
+    cells = (
+        _cells
+        if _cells is not None
+        else semantic_cell_assign(embeddings, tree, dims, id_col, vec_col)
+    )
+    coded = quantize_int8(embeddings, vec_col)
+    return coded.join(cells, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("q_vec"),
+        qnorm(F.col("q_vec")).alias("q_norm"),
+    )
+
+
+def _validate_sem_params(dims: int, k: int | None, index_meta: dict | None) -> None:
+    """Build-param validation for a semantic cell index — sidecar-only
+    (the assigner tree cannot be attested from the data, so a raw
+    DataFrame index has no probe fallback; persist through
+    index_store.create_semantic_index to get the contract)."""
+    if index_meta is None:
+        return
+    bad = []
+    if index_meta.get("dims") != dims:
+        bad.append(f"dims: index={index_meta.get('dims')} caller={dims}")
+    if k is not None and index_meta.get("k") != k:
+        bad.append(f"k: index={index_meta.get('k')} caller={k}")
+    if bad:
+        raise ValueError(
+            "semantic index metadata mismatch (" + ", ".join(bad) + ") — a "
+            "mismatched assigner re-cells the increment and silently empties "
+            "every cell join; use the stored build parameters"
+        )
+
+
+def incremental_semantic_near_dup(
+    new_embeddings: DataFrame,
+    index: DataFrame,
+    tree,
+    threshold: float = 0.9,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_meta: dict | None = None,
+    _new_rows: DataFrame | None = None,
+) -> IncrementalDedupResult:
+    """SemDeDup for an increment against the persisted cell index
+    (schema of :func:`semantic_cell_index`) — the third member of the
+    incremental-dedup triad, same policy as the band/embed siblings
+    (reject on match vs index or vs a lower-id increment row; the index
+    grows by ALL increment rows; monotone ids across increments ⇒ any
+    split of a post-bootstrap stream accepts a bit-identical set,
+    because cells are FIXED by the bootstrap tree and scoring is the
+    deterministic int8 cosine over stored codes on both sides).
+
+    Semantic nuance the other two don't have: the cells themselves are
+    a function of the BOOTSTRAP corpus — increments are placed into
+    existing cells (one assigner-tree pass, no Lloyd re-run), so the
+    partition slowly drifts from what a fresh clustering of the grown
+    corpus would produce.  That is the standard IVF trade; the store
+    exposes an occupancy dial (index_store.semantic_recluster_due) to
+    trigger a rebuild when drift passes it.
+
+    Scale shape: per-cell equi-joins only; the index is pre-partitioned
+    by a hash prefix of ``cell`` so a fixed increment touches a bounded
+    set of buckets (index_store pruned read), and assignment is
+    O(d·64·⌈log₆₄ k⌉) per increment row — serve cost is flat in the
+    corpus up to the log factor."""
+    _validate_sem_params(dims, None, index_meta)
+    new_rows = (
+        _new_rows
+        if _new_rows is not None
+        else semantic_cell_index(new_embeddings, tree, dims, id_col, vec_col)
+    )
+    n, x = new_rows.alias("n"), index.alias("x")
+    vs_index = (
+        n.join(x, F.col("n.cell") == F.col("x.cell"))
+        .where(
+            _qcos(
+                F.col("n.q_vec"), F.col("x.q_vec"), F.col("n.q_norm"), F.col("x.q_norm")
+            )
+            >= threshold
+        )
+        .select(F.col(f"n.{id_col}"))
+    )
+    a, b = new_rows.alias("a"), new_rows.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            _qcos(
+                F.col("a.q_vec"), F.col("b.q_vec"), F.col("a.q_norm"), F.col("b.q_norm")
+            )
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}"))
+    )
+    rejected = vs_index.union(within).distinct()
+    accepted = new_embeddings.join(rejected, id_col, "left_anti")
+    return IncrementalDedupResult(accepted=accepted, index_rows=new_rows)
+
+
 def incremental_embed_near_dup(
     new_embeddings: DataFrame,
     index: DataFrame,

@@ -54,49 +54,240 @@ from .incremental import (
     embedding_bucket_index,
     incremental_dedup,
     incremental_embed_near_dup,
+    incremental_semantic_near_dup,
     minhash_band_index,
+    semantic_cell_index,
 )
 
 META_FILE = "_index_meta.json"
 
 BAND_KIND = "minhash_band"
 EMBED_KIND = "embedding_bucket"
+SEM_KIND = "semantic_cell"
 
 
 # ------------------------------------------------------------ sidecar
-def write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    """Persist ``meta`` as ``<path>/_index_meta.json`` via the Hadoop FS
-    API (works on any supported filesystem, not just local — same
-    rationale as sources.sinks.path_exists)."""
+def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
     from ..sources.sinks import _hadoop_fs
 
     fs, path_cls, _ = _hadoop_fs(spark, path)
-    p = path_cls(f"{path.rstrip('/')}/{META_FILE}")
-    out = fs.create(p, True)  # overwrite
+    out = fs.create(path_cls(path), True)  # overwrite
     try:
-        out.write(bytearray(json.dumps(meta, sort_keys=True).encode("utf-8")))
+        out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
 
 
-def read_index_meta(spark: SparkSession, path: str) -> dict | None:
-    """Read the sidecar, or None when the path has no index yet."""
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
     from ..sources.sinks import _hadoop_fs
 
     fs, path_cls, _ = _hadoop_fs(spark, path)
-    p = path_cls(f"{path.rstrip('/')}/{META_FILE}")
+    p = path_cls(path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
         # read on the JVM side — py4j passes byte[] by value, so a
         # Python-side readFully(buf) would never see the bytes
-        text = spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
+        return spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         )
-        return json.loads(text)
     finally:
         stream.close()
+
+
+def write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist ``meta`` as ``<path>/_index_meta.json`` via the Hadoop FS
+    API (works on any supported filesystem, not just local — same
+    rationale as sources.sinks.path_exists).  ``path`` is a DATA dir
+    (a generation dir, or a legacy flat root) — no pointer resolution;
+    the generation protocol relies on writing meta into a specific gen
+    (and writing it LAST, see :func:`compact_index`)."""
+    _write_small_file(
+        spark, f"{path.rstrip('/')}/{META_FILE}", json.dumps(meta, sort_keys=True)
+    )
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """Read the sidecar of the index at ``path`` (pointer-resolved —
+    callers hand the index ROOT), or None when the path has no index
+    yet."""
+    live = live_root(spark, path)
+    text = _read_small_file(spark, f"{live.rstrip('/')}/{META_FILE}")
+    return None if text is None else json.loads(text)
+
+
+# ----------------------------------------------------- generation layout
+# An index root contains a one-line pointer file and generation dirs:
+#
+#   <root>/_current          →  "gen-0000003"   (the LIVE generation)
+#   <root>/gen-0000003/      →  pfx=* partitions, _index_meta.json,
+#                                _seen_ids/ (streaming sidecar)
+#
+# Every read resolves through the pointer, so REPLACING the index
+# (compaction, re-cluster rebuild) is: build the next generation dir
+# completely — data, seen store, and the meta sidecar LAST, so "has
+# meta" = "complete" — then atomically rewrite the pointer.  A reader
+# can never observe a half-swapped index: it either still resolves the
+# old generation or already the new one (the round-8 two-rename swap
+# had a between-renames window with NO live directory — a concurrent
+# reader errored; the pointer closes it).  Readers are PASSIVE (resolve
+# only, never delete), so they are safe DURING a live compaction;
+# debris cleanup (stale generations, pointer tmp) belongs to writers
+# via :func:`recover_compaction`.
+#
+# Legacy flat indexes (data directly under root, pre-pointer) resolve
+# to the root itself and stay readable/servable; :func:`compact_index`
+# on one raises with a :func:`migrate_index` hint.
+CURRENT_FILE = "_current"
+_GEN_PREFIX = "gen-"
+
+
+def _gen_dir_names(spark: SparkSession, root: str) -> list[str]:
+    """Names of generation dirs under root (empty when root missing)."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    p = path_cls(root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(_GEN_PREFIX):
+            out.append(name)
+    return sorted(out)
+
+
+def _complete_gens(spark: SparkSession, root: str) -> list[str]:
+    """Generation dirs that finished their build (meta written last)."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    return [
+        g
+        for g in _gen_dir_names(spark, root)
+        if fs.exists(path_cls(f"{root}/{g}/{META_FILE}"))
+    ]
+
+
+def _install_pointer(spark: SparkSession, root: str, gen: str) -> None:
+    """Atomically point ``_current`` at ``gen``: write a tmp file, then
+    rename over the pointer (atomic overwrite on POSIX; on filesystems
+    whose rename refuses an existing destination the delete+rename
+    fallback leaves a window with no pointer, which readers survive via
+    the highest-complete-generation fallback in :func:`live_root`)."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    tmp = f"{root}/{CURRENT_FILE}.tmp"
+    cur = f"{root}/{CURRENT_FILE}"
+    _write_small_file(spark, tmp, gen)
+    if not fs.rename(path_cls(tmp), path_cls(cur)):
+        fs.delete(path_cls(cur), False)
+        if not fs.rename(path_cls(tmp), path_cls(cur)):
+            raise IOError(f"could not install index pointer {cur}")
+
+
+def live_root(spark: SparkSession, path: str) -> str:
+    """The index's LIVE data dir: the pointed-to generation, else (no
+    pointer — an HDFS-style delete+rename window, or a crash before the
+    first pointer landed) the highest COMPLETE generation, else the
+    root itself (legacy flat layout, or nothing there yet).  Read-only —
+    never mutates, so it is safe under a concurrently-running
+    compaction."""
+    from ..sources.sinks import _hadoop_fs
+
+    root = path.rstrip("/")
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    gen = _read_small_file(spark, f"{root}/{CURRENT_FILE}")
+    if gen is not None:
+        gen = gen.strip()
+        if gen and fs.exists(path_cls(f"{root}/{gen}")):
+            return f"{root}/{gen}"
+    # legacy flat layout: meta at the root itself — checked BEFORE the
+    # generation listing, because a flat root holds n_buckets child dirs
+    # and listing it per serve is exactly the O(corpus/bucket) driver
+    # cost pruned_read exists to avoid
+    if fs.exists(path_cls(f"{root}/{META_FILE}")):
+        return root
+    done = _complete_gens(spark, root)
+    if done:
+        return f"{root}/{done[-1]}"
+    return root
+
+
+def _new_generation(spark: SparkSession, root: str) -> str:
+    """Next generation dir name (not yet created)."""
+    gens = _gen_dir_names(spark, root)
+    nxt = 0 if not gens else max(int(g[len(_GEN_PREFIX):]) for g in gens) + 1
+    return f"{_GEN_PREFIX}{nxt:07d}"
+
+
+def _reject_legacy_for_write(spark: SparkSession, root: str) -> None:
+    """create_* over a LEGACY flat index must not interleave generation
+    dirs with the flat data (the stale root sidecar would hijack the
+    pointer-loss fallback later) — migrate or pick a fresh path."""
+    if _read_small_file(spark, f"{root}/{CURRENT_FILE}") is None and _read_small_file(
+        spark, f"{root}/{META_FILE}"
+    ) is not None:
+        raise ValueError(
+            f"{root} holds a legacy flat index — run migrate_index first, or "
+            "create the new index at a fresh path"
+        )
+
+
+def init_index(spark: SparkSession, path: str, meta: dict) -> str:
+    """Bootstrap an EMPTY index at ``path`` in the generation layout:
+    create the first generation with only the meta sidecar and point
+    ``_current`` at it.  Returns the live data dir.  (The streaming
+    sinks use this on their first batch; batch ``create_*`` builders
+    write data first and call :func:`_finish_generation` instead.)"""
+    root = path.rstrip("/")
+    gen = _new_generation(spark, root)
+    write_index_meta(spark, f"{root}/{gen}", meta)
+    _install_pointer(spark, root, gen)
+    return f"{root}/{gen}"
+
+
+def _finish_generation(spark: SparkSession, root: str, gen: str, meta: dict) -> None:
+    """Complete a freshly-built generation: meta LAST (completeness
+    marker), then flip the pointer.  The now-stale previous generation
+    is deliberately NOT deleted here — an in-flight reader that
+    resolved it just before the flip may still be scanning its files.
+    Stale generations are reaped at the START of the next writer cycle
+    (:func:`recover_compaction`, which every compaction, create and
+    streaming batch runs first), so readers get a full writer cycle of
+    grace — the standard MVCC retire-on-next-checkpoint trade."""
+    write_index_meta(spark, f"{root}/{gen}", meta)
+    _install_pointer(spark, root, gen)
+
+
+def migrate_index(spark: SparkSession, path: str) -> str:
+    """Move a legacy FLAT index (data directly under root) into the
+    generation layout so compaction/rebuild get the reader-atomic
+    pointer swap.  Steps (each idempotent, resumed by
+    :func:`recover_compaction` after a crash): rename root aside to
+    ``<root>__migrate``, recreate root, rename the sidelined tree in as
+    generation 0, install the pointer.  Returns the live dir."""
+    from ..sources.sinks import _hadoop_fs
+
+    root = path.rstrip("/")
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    if _read_small_file(spark, f"{root}/{CURRENT_FILE}") is not None:
+        return live_root(spark, root)  # already pointer layout
+    side = f"{root}__migrate"
+    if not fs.exists(path_cls(side)):
+        if read_index_meta(spark, root) is None:
+            raise ValueError(f"no index at {root} to migrate")
+        if not fs.rename(path_cls(root), path_cls(side)):
+            raise IOError(f"migrate_index: could not move {root} aside")
+    gen = f"{_GEN_PREFIX}{0:07d}"
+    fs.mkdirs(path_cls(root))
+    if not fs.rename(path_cls(side), path_cls(f"{root}/{gen}")):
+        raise IOError(f"migrate_index: could not install {side} as {gen}")
+    _install_pointer(spark, root, gen)
+    return f"{root}/{gen}"
 
 
 def _require_meta(meta: dict, expected: dict, path: str) -> None:
@@ -138,12 +329,56 @@ def _bucket_pfx(n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _band_schema(id_col: str) -> str:
-    return f"{id_col} long, band_idx int, band_key long, sig array<bigint>, pfx int"
+# The id column's TYPE is part of the index's identity: every read
+# goes through an explicit schema, and a wrong id type is silently
+# read as all-NULL (round-8 advice: the seen-store rewrite hardcoded
+# long in two modules).  ``create_*`` records it once in the sidecar
+# (from the bootstrap frame's dtype); every schema below derives from
+# the meta, and serves validate the increment's dtype against it.
+def _id_type(meta: dict) -> str:
+    return meta.get("id_type", "bigint")
 
 
-def _embed_schema(id_col: str) -> str:
-    return f"{id_col} long, bucket bigint, q_vec array<tinyint>, q_norm double, pfx int"
+def _band_schema(meta: dict) -> str:
+    return f"{meta['id_col']} {_id_type(meta)}, band_idx int, band_key long, sig array<bigint>, pfx int"
+
+
+def _embed_schema(meta: dict) -> str:
+    return f"{meta['id_col']} {_id_type(meta)}, bucket bigint, q_vec array<tinyint>, q_norm double, pfx int"
+
+
+def _sem_schema(meta: dict) -> str:
+    return f"{meta['id_col']} {_id_type(meta)}, cell int, q_vec array<tinyint>, q_norm double, pfx int"
+
+
+def _seen_schema(meta: dict) -> str:
+    return f"{meta['id_col']} {_id_type(meta)}, spfx int"
+
+
+def _kind_schema(meta: dict) -> str:
+    """Row schema for an index's kind — one registry so compaction and
+    every open path read the same shape."""
+    by_kind = {BAND_KIND: _band_schema, EMBED_KIND: _embed_schema, SEM_KIND: _sem_schema}
+    return by_kind[meta["kind"]](meta)
+
+
+def _check_id_type(df: DataFrame, meta: dict, path: str) -> None:
+    """Raise when an increment's id dtype differs from the index's —
+    the explicit-schema reads would otherwise NULL every stored id."""
+    got = dict(df.dtypes).get(meta["id_col"])
+    if got is not None and got != _id_type(meta):
+        raise ValueError(
+            f"index at {path} stores {meta['id_col']} as {_id_type(meta)}, "
+            f"increment carries {got} — rebuild the index or align the id type"
+        )
+
+
+def _cell_pfx(n_buckets: int) -> Column:
+    # NULL cell (corrupt vectors) → NULL pfx → the Hive default
+    # partition, same convention as _bucket_pfx
+    return F.when(
+        F.col("cell").isNotNull(), F.pmod(F.xxhash64("cell"), F.lit(n_buckets))
+    ).cast("int")
 
 
 def pruned_read(
@@ -196,35 +431,43 @@ def create_band_index(
     ``n_buckets`` defaults to ``auto_index_buckets`` over the corpus's
     band-row count (one count() action at build time — build is the
     amortized one-time cost, serves never pay it)."""
+    spark = docs.sparkSession
+    # writer entry point: reap stale/half-built generations first
+    # (round-8 advice: create over crash debris must not strand state)
+    recover_compaction(spark, path)
+    _reject_legacy_for_write(spark, path.rstrip("/"))
     rows = minhash_band_index(docs, text_col, id_col, num_hashes, bands)
     if n_buckets is None:
         n_buckets = auto_index_buckets(rows.count())
     meta = {
         "kind": BAND_KIND,
         "id_col": id_col,
+        "id_type": dict(docs.dtypes)[id_col],
         "num_hashes": num_hashes,
         "bands": bands,
         "n_buckets": n_buckets,
     }
+    root = path.rstrip("/")
+    gen = _new_generation(spark, root)
     (
         rows.withColumn("pfx", _band_pfx(n_buckets))
         .repartition("pfx")
         .write.mode("overwrite")
         .partitionBy("pfx")
-        .parquet(path)
+        .parquet(f"{root}/{gen}")
     )
-    write_index_meta(docs.sparkSession, path, meta)
+    _finish_generation(spark, root, gen, meta)
     return meta
 
 
 def append_band_rows(rows: DataFrame, path: str, meta: dict) -> None:
     """Append an increment's band rows (``IncrementalDedupResult
-    .index_rows``) into the partitioned layout."""
+    .index_rows``) into the live generation's partitioned layout."""
     (
         rows.withColumn("pfx", _band_pfx(meta["n_buckets"]))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(path)
+        .parquet(live_root(rows.sparkSession, path))
     )
 
 
@@ -250,7 +493,7 @@ def open_band_index(
     if bands is not None:
         expected["bands"] = bands
     _require_meta(meta, expected, path)
-    df = spark.read.schema(_band_schema(meta["id_col"])).parquet(path)
+    df = spark.read.schema(_band_schema(meta)).parquet(live_root(spark, path))
     return df, meta
 
 
@@ -283,8 +526,10 @@ def serve_incremental_dedup(
         raise ValueError(f"no {META_FILE} at {path} — create_band_index first")
     if meta.get("kind") != BAND_KIND:
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not {BAND_KIND}")
+    _check_id_type(new_docs, meta, path)
     id_col, num_hashes, bands = meta["id_col"], meta["num_hashes"], meta["bands"]
     n_buckets = meta["n_buckets"]
+    live = live_root(spark, path)
 
     banded = (
         minhash_band_index(new_docs, text_col, id_col, num_hashes, bands)
@@ -293,7 +538,7 @@ def serve_incremental_dedup(
     )
     try:
         touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
-        index = pruned_read(spark, path, _band_schema(id_col), touched)
+        index = pruned_read(spark, live, _band_schema(meta), touched)
         res = incremental_dedup(
             new_docs,
             index.drop("pfx"),
@@ -307,50 +552,79 @@ def serve_incremental_dedup(
         )
         if append:
             # pfx already on the cached rows — write them directly
-            banded.write.mode("append").partitionBy("pfx").parquet(path)
+            banded.write.mode("append").partitionBy("pfx").parquet(live)
         return res
     finally:
         banded.unpersist()
 
 
-def _compact_paths(root: str) -> tuple[str, str]:
-    return f"{root}__compact_tmp", f"{root}__compact_trash"
-
-
 def recover_compaction(spark: SparkSession, path: str) -> str:
-    """Restore a consistent index after a :func:`compact_index` crash.
-    Idempotent; returns what it did:
+    """Writer-side self-heal + debris cleanup for the generation
+    layout.  Idempotent; returns what it did:
 
-    - ``"clean"`` — no compaction debris, nothing to do;
-    - ``"restored"`` — a crash landed between the two renames (live dir
-      missing, old index sitting in the trash dir): the old index is
-      renamed back into place, complete — the seen-id store was COPIED
-      into tmp before the swap, never moved out of the old tree;
-    - ``"finished"`` — a crash landed after the new layout went live but
-      before cleanup: the leftover trash (old layout) is deleted.
+    - ``"clean"`` — nothing to do (also: legacy flat layout / fresh path);
+    - ``"migrated"`` — a crashed :func:`migrate_index` was resumed (the
+      sidelined legacy tree installed as generation 0);
+    - ``"restored"`` — the pointer was missing or dangled (the
+      delete+rename fallback window, or a crash before the first flip):
+      re-pointed at the highest COMPLETE generation;
+    - ``"finished"`` — stale debris deleted: non-live generations (a
+      crashed compaction's half-built gen — no meta, never pointed-to —
+      or a finished compaction's old gen that outlived its cleanup) and
+      pointer tmp files.
 
-    In every case a leftover tmp dir is deleted — tmp is never the live
-    index, so discarding it only costs re-running the compaction.
-    :func:`compact_index` calls this first, which also prevents the
-    Hadoop rename-into-existing-directory nesting a stale tmp/trash
-    would otherwise cause."""
+    WRITER-side only: readers resolve passively through
+    :func:`live_root` and never delete, so a reader is safe while a
+    compaction is mid-build; run this where the appender runs (the
+    streaming sinks call it per batch)."""
     from ..sources.sinks import _hadoop_fs
 
     root = path.rstrip("/")
-    tmp, trash = _compact_paths(root)
     fs, path_cls, _ = _hadoop_fs(spark, root)
     state = "clean"
-    if fs.exists(path_cls(trash)):
-        if fs.exists(path_cls(root)):
-            fs.delete(path_cls(trash), True)
-            state = "finished"
-        else:
-            if not fs.rename(path_cls(trash), path_cls(root)):
-                raise IOError(f"recover_compaction: could not restore {trash} → {root}")
-            state = "restored"
-    if fs.exists(path_cls(tmp)):
-        fs.delete(path_cls(tmp), True)
-    return state
+    side = f"{root}__migrate"
+    if fs.exists(path_cls(side)):
+        gen0 = f"{_GEN_PREFIX}{0:07d}"
+        fs.mkdirs(path_cls(root))
+        if not fs.rename(path_cls(side), path_cls(f"{root}/{gen0}")):
+            raise IOError(f"recover_compaction: could not resume migration of {side}")
+        _install_pointer(spark, root, gen0)
+        state = "migrated"
+    cur = _read_small_file(spark, f"{root}/{CURRENT_FILE}")
+    cur = cur.strip() if cur is not None else None
+    if cur is None or not fs.exists(path_cls(f"{root}/{cur}")):
+        done = _complete_gens(spark, root)
+        if not done:
+            # no pointer, no complete generation: a legacy flat index, a
+            # fresh path, or the debris of a crashed FIRST build — drop
+            # any half-built gens, the flat root (if any) stays live
+            for g in _gen_dir_names(spark, root):
+                fs.delete(path_cls(f"{root}/{g}"), True)
+            return state
+        cur = done[-1]
+        _install_pointer(spark, root, cur)
+        state = "restored"
+    # Reap debris, RETAINING the live gen's immediate predecessor: a
+    # reader that resolved the old gen just before the last flip may
+    # still be mid-scan, and deleting it at the very next writer entry
+    # (back-to-back compactions) would yank its files (measured: the
+    # reader-during-compaction test hit FILE_NOT_EXIST under
+    # delete-at-next-entry).  Keeping exactly one predecessor gives
+    # every reader at least one full writer cycle of grace — the
+    # snapshot-retention trade every MVCC table format makes.
+    # Incomplete gens (no meta: a crashed build, never pointed at) and
+    # anything older than the predecessor go.
+    complete = set(_complete_gens(spark, root))
+    pred = max((g for g in complete if g < cur), default=None)
+    removed = False
+    for g in _gen_dir_names(spark, root):
+        if g != cur and g != pred:
+            fs.delete(path_cls(f"{root}/{g}"), True)
+            removed = True
+    tmp_ptr = path_cls(f"{root}/{CURRENT_FILE}.tmp")
+    if fs.exists(tmp_ptr):
+        fs.delete(tmp_ptr, False)
+    return "finished" if removed else state
 
 
 def compact_index(spark: SparkSession, path: str) -> None:
@@ -363,67 +637,58 @@ def compact_index(spark: SparkSession, path: str) -> None:
     replay bloat.  Distinct is row-level-safe here because index rows
     are pure functions of the document (identical on re-derivation).
 
-    Crash-safety contract: the rewrite goes through a sibling temp
-    directory; the metadata sidecar AND the streaming seen-id store
-    (``_seen_ids``, itself deduplicated and re-packed — it accumulates
-    per-batch small files like the index does) are written into tmp
-    BEFORE the swap, so every directory that can become live is
-    complete on its own.  The swap is
-    two renames (live → trash, tmp → live) — not atomic together, so a
-    crash exactly between them leaves no live directory; the old index
-    survives intact in the trash dir and :func:`recover_compaction`
-    (run automatically at the start of every compaction, or standalone)
-    renames it back.  Leftover tmp/trash dirs from a crashed run are
-    likewise recovered/cleaned first — they never nest into the new
-    layout.  Not safe under concurrent WRITERS — run it where the
-    appender runs (e.g. between streaming triggers)."""
+    Crash-safety AND reader-atomicity contract (generation layout): the
+    compacted rows and the re-packed seen-id store (``_seen_ids`` —
+    it accumulates per-batch small files and replay duplicates exactly
+    like the index) are written into the NEXT generation dir, the meta
+    sidecar goes in LAST (completeness marker), and the swap is ONE
+    atomic pointer write — a concurrent reader resolves either the old
+    generation or the new one, never a half-state (the round-8
+    two-rename swap had a no-live-directory window).  A crash at any
+    point leaves the pointer on a complete generation;
+    :func:`recover_compaction` (run first, and by every streaming batch)
+    deletes the debris.  Still not safe under concurrent WRITERS — run
+    it where the appender runs (e.g. between streaming triggers).
+
+    Legacy flat indexes must :func:`migrate_index` first — the pointer
+    protocol needs the generation layout."""
     from ..sources.sinks import _hadoop_fs
 
     recover_compaction(spark, path)
-    meta = read_index_meta(spark, path)
+    root = path.rstrip("/")
+    live = live_root(spark, root)
+    meta = read_index_meta(spark, root)
     if meta is None:
         raise ValueError(f"no {META_FILE} at {path} — nothing to compact")
-    schema = (
-        _band_schema(meta["id_col"])
-        if meta.get("kind") == BAND_KIND
-        else _embed_schema(meta["id_col"])
-    )
-    root = path.rstrip("/")
-    tmp, trash = _compact_paths(root)
+    if live == root:
+        raise ValueError(
+            f"index at {path} uses the legacy flat layout — run migrate_index "
+            "first to get the reader-atomic pointer swap"
+        )
+    schema = _kind_schema(meta)
+    gen = _new_generation(spark, root)
+    new_dir = f"{root}/{gen}"
     (
         spark.read.schema(schema)
-        .parquet(root)
+        .parquet(live)
         .distinct()
         .repartition("pfx")
         .write.mode("overwrite")
         .partitionBy("pfx")
-        .parquet(tmp)
+        .parquet(new_dir)
     )
-    write_index_meta(spark, tmp, meta)
     fs, path_cls, _ = _hadoop_fs(spark, root)
-    # REWRITE (not move) the seen store into tmp pre-swap — it is never
-    # outside a live-capable tree, whichever side a crash leaves live —
-    # and compact it on the way: each streaming batch appends one file
-    # per touched prefix, so the sidecar accumulates small files exactly
-    # like the index does, and replayed batches can duplicate its rows
-    # (harmless to the anti-join, pure bloat).  Distinct is safe: rows
-    # are (id, prefix-of-id) — pure functions of the id.
-    if fs.exists(path_cls(f"{root}/_seen_ids")):
+    if fs.exists(path_cls(f"{live}/_seen_ids")):
         (
-            spark.read.schema(f"{meta['id_col']} long, spfx int")
-            .parquet(f"{root}/_seen_ids")
+            spark.read.schema(_seen_schema(meta))
+            .parquet(f"{live}/_seen_ids")
             .distinct()
             .repartition("spfx")
             .write.mode("overwrite")
             .partitionBy("spfx")
-            .parquet(f"{tmp}/_seen_ids")
+            .parquet(f"{new_dir}/_seen_ids")
         )
-    if not fs.rename(path_cls(root), path_cls(trash)):
-        raise IOError(f"compact_index: could not move {root} aside")
-    if not fs.rename(path_cls(tmp), path_cls(root)):
-        fs.rename(path_cls(trash), path_cls(root))  # roll back
-        raise IOError(f"compact_index: could not install {tmp}")
-    fs.delete(path_cls(trash), True)
+    _finish_generation(spark, root, gen, meta)
 
 
 # ---------------------------------------------------- embedding index
@@ -448,25 +713,31 @@ def create_embedding_index(
 
     if center == "auto":
         center = embedding_center(embeddings, dims, vec_col)
+    spark = embeddings.sparkSession
+    recover_compaction(spark, path)  # writer entry point — reap debris first
+    _reject_legacy_for_write(spark, path.rstrip("/"))
     rows = embedding_bucket_index(embeddings, dims, n_planes, id_col, vec_col, center)
     if n_buckets is None:
         n_buckets = auto_index_buckets(rows.count())
     meta = {
         "kind": EMBED_KIND,
         "id_col": id_col,
+        "id_type": dict(embeddings.dtypes)[id_col],
         "dims": dims,
         "n_planes": n_planes,
         "center": center,
         "n_buckets": n_buckets,
     }
+    root = path.rstrip("/")
+    gen = _new_generation(spark, root)
     (
         rows.withColumn("pfx", _bucket_pfx(n_buckets))
         .repartition("pfx")
         .write.mode("overwrite")
         .partitionBy("pfx")
-        .parquet(path)
+        .parquet(f"{root}/{gen}")
     )
-    write_index_meta(embeddings.sparkSession, path, meta)
+    _finish_generation(spark, root, gen, meta)
     return meta
 
 
@@ -475,7 +746,7 @@ def append_embed_rows(rows: DataFrame, path: str, meta: dict) -> None:
         rows.withColumn("pfx", _bucket_pfx(meta["n_buckets"]))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(path)
+        .parquet(live_root(rows.sparkSession, path))
     )
 
 
@@ -505,7 +776,7 @@ def open_embedding_index(
     if check_center:
         expected["center"] = center
     _require_meta(meta, expected, path)
-    df = spark.read.schema(_embed_schema(meta["id_col"])).parquet(path)
+    df = spark.read.schema(_embed_schema(meta)).parquet(live_root(spark, path))
     return df, meta
 
 
@@ -527,8 +798,10 @@ def serve_incremental_embed_near_dup(
         raise ValueError(f"no {META_FILE} at {path} — create_embedding_index first")
     if meta.get("kind") != EMBED_KIND:
         raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not {EMBED_KIND}")
+    _check_id_type(new_embeddings, meta, path)
     id_col, dims, n_planes = meta["id_col"], meta["dims"], meta["n_planes"]
     center, n_buckets = meta["center"], meta["n_buckets"]
+    live = live_root(spark, path)
 
     new_rows = (
         embedding_bucket_index(new_embeddings, dims, n_planes, id_col, vec_col, center)
@@ -540,7 +813,7 @@ def serve_incremental_embed_near_dup(
             r.pfx
             for r in new_rows.select("pfx").where(F.col("pfx").isNotNull()).distinct().collect()
         ]
-        index = pruned_read(spark, path, _embed_schema(id_col), touched)
+        index = pruned_read(spark, live, _embed_schema(meta), touched)
         res = incremental_embed_near_dup(
             new_embeddings,
             index.drop("pfx"),
@@ -554,7 +827,199 @@ def serve_incremental_embed_near_dup(
             _new_rows=new_rows.drop("pfx"),
         )
         if append:
-            new_rows.write.mode("append").partitionBy("pfx").parquet(path)
+            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
         return res
     finally:
         new_rows.unpersist()
+
+
+# ----------------------------------------------------- semantic index
+def create_semantic_index(
+    embeddings: DataFrame,
+    path: str,
+    k: int | None = None,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+    target_cell_size: int = 300,
+) -> dict:
+    """Bootstrap the persisted SemDeDup cell index: run the
+    integer-exact Lloyd over the bootstrap corpus ONCE, persist
+
+    - the index rows ``(id, cell, q_vec, q_norm)`` partitioned by
+      ``pfx = hash(cell) % n_buckets`` (same pruned-serve layout as the
+      band/embed kinds), and
+    - the ASSIGNER TREE in the metadata sidecar — the O(k·d)-int
+      routing structure that places every future increment into these
+      cells in O(d·64·⌈log₆₄ k⌉) per vector, NO Lloyd re-run.
+
+    ``k=None`` auto-sizes to ``target_cell_size`` members per cell
+    (operators/semantic.auto_k).  The bootstrap's own rows are indexed
+    from the Lloyd run's final assignment directly (no re-routing
+    pass).  Returns the meta dict.
+
+    This is the amortized one-time cost of the semantic family — the
+    piece that was missing while lexical and embedding near-dup already
+    served increments off persisted indexes (round-8 verdict task 1):
+    without it, every increment re-paid the full clustering."""
+    from .semantic import auto_k, kmeans_int8_tree, tree_to_json
+
+    spark = embeddings.sparkSession
+    recover_compaction(spark, path)  # writer entry point — reap debris first
+    _reject_legacy_for_write(spark, path.rstrip("/"))
+    n = embeddings.count()
+    if k is None:
+        k = auto_k(n, target_cell_size)
+    assign, _, tree = kmeans_int8_tree(embeddings, k, iters, dims, id_col, vec_col, n_docs=n)
+    if tree is None:
+        raise ValueError("create_semantic_index: no valid vectors to cluster")
+    cells = assign.withColumnRenamed("cluster", "cell")
+    rows = semantic_cell_index(embeddings, tree, dims, id_col, vec_col, _cells=cells)
+    if n_buckets is None:
+        n_buckets = auto_index_buckets(n)
+    meta = {
+        "kind": SEM_KIND,
+        "id_col": id_col,
+        "id_type": dict(embeddings.dtypes)[id_col],
+        "dims": dims,
+        "k": k,
+        "iters": iters,
+        "n_buckets": n_buckets,
+        "target_cell_size": target_cell_size,
+        "bootstrap_rows": n,
+        "tree": tree_to_json(tree),
+    }
+    root = path.rstrip("/")
+    gen = _new_generation(spark, root)
+    (
+        rows.withColumn("pfx", _cell_pfx(n_buckets))
+        .repartition("pfx")
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(f"{root}/{gen}")
+    )
+    _finish_generation(spark, root, gen, meta)
+    return meta
+
+
+def append_sem_rows(rows: DataFrame, path: str, meta: dict) -> None:
+    (
+        rows.withColumn("pfx", _cell_pfx(meta["n_buckets"]))
+        .write.mode("append")
+        .partitionBy("pfx")
+        .parquet(live_root(rows.sparkSession, path))
+    )
+
+
+def open_semantic_index(
+    spark: SparkSession,
+    path: str,
+    dims: int | None = None,
+    k: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Open a persisted semantic cell index: validate dims/k against
+    the sidecar (None = accept stored) and return ``(index_df, meta)``.
+    ``meta['tree']`` is the JSON assigner tree —
+    ``semantic.tree_from_json`` rehydrates it."""
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no {META_FILE} at {path} — create_semantic_index first")
+    if meta.get("kind") != SEM_KIND:
+        raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not {SEM_KIND}")
+    expected: dict = {}
+    if dims is not None:
+        expected["dims"] = dims
+    if k is not None:
+        expected["k"] = k
+    _require_meta(meta, expected, path)
+    df = spark.read.schema(_sem_schema(meta)).parquet(live_root(spark, path))
+    return df, meta
+
+
+def serve_incremental_semantic_dedup(
+    new_embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    append: bool = True,
+) -> IncrementalDedupResult:
+    """One increment against the persisted semantic cell index — the
+    SemDeDup sibling of :func:`serve_incremental_dedup` /
+    :func:`serve_incremental_embed_near_dup`:
+
+    1. route the increment into the bootstrap cells through the
+       sidecar's assigner tree (no Lloyd re-run) and code it;
+    2. collect its touched pfx values (≤ n_buckets ints, NULL cells
+       excluded — corrupt history costs zero IO);
+    3. read the index pruned to those partitions;
+    4. apply the triad policy (reject vs index or vs lower-id increment
+       row, deterministic int8 cosine over stored codes);
+    5. optionally append the increment's rows (ALL docs — rejected
+       duplicates must keep disqualifying their future copies).
+
+    Flat-serve posture: fixed increment → fixed touched-bucket count →
+    fixed pruned-scan rows (buckets sized to the corpus), and the
+    assigner pass is corpus-size-free up to the ⌈log₆₄ k⌉ tree depth —
+    measured across a 100× corpus in BENCH_SCALE ``semantic_partitioned``."""
+    from .semantic import tree_from_json
+
+    spark = new_embeddings.sparkSession
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no {META_FILE} at {path} — create_semantic_index first")
+    if meta.get("kind") != SEM_KIND:
+        raise ValueError(f"index at {path} is kind={meta.get('kind')!r}, not {SEM_KIND}")
+    _check_id_type(new_embeddings, meta, path)
+    id_col, dims, n_buckets = meta["id_col"], meta["dims"], meta["n_buckets"]
+    tree = tree_from_json(meta["tree"])
+    live = live_root(spark, path)
+
+    new_rows = (
+        semantic_cell_index(new_embeddings, tree, dims, id_col, vec_col)
+        .withColumn("pfx", _cell_pfx(n_buckets))
+        .persist()
+    )
+    try:
+        touched = [
+            r.pfx
+            for r in new_rows.select("pfx")
+            .where(F.col("pfx").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        index = pruned_read(spark, live, _sem_schema(meta), touched)
+        res = incremental_semantic_near_dup(
+            new_embeddings,
+            index.drop("pfx"),
+            tree,
+            threshold,
+            dims,
+            id_col,
+            vec_col,
+            index_meta=meta,
+            _new_rows=new_rows.drop("pfx"),
+        )
+        if append:
+            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+        return res
+    finally:
+        new_rows.unpersist()
+
+
+def semantic_recluster_due(spark: SparkSession, path: str, drift_factor: float = 4.0) -> bool:
+    """Occupancy drift dial: True when the mean cell population has
+    grown past ``drift_factor × target_cell_size`` — the signal that
+    the bootstrap partition no longer fits the corpus and the
+    within-cell quadratic term is drifting up (cells only GROW under
+    incremental serve; k is fixed by the tree).  The check is one
+    parquet-metadata count (row counts come from footers, no data
+    scan).  Rebuild = create_semantic_index over the full corpus at a
+    fresh path, then swap — the same rebuild-and-swap any IVF system
+    does when its cell occupancy drifts."""
+    meta = read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != SEM_KIND:
+        raise ValueError(f"no semantic index at {path}")
+    rows = spark.read.schema(_sem_schema(meta)).parquet(live_root(spark, path)).count()
+    return rows / max(meta["k"], 1) > drift_factor * meta["target_cell_size"]

@@ -136,13 +136,80 @@ def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: st
     return per.select(id_col, F.array_min(F.array(*structs)).getField("cid").alias("_cl"))
 
 
+# ----------------------------------------------------------- assigner
+# An "assigner tree" is the persistable routing structure a finished
+# Lloyd run leaves behind: everything needed to place a NEW vector into
+# the same cells WITHOUT replaying any Lloyd iteration.  Two node
+# shapes, recursive to any depth:
+#
+# - ("flat", cents)                  — one _assign_int pass over ≤64
+#                                      centroids;
+# - ("two", coarse_tree, k2, cents2) — route through the coarse tree,
+#                                      then one _grouped_assign pass
+#                                      against the landed cell's ≤64
+#                                      fine centroids; global label =
+#                                      c1·k2 + cid.
+#
+# Assignment cost per vector is O(d·64·depth) with depth = ⌈log₆₄ k⌉ —
+# effectively flat in the corpus size, which is what lets the semantic
+# index serve increments without re-clustering (the incremental-dedup
+# contract the band/embed index kinds already meet).
+AssignerTree = tuple
+
+
+def assign_cells(codes: DataFrame, tree: AssignerTree, id_col: str) -> DataFrame:
+    """Route pre-shifted codes (``_u`` column) through an assigner tree
+    → (id, ``_cl``).  For the tree a Lloyd run returns, this reproduces
+    that run's FINAL assignment bit-identically (the run's last pass IS
+    this routing), so one-shot and incremental assignment share one
+    code path."""
+    kind = tree[0]
+    if kind == "flat":
+        return _assign_int(codes, tree[1], id_col)
+    _, coarse_tree, k2, cents2 = tree
+    c1 = assign_cells(codes, coarse_tree, id_col).withColumnRenamed("_cl", "_c1")
+    codes2 = codes.join(c1, id_col)
+    return _grouped_assign(codes2, cents2, k2, id_col).select(
+        id_col, (F.col("_c1") * k2 + F.col("_cl2")).alias("_cl")
+    )
+
+
+def tree_to_json(tree: AssignerTree) -> dict:
+    """Assigner tree → a JSON-safe dict (the ``_index_meta.json``
+    sidecar representation; int dict keys become strings)."""
+    if tree[0] == "flat":
+        return {"kind": "flat", "cents": [[cid, mv] for cid, mv in tree[1]]}
+    _, coarse, k2, cents2 = tree
+    return {
+        "kind": "two",
+        "k2": k2,
+        "coarse": tree_to_json(coarse),
+        "cents2": {str(c1): [[cid, mv] for cid, mv in cl] for c1, cl in cents2.items()},
+    }
+
+
+def tree_from_json(obj: dict) -> AssignerTree:
+    if obj["kind"] == "flat":
+        return ("flat", [(int(cid), [int(x) for x in mv]) for cid, mv in obj["cents"]])
+    return (
+        "two",
+        tree_from_json(obj["coarse"]),
+        int(obj["k2"]),
+        {
+            int(c1): [(int(cid), [int(x) for x in mv]) for cid, mv in cl]
+            for c1, cl in obj["cents2"].items()
+        },
+    )
+
+
 def _kmeans_flat(
     codes: DataFrame, k: int, iters: int, id_col: str
-) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]], AssignerTree | None]:
     """The flat Lloyd loop over pre-shifted codes: seeds = the k
     lowest-id vectors, ``iters`` (assign → floor-div update) rounds,
     final assignment under the last centroids.  Returns (assignment
-    with column ``_cl``, centroids); (None, []) on an empty corpus."""
+    with column ``_cl``, centroids, assigner tree); (None, [], None) on
+    an empty corpus."""
     seeds = codes.orderBy(id_col).limit(k).collect()
     cents = [
         (cid, [_SCALE * int(x) for x in row["_u"]]) for cid, row in enumerate(seeds)
@@ -167,8 +234,8 @@ def _kmeans_flat(
             (cl, [dims[p] for p in sorted(dims)]) for cl, dims in sorted(by_cl.items())
         ]
     if not cents:
-        return None, []
-    return _assign_int(codes, cents, id_col), cents
+        return None, [], None
+    return _assign_int(codes, cents, id_col), cents, ("flat", cents)
 
 
 # the flat kernel turns k into AGGREGATE COLUMNS (k conditional sums)
@@ -236,7 +303,7 @@ def _grouped_assign(
 
 def _kmeans_two_level(
     codes: DataFrame, k: int, iters: int, id_col: str, kmax: int = _FLAT_K_MAX
-) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]], AssignerTree | None]:
     """Coarse-to-fine Lloyd for large k: k1 ≈ √k coarse cells via the
     flat kernel, then an independent k2-way Lloyd INSIDE each coarse
     cell (seeds = the cell's k2 lowest ids, same recurrence, all cells
@@ -259,9 +326,9 @@ def _kmeans_two_level(
     kernel, depth ⌈log₆₄ k⌉, assignment cost O(n·d·Σ levelᵢ) with
     every levelᵢ ≤ 64."""
     k1, k2 = _two_level_split(k, kmax)
-    coarse, _ = _kmeans_dispatch(codes, k1, iters, id_col, kmax)
+    coarse, _, coarse_tree = _kmeans_dispatch(codes, k1, iters, id_col, kmax)
     if coarse is None:
-        return None, []
+        return None, [], None
     # one materialization of (id, cell): every level-2 round joins
     # against it; without this each of the 2·iters+1 jobs below replays
     # the whole coarse Lloyd inside its plan
@@ -307,7 +374,7 @@ def _kmeans_two_level(
     cents = [
         (c1 * k2 + cid, mv) for c1, cl in sorted(cents2.items()) for cid, mv in cl
     ]
-    return final, cents
+    return final, cents, ("two", coarse_tree, k2, cents2)
 
 
 def _two_level_split(k: int, kmax: int = _FLAT_K_MAX) -> tuple[int, int]:
@@ -327,7 +394,7 @@ def _two_level_split(k: int, kmax: int = _FLAT_K_MAX) -> tuple[int, int]:
 
 def _kmeans_dispatch(
     codes: DataFrame, k: int, iters: int, id_col: str, kmax: int = _FLAT_K_MAX
-) -> tuple[DataFrame | None, list[tuple[int, list[int]]]]:
+) -> tuple[DataFrame | None, list[tuple[int, list[int]]], AssignerTree | None]:
     """Route by k: the flat kernel up to its measured column knee,
     coarse-to-fine beyond (recursing on the coarse level when even
     ⌈k/kmax⌉ coarse cells exceed the knee).  ``kmax`` defaults to the
@@ -383,18 +450,58 @@ def kmeans_int8(
     calls for Arrow collection (``toPandas`` on the grouped frame) or
     ``toLocalIterator``; at the k this repo's dials produce it is
     driver-trivial."""
+    return kmeans_int8_tree(embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max)[:2]
+
+
+def kmeans_int8_tree(
+    embeddings: DataFrame,
+    k: int | None = 16,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+    flat_k_max: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[int]]], AssignerTree | None]:
+    """:func:`kmeans_int8` plus the ASSIGNER TREE — the persistable
+    routing structure (see module comment above :func:`assign_cells`)
+    that places future vectors into the finished run's cells without
+    replaying Lloyd.  The semantic index kind
+    (operators/index_store.create_semantic_index) serializes it into
+    the metadata sidecar; increments assign through it in O(d·64·depth)
+    per vector."""
     if k is None:
         k = auto_k(embeddings.count() if n_docs is None else n_docs)
     codes = _shifted_codes(embeddings, dims, id_col, vec_col)
-    final, cents = _kmeans_dispatch(
+    final, cents, tree = _kmeans_dispatch(
         codes, k, iters, id_col, _FLAT_K_MAX if flat_k_max is None else flat_k_max
     )
     if final is None:
         empty = embeddings.limit(0).select(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
         )
-        return empty, []
-    return final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster"), cents
+        return empty, [], None
+    return (
+        final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster"),
+        cents,
+        tree,
+    )
+
+
+def semantic_cell_assign(
+    embeddings: DataFrame,
+    tree: AssignerTree,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW embeddings to a persisted run's cells through its
+    assigner tree → (id, ``cell``).  Valid rows only — corrupt vectors
+    (NULL / wrong-length / NULL-element / non-finite) are excluded
+    exactly as :func:`_shifted_codes` excluded them from the original
+    clustering: they belong to no cell and can never pair."""
+    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+    return assign_cells(codes, tree, id_col).withColumnRenamed("_cl", "cell")
 
 
 def semantic_dedup_pairs(

@@ -55,10 +55,12 @@ def dedup_stream_exact(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
-def _seen_dir(index_path: str) -> str:
-    # underscore prefix: parquet partition discovery over the index path
-    # ignores it, like _SUCCESS / _index_meta.json
-    return f"{index_path.rstrip('/')}/_seen_ids"
+def _seen_dir(live: str) -> str:
+    # underscore prefix: parquet partition discovery over the live index
+    # dir ignores it, like _SUCCESS / _index_meta.json.  ``live`` is the
+    # RESOLVED generation dir — the seen store travels with its
+    # generation (compaction re-packs it into the next one).
+    return f"{live.rstrip('/')}/_seen_ids"
 
 
 def _seen_pfx(id_col: str, n_buckets: int):
@@ -67,38 +69,39 @@ def _seen_pfx(id_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
 
 
-def _filter_fresh(batch_df: DataFrame, index_path: str, id_col: str, n_buckets: int) -> DataFrame:
+def _filter_fresh(batch_df: DataFrame, live: str, meta: dict) -> DataFrame:
     """Drop ids already processed by a committed batch.  The seen store
     is an 8-bytes/doc sidecar partitioned by an id-hash prefix: the
     batch's touched prefixes are collected (bounded by n_buckets) and
     the anti-join reads ONLY those partitions — O(batch) per batch, vs
-    the old design's full-index distinct() scan+shuffle every trigger."""
-    from pyspark.sql import functions as F
-
+    the old design's full-index distinct() scan+shuffle every trigger.
+    The id's type comes from the sidecar meta (round-8 advice: it was
+    hardcoded long here AND in the compaction rewrite)."""
+    from ..operators.index_store import _seen_schema, pruned_read
     from ..sources.sinks import path_exists
 
     spark = batch_df.sparkSession
-    sd = _seen_dir(index_path)
+    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
+    sd = _seen_dir(live)
     if not path_exists(spark, sd):
         return batch_df
     touched = [
         r.p
         for r in batch_df.select(_seen_pfx(id_col, n_buckets).alias("p")).distinct().collect()
     ]
-    from ..operators.index_store import pruned_read
-
-    seen = pruned_read(spark, sd, f"{id_col} long, spfx int", touched, prefix="spfx")
+    seen = pruned_read(spark, sd, _seen_schema(meta), touched, prefix="spfx")
     return batch_df.join(seen.select(id_col), id_col, "left_anti")
 
 
-def _append_seen(ids_df: DataFrame, index_path: str, id_col: str, n_buckets: int) -> None:
+def _append_seen(ids_df: DataFrame, live: str, meta: dict) -> None:
     from pyspark.sql import functions as F
 
+    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
     (
         ids_df.select(F.col(id_col), _seen_pfx(id_col, n_buckets).alias("spfx"))
         .write.mode("append")
         .partitionBy("spfx")
-        .parquet(_seen_dir(index_path))
+        .parquet(_seen_dir(live))
     )
 
 
@@ -193,11 +196,12 @@ def stream_incremental_dedup(
             meta = {
                 "kind": ix.BAND_KIND,
                 "id_col": id_col,
+                "id_type": dict(batch_df.dtypes)[id_col],
                 "num_hashes": num_hashes,
                 "bands": bands,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
             }
-            ix.write_index_meta(spark, index_path, meta)
+            live = ix.init_index(spark, index_path, meta)
         else:
             if meta.get("kind") != ix.BAND_KIND:
                 raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
@@ -206,6 +210,8 @@ def stream_incremental_dedup(
                 {"id_col": id_col, "num_hashes": num_hashes, "bands": bands},
                 index_path,
             )
+            ix._check_id_type(batch_df, meta, index_path)
+            live = ix.live_root(spark, index_path)
         nb = meta["n_buckets"]
 
         # persist the seen-filtered batch AND its band rows: fresh
@@ -215,7 +221,7 @@ def stream_incremental_dedup(
         # long-running stream must not accumulate caches.
         from pyspark.sql import functions as F
 
-        fresh = _filter_fresh(batch_df, index_path, id_col, nb).persist()
+        fresh = _filter_fresh(batch_df, live, meta).persist()
         if fresh.isEmpty():
             fresh.unpersist()
             return
@@ -226,7 +232,7 @@ def stream_incremental_dedup(
         )
         try:
             touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
-            index = ix.pruned_read(spark, index_path, ix._band_schema(id_col), touched)
+            index = ix.pruned_read(spark, live, ix._band_schema(meta), touched)
             res = incremental_dedup(
                 fresh,
                 index.drop("pfx"),
@@ -239,12 +245,142 @@ def stream_incremental_dedup(
                 _banded=banded.drop("pfx"),
             )
             res.accepted.write.mode("append").parquet(accepted_path)
-            banded.write.mode("append").partitionBy("pfx").parquet(index_path)
-            _append_seen(fresh, index_path, id_col, nb)  # commit marker
+            banded.write.mode("append").partitionBy("pfx").parquet(live)
+            _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
         finally:
             banded.unpersist()
+            fresh.unpersist()
+
+    writer = stream.writeStream.foreachBatch(dedupe_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_incremental_semantic_dedup(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    k: int | None = None,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+    target_cell_size: int = 300,
+    trigger_available_now: bool = True,
+    compact_every: int | None = None,
+):
+    """SemDeDup sibling of :func:`stream_incremental_embed_near_dup`:
+    continuous semantic curation against the persisted k-means cell
+    index (operators/index_store.py SEM kind).  The FIRST batch is the
+    bootstrap corpus: its integer-exact Lloyd run fixes the cells and
+    the assigner tree goes into the sidecar; every batch — including
+    the first — then flows through the uniform serve path (route into
+    cells via the tree, pruned index read, reject vs index or lower-id
+    batch row, append ALL rows, seen-sidecar commit marker), so the
+    first batch's within-batch near-dups are deduped exactly like any
+    later batch's.  Restarting with a different ``id_col``/``dims``
+    (or an explicit ``k`` that differs) raises against the sidecar —
+    a drifted assigner would re-cell every batch and silently admit
+    every duplicate.  ``compact_every`` and per-batch crash recovery
+    behave exactly as in the other two sinks.
+
+    An all-corrupt first batch cannot bootstrap (no valid vectors → no
+    cells): it passes through accepted-as-is, nothing is written to the
+    index, and bootstrap retries on the next batch.
+
+    Cell-drift honesty: cells are fixed at bootstrap; long streams
+    should poll ``index_store.semantic_recluster_due`` between runs and
+    rebuild+swap when occupancy drifts — the dial every IVF-shaped
+    system carries."""
+    from ..operators import index_store as ix
+    from ..operators.incremental import incremental_semantic_near_dup, semantic_cell_index
+    from ..operators.semantic import auto_k, kmeans_int8_tree, tree_from_json, tree_to_json
+
+    def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        # UNCONDITIONAL — same crash-class immunity as the other sinks
+        ix.recover_compaction(spark, index_path)
+        meta = ix.read_index_meta(spark, index_path)
+        if meta is None:
+            n = batch_df.count()
+            kk = k if k is not None else auto_k(n, target_cell_size)
+            _, _, tree = kmeans_int8_tree(
+                batch_df, kk, iters, dims, id_col, vec_col, n_docs=n
+            )
+            if tree is None:  # no valid vectors — nothing to cluster on
+                batch_df.write.mode("append").parquet(accepted_path)
+                return
+            meta = {
+                "kind": ix.SEM_KIND,
+                "id_col": id_col,
+                "id_type": dict(batch_df.dtypes)[id_col],
+                "dims": dims,
+                "k": kk,
+                "iters": iters,
+                "n_buckets": n_buckets or ix.auto_index_buckets(n),
+                "target_cell_size": target_cell_size,
+                "bootstrap_rows": n,
+                "tree": tree_to_json(tree),
+            }
+            live = ix.init_index(spark, index_path, meta)
+        else:
+            if meta.get("kind") != ix.SEM_KIND:
+                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+            expected = {"id_col": id_col, "dims": dims}
+            if k is not None:
+                expected["k"] = k
+            ix._require_meta(meta, expected, index_path)
+            ix._check_id_type(batch_df, meta, index_path)
+            live = ix.live_root(spark, index_path)
+        nb = meta["n_buckets"]
+        tree = tree_from_json(meta["tree"])
+
+        fresh = _filter_fresh(batch_df, live, meta).persist()
+        if fresh.isEmpty():
+            fresh.unpersist()
+            return
+        new_rows = (
+            semantic_cell_index(fresh, tree, meta["dims"], id_col, vec_col)
+            .withColumn("pfx", ix._cell_pfx(nb))
+            .persist()
+        )
+        try:
+            touched = [
+                r.pfx
+                for r in new_rows.select("pfx")
+                .where(F.col("pfx").isNotNull())
+                .distinct()
+                .collect()
+            ]
+            index = ix.pruned_read(spark, live, ix._sem_schema(meta), touched)
+            res = incremental_semantic_near_dup(
+                fresh,
+                index.drop("pfx"),
+                tree,
+                threshold,
+                meta["dims"],
+                id_col,
+                vec_col,
+                index_meta=meta,
+                _new_rows=new_rows.drop("pfx"),
+            )
+            res.accepted.write.mode("append").parquet(accepted_path)
+            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            _append_seen(fresh, live, meta)  # commit marker
+            if compact_every and (_batch_id + 1) % compact_every == 0:
+                ix.compact_index(spark, index_path)
+        finally:
+            new_rows.unpersist()
             fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
@@ -318,12 +454,13 @@ def stream_incremental_embed_near_dup(
             meta = {
                 "kind": ix.EMBED_KIND,
                 "id_col": id_col,
+                "id_type": dict(batch_df.dtypes)[id_col],
                 "dims": dims,
                 "n_planes": n_planes,
                 "center": c,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
             }
-            ix.write_index_meta(spark, index_path, meta)
+            live = ix.init_index(spark, index_path, meta)
         else:
             if meta.get("kind") != ix.EMBED_KIND:
                 raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
@@ -334,9 +471,11 @@ def stream_incremental_embed_near_dup(
             if center != "auto":
                 expected["center"] = center
             ix._require_meta(meta, expected, index_path)
+            ix._check_id_type(batch_df, meta, index_path)
+            live = ix.live_root(spark, index_path)
         nb = meta["n_buckets"]
 
-        fresh = _filter_fresh(batch_df, index_path, id_col, nb).persist()
+        fresh = _filter_fresh(batch_df, live, meta).persist()
         if fresh.isEmpty():
             fresh.unpersist()
             return
@@ -355,7 +494,7 @@ def stream_incremental_embed_near_dup(
                 .distinct()
                 .collect()
             ]
-            index = ix.pruned_read(spark, index_path, ix._embed_schema(id_col), touched)
+            index = ix.pruned_read(spark, live, ix._embed_schema(meta), touched)
             res = incremental_embed_near_dup(
                 fresh,
                 index.drop("pfx"),
@@ -369,8 +508,8 @@ def stream_incremental_embed_near_dup(
                 _new_rows=new_rows.drop("pfx"),
             )
             res.accepted.write.mode("append").parquet(accepted_path)
-            new_rows.write.mode("append").partitionBy("pfx").parquet(index_path)
-            _append_seen(fresh, index_path, id_col, nb)  # commit marker
+            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
         finally:

@@ -263,8 +263,12 @@ def test_stream_incremental_dedup_two_triggers(spark, tmp_path):
     # index grew by band rows for every SEEN doc of both batches (4
     # docs with signatures per batch incl. rejected; redelivered 1 not
     # re-indexed): 5 distinct doc_ids
+    from meta_morph_etl_databricks_spark.operators import index_store as ixm
+
     idx_ids = sorted(
-        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+        r.doc_id
+        for r in spark.read.parquet(ixm.live_root(spark, index_path))
+        .select("doc_id").distinct().collect()
     )
     assert idx_ids == [1, 2, 3, 4, 5]
 
@@ -321,9 +325,12 @@ def test_stream_crash_replay_accepted_at_least_once(spark, tmp_path):
     run_once()
     final = spark.read.parquet(accepted_path).dropDuplicates(["doc_id"])
     assert sorted(r.doc_id for r in final.collect()) == [1, 3, 5]
+    from meta_morph_etl_databricks_spark.operators import index_store as ixm
+
     idx_ids = sorted(
         r.doc_id
-        for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+        for r in spark.read.parquet(ixm.live_root(spark, index_path))
+        .select("doc_id").distinct().collect()
     )
     assert idx_ids == [1, 3, 4, 5, 7]
 
@@ -411,7 +418,9 @@ def test_stream_incremental_embed_two_triggers(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    idx = spark.read.parquet(index_path)
+    from meta_morph_etl_databricks_spark.operators import index_store as ixm
+
+    idx = spark.read.parquet(ixm.live_root(spark, index_path))
     idx_ids = sorted(r.vec_id for r in idx.select("vec_id").distinct().collect())
     assert idx_ids == [1, 2, 3, 4, 5, 6]  # ALL seen rows incl. rejected + corrupt
     # the corrupt row sits under the NULL pfx partition — invisible to
@@ -788,9 +797,12 @@ def test_stream_embed_crash_replay_accepted_at_least_once(spark, tmp_path):
     run_once()
     final = spark.read.parquet(accepted_path).dropDuplicates(["vec_id"])
     assert sorted(r.vec_id for r in final.collect()) == [1, 5]
+    from meta_morph_etl_databricks_spark.operators import index_store as ixm
+
     idx_ids = sorted(
         r.vec_id
-        for r in spark.read.parquet(index_path).select("vec_id").distinct().collect()
+        for r in spark.read.parquet(ixm.live_root(spark, index_path))
+        .select("vec_id").distinct().collect()
     )
     assert idx_ids == [1, 4, 5, 7]
 
@@ -827,16 +839,23 @@ def test_stream_compact_every_and_mid_swap_recovery(spark, tmp_path):
 
     spark.createDataFrame([(1, base)], schema).write.parquet(str(src / "b1"))
     run_once()
-    for bucket_dir in glob.glob(f"{index_path}/pfx=*"):
+    live = ix.live_root(spark, index_path)
+    for bucket_dir in glob.glob(f"{live}/pfx=*"):
         assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1  # compacted
 
-    # simulate a compaction crash between triggers: mid-swap state
-    tmp_dir, trash = ix._compact_paths(index_path)
-    os.rename(index_path, trash)
-    assert ix.read_index_meta(spark, index_path) is None  # no live index
+    # simulate a compaction crash between triggers: the pointer lost in
+    # the delete+rename fallback window PLUS a half-built next gen —
+    # the worst pointer-layout state a crash can leave
+    os.remove(f"{index_path}/{ix.CURRENT_FILE}")
+    os.makedirs(f"{index_path}/gen-0000099")
+    open(f"{index_path}/gen-0000099/partial.parquet", "w").write("x")
+    # even BEFORE recovery the index is never 'missing': reads fall back
+    # to the highest complete generation passively
+    assert ix.read_index_meta(spark, index_path) is not None
 
     # next trigger: near-dup of doc 1 must still be REJECTED — the
-    # recovery restored the old index instead of bootstrapping empty
+    # per-batch recovery re-pointed and reaped the debris instead of
+    # bootstrapping a fresh empty index over the old state
     spark.createDataFrame(
         [(4, base + " tail4"), (5, "unique " + " ".join(f"v{j}" for j in range(25)))],
         schema,
@@ -846,7 +865,9 @@ def test_stream_compact_every_and_mid_swap_recovery(spark, tmp_path):
     assert got == [1, 5]  # 4 rejected against the RECOVERED index
     idx_ids = sorted(
         r.doc_id
-        for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+        for r in spark.read.parquet(ix.live_root(spark, index_path))
+        .select("doc_id").distinct().collect()
     )
     assert idx_ids == [1, 4, 5]
-    assert not os.path.exists(trash) and not os.path.exists(tmp_dir)
+    assert not os.path.exists(f"{index_path}/gen-0000099")
+    assert os.path.exists(f"{index_path}/{ix.CURRENT_FILE}")

@@ -18,6 +18,7 @@ The contracts under test:
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -239,31 +240,45 @@ def test_wrong_kind_raises(spark, corpus, emb, tmp_path):
 
 def test_compact_index_dedupes_preserves_meta_and_seen(spark, corpus, tmp_path):
     """Compaction drops replay-duplicated rows, keeps the sidecar and
-    the streaming seen store, and serves identically afterwards."""
+    the streaming seen store, serves identically afterwards — and the
+    swap MOVES the generation pointer (the old generation dir is gone,
+    the new one holds everything)."""
     d = str(tmp_path / "cidx")
     seed = corpus.where("doc_id < 40")
     inc = corpus.where("doc_id >= 40")
     meta = ix.create_band_index(seed, d, n_buckets=8)
     ix.serve_incremental_dedup(inc, d, append=True)
     ix.serve_incremental_dedup(inc, d, append=True)  # replayed append → dup rows
-    # plant a seen sidecar like the streaming sink's
+    # plant a seen sidecar like the streaming sink's, in the live gen
+    live0 = ix.live_root(spark, d)
+    assert live0 != d  # create_* builds the generation layout
     spark.createDataFrame([(1, 0)], "doc_id long, spfx int").write.partitionBy(
         "spfx"
-    ).parquet(f"{d}/_seen_ids")
+    ).parquet(f"{live0}/_seen_ids")
 
     before, _ = ix.open_band_index(spark, d)
     n_before, n_distinct = before.count(), before.distinct().count()
     assert n_before > n_distinct  # the replay really duplicated rows
 
     ix.compact_index(spark, d)
+    live1 = ix.live_root(spark, d)
+    # pointer moved; the old gen is RETAINED as the live gen's
+    # predecessor (in-flight reader grace) until a newer flip makes it
+    # a grandparent — then the next writer entry reaps it
+    assert live1 != live0 and os.path.exists(live0)
+    assert ix.recover_compaction(spark, d) == "clean"
+    assert os.path.exists(live0)
+    ix.compact_index(spark, d)  # live0 becomes a grandparent
+    assert ix.recover_compaction(spark, d) == "finished"
+    assert not os.path.exists(live0) and os.path.exists(live1)
     after, meta2 = ix.open_band_index(spark, d)
     assert meta2 == meta
     assert after.count() == n_distinct
-    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1  # seen survived
+    assert spark.read.parquet(f"{live1}/_seen_ids").count() == 1  # seen survived
     # one file per bucket
     import glob
 
-    for bucket_dir in glob.glob(f"{d}/pfx=*"):
+    for bucket_dir in glob.glob(f"{live1}/pfx=*"):
         assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
     # serving after compaction behaves exactly like before: everything
     # in inc is already indexed, so only sub-shingle docs could pass —
@@ -281,18 +296,25 @@ def test_auto_index_buckets_rule():
 
 
 def _plant_seen(spark, d, doc_id=1):
+    live = ix.live_root(spark, d)
     spark.createDataFrame([(doc_id, 0)], "doc_id long, spfx int").write.mode(
         "append"
-    ).partitionBy("spfx").parquet(f"{d}/_seen_ids")
+    ).partitionBy("spfx").parquet(f"{live}/_seen_ids")
 
 
-def test_recover_compaction_mid_swap_restores_old_index(spark, corpus, tmp_path):
-    """The round-7 advice crash window: between rename(root→trash) and
-    rename(tmp→root) there is NO live index.  recover_compaction finds
-    the old layout (seen store included — it is COPIED into tmp before
-    the swap, never moved out of the old tree) in the trash dir and
-    renames it back; a subsequent compact_index then succeeds."""
-    import os
+def test_recover_compaction_pointer_crash_windows(spark, corpus, tmp_path):
+    """Every crash point of the pointer-swap compaction leaves the
+    pointer on a COMPLETE generation (or recoverable to one):
+
+    - crash mid-build: a half-built next gen (no meta) sits beside the
+      live one — readers never see it (pointer unchanged), recovery
+      deletes it;
+    - crash in the delete+rename pointer-fallback window: no pointer
+      file at all — readers fall back to the highest complete gen
+      PASSIVELY, recovery re-installs the pointer;
+    - crash after flip, before cleanup: the old gen is stale debris —
+      recovery deletes it."""
+    import shutil
 
     d = str(tmp_path / "ridx")
     seed = corpus.where("doc_id < 40")
@@ -300,63 +322,128 @@ def test_recover_compaction_mid_swap_restores_old_index(spark, corpus, tmp_path)
     meta = ix.create_band_index(seed, d, n_buckets=8)
     ix.serve_incremental_dedup(inc, d, append=True)
     _plant_seen(spark, d)
-    tmp, trash = ix._compact_paths(d)
+    live0 = ix.live_root(spark, d)
+    n0 = ix.open_band_index(spark, d)[0].count()
 
-    # simulate: compacted tmp fully written, root moved aside, then crash
-    os.makedirs(tmp)
-    open(f"{tmp}/partial", "w").write("x")
-    os.rename(d, trash)
-    assert not os.path.exists(d)
+    # (1) crash mid-build: half-written next gen without meta
+    os.makedirs(f"{d}/gen-0000001")
+    open(f"{d}/gen-0000001/partial.parquet", "w").write("x")
+    assert ix.live_root(spark, d) == live0  # readers unaffected
+    assert ix.recover_compaction(spark, d) == "finished"
+    assert not os.path.exists(f"{d}/gen-0000001")
 
+    # (2) pointer lost (delete+rename window): passive fallback reads the
+    # highest complete gen; recovery re-points
+    os.remove(f"{d}/{ix.CURRENT_FILE}")
+    assert ix.live_root(spark, d) == live0
+    after, meta2 = ix.open_band_index(spark, d)  # reads fine with no pointer
+    assert meta2 == meta and after.count() == n0
     assert ix.recover_compaction(spark, d) == "restored"
-    assert not os.path.exists(tmp) and not os.path.exists(trash)
-    after, meta2 = ix.open_band_index(spark, d)
-    assert meta2 == meta and after.count() > 0
-    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1  # seen intact
+    assert ix.live_root(spark, d) == live0
 
-    ix.compact_index(spark, d)  # and a fresh compaction completes
-    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1
+    # (3) crash after flip: the old gen is the new live's PREDECESSOR —
+    # retained one writer cycle for in-flight readers, reaped only once
+    # a newer flip makes it a grandparent
+    shutil.copytree(live0, f"{d}/gen-0000007")
+    ix._install_pointer(spark, d, "gen-0000007")
+    assert ix.live_root(spark, d).endswith("gen-0000007")
+    assert ix.recover_compaction(spark, d) == "clean"
+    assert os.path.exists(live0)  # predecessor kept
+    assert spark.read.parquet(f"{ix.live_root(spark, d)}/_seen_ids").count() == 1
+
+    ix.compact_index(spark, d)  # a fresh compaction completes (gen 8 live)
+    assert spark.read.parquet(f"{ix.live_root(spark, d)}/_seen_ids").count() == 1
+    assert ix.recover_compaction(spark, d) == "finished"  # reaps the grandparent
+    assert not os.path.exists(live0) and os.path.exists(f"{d}/gen-0000007")
     assert ix.recover_compaction(spark, d) == "clean"
 
 
-def test_compact_index_self_heals_crash_after_install(spark, corpus, tmp_path):
-    """Crash AFTER the new layout went live but before trash cleanup:
-    root holds the new index, trash the old.  compact_index must clean
-    the debris (via recover_compaction → 'finished') instead of letting
-    Hadoop rename nest the old trash INSIDE the new root."""
-    import glob
-    import os
+def test_legacy_flat_index_migrates_then_compacts(spark, corpus, tmp_path):
+    """A pre-pointer FLAT index stays readable/servable through the
+    legacy fallback; compact_index refuses it with a migrate hint;
+    migrate_index moves it into generation 0 losslessly (seen store
+    included) and compaction then works."""
     import shutil
 
-    d = str(tmp_path / "fidx")
+    d = str(tmp_path / "lidx")
+    staging = str(tmp_path / "staging")
+    meta = ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
+    _plant_seen(spark, d)
+    # flatten: copy the live gen's CONTENTS directly under a fresh root
+    shutil.copytree(ix.live_root(spark, d), staging)
+    shutil.rmtree(d)
+    os.rename(staging, d)
+    assert ix.live_root(spark, d) == d  # legacy fallback: root IS the data
+    n = ix.open_band_index(spark, d)[0].count()
+    assert n > 0
+    ix.serve_incremental_dedup(corpus.where("doc_id >= 40"), d, append=True)
+    with pytest.raises(ValueError, match="migrate_index"):
+        ix.compact_index(spark, d)
+    live = ix.migrate_index(spark, d)
+    assert live.endswith("gen-0000000")
+    assert ix.open_band_index(spark, d)[1] == meta
+    assert spark.read.parquet(f"{live}/_seen_ids").count() == 1
+    ix.compact_index(spark, d)
+    assert ix.open_band_index(spark, d)[0].count() >= n
+
+
+def test_reader_safe_during_compaction(spark, corpus, tmp_path):
+    """The round-8 two-rename swap had a no-live-directory window a
+    concurrent reader could land in.  With the pointer swap, a reader
+    thread hammering open+count while compactions swap must never error
+    and always see a complete index.
+
+    Retention contract being exercised: a resolved generation survives
+    until a NEWER flip makes it a grandparent AND a writer entry runs —
+    so a reader is safe as long as its scan is shorter than one full
+    writer cycle.  The writer loop spaces its cycles (sleep > one reader
+    iteration) exactly as a production compaction schedule does; truly
+    zero-gap rebuild loops would need deeper retention (the dial every
+    MVCC table format exposes)."""
+    import threading
+    import time as _time
+
+    d = str(tmp_path / "cridx")
     ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
     _plant_seen(spark, d)
-    tmp, trash = ix._compact_paths(d)
-    shutil.copytree(d, trash)  # stale old layout left behind
-    os.makedirs(tmp)           # plus a stale tmp
+    inc = corpus.where("doc_id >= 40")
+    ix.serve_incremental_dedup(inc, d, append=True)
+    expect = ix.open_band_index(spark, d)[0].select("doc_id").distinct().count()
 
-    ix.compact_index(spark, d)
-    assert not os.path.exists(trash) and not os.path.exists(tmp)
-    # nothing nested into the live tree by rename-into-existing-dir
-    assert glob.glob(f"{d}/*__compact_*") == []
-    after, _ = ix.open_band_index(spark, d)
-    assert after.select("doc_id").distinct().count() == 40
-    assert spark.read.parquet(f"{d}/_seen_ids").count() == 1
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                df, _ = ix.open_band_index(spark, d)
+                got = df.select("doc_id").distinct().count()
+                assert got == expect, f"reader saw {got} != {expect}"
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(3):
+            ix.compact_index(spark, d)
+            _time.sleep(1.5)  # spaced writer cycles — the retention contract
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, f"reader errored during compaction: {errors[0]}"
 
 
-def test_seen_store_copied_before_swap(spark, corpus, tmp_path):
-    """The seen store is never outside a live-capable tree: after the
-    compacted tmp is built (pre-swap), BOTH root and tmp hold it — a
-    crash on either side of the swap loses nothing.  Verified by
-    checking the compacted live tree has the seen rows while the
-    original root was left untouched until the swap (trash deleted only
-    after install)."""
+def test_seen_store_travels_with_the_generation(spark, corpus, tmp_path):
+    """Compaction re-packs the seen sidecar into the NEXT generation
+    (deduplicating replay rows) before the pointer flips — a crash on
+    either side of the flip leaves a complete tree live."""
     d = str(tmp_path / "sidx")
     ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
     _plant_seen(spark, d, doc_id=1)
     _plant_seen(spark, d, doc_id=1)  # replayed-batch duplicate
     _plant_seen(spark, d, doc_id=2)
     ix.compact_index(spark, d)
-    # compaction also dedupes + re-packs the seen sidecar
-    got = sorted(r.doc_id for r in spark.read.parquet(f"{d}/_seen_ids").collect())
+    live = ix.live_root(spark, d)
+    got = sorted(r.doc_id for r in spark.read.parquet(f"{live}/_seen_ids").collect())
     assert got == [1, 2]

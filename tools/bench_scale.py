@@ -319,6 +319,62 @@ def bench_incremental_embed_partitioned(
     }
 
 
+def bench_semantic_partitioned(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 3, inc_vecs: int = 32
+) -> dict:
+    """VERDICT r8 #1 — the SemDeDup flat-serve proof, same bar the
+    band/embed kinds met in r7: a FIXED 32-vector increment served
+    against the persisted k-means cell index
+    (index_store.create_semantic_index / serve_incremental_semantic_dedup)
+    must cost ~the same whether the bootstrap corpus is 49k or 490k
+    vectors — assignment routes through the persisted assigner tree
+    (O(d·64·⌈log₆₄k⌉) per vector, NO Lloyd re-run), auto_k keeps cells
+    at ~constant population, auto_index_buckets keeps rows-per-bucket
+    constant, and the index read prunes to touched buckets.  The build
+    column records the amortized one-time Lloyd cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    cut = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(inc_vecs)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    corpus = emb.where(F.col("vec_id") < cut)
+    increment = emb.where(F.col("vec_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_semidx_")
+    try:
+        t0 = time.time()
+        meta = ix.create_semantic_index(corpus, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        serve_rec = sampler.measure(
+            lambda: ix.serve_incremental_semantic_dedup(
+                increment, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "k": meta["k"],
+        "n_buckets": meta["n_buckets"],
+        "index_build_sec": build_sec,
+        "serve": serve_rec,
+    }
+
+
 def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3) -> dict:
     """Semantic dedup (operators/semantic.py) at scale: auto_k sizes the
     cell count to the corpus, so per-cell population — and with it the
@@ -374,7 +430,7 @@ def bench_semantic(spark, sampler: _Sampler, label: str, d: str, passes: int = 3
         codes = _shifted_codes(emb, 64, "vec_id", "embedding")
         pair_sets = []
         for fn in (_kmeans_flat, _kmeans_two_level):
-            asg, _ = fn(codes, flat_k, 1, "vec_id")
+            asg = fn(codes, flat_k, 1, "vec_id")[0]
             # the _assign contract: the CALLER checkpoints — the pair
             # self-join reads the assignment twice
             pairs = semantic_dedup_pairs(
@@ -694,9 +750,16 @@ def main() -> None:
         bench_semantic(spark, sampler, "sf0.1", base_dir, passes=3),
         bench_semantic(spark, sampler, "scale10", scale_dir, passes=2),
     ]
+    part_sem_recs = [
+        bench_semantic_partitioned(spark, sampler, "sf0.1", base_dir, passes=3),
+        bench_semantic_partitioned(spark, sampler, "scale10", scale_dir, passes=3),
+    ]
     if scale100_dir:
         semantic_recs.append(
             bench_semantic(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+        part_sem_recs.append(
+            bench_semantic_partitioned(spark, sampler, "scale100", scale100_dir, passes=2)
         )
 
     skew_rec = bench_skew_band(spark, sampler)
@@ -733,6 +796,7 @@ def main() -> None:
     for tag, recs in (
         ("incremental_partitioned", part_recs),
         ("incremental_embed_partitioned", part_embed_recs),
+        ("semantic_partitioned", part_sem_recs),
     ):
         for p in recs:
             extra = (
@@ -789,6 +853,7 @@ def main() -> None:
         "incremental_embed_near_dup": embed_recs,
         "incremental_partitioned": part_recs,
         "incremental_embed_partitioned": part_embed_recs,
+        "semantic_partitioned": part_sem_recs,
         "ivf_indexed_auto": ivf_rec,
         "semantic_dedup": semantic_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
