@@ -105,6 +105,42 @@ def _shifted_codes(
     )
 
 
+# Per-session cache of centroid DataFrames, keyed by an md5 of the
+# centroid CONTENT (cryptographic — a 64-bit hash() collision would
+# silently mis-assign).  Why it exists: every assignment pass ships the
+# centroid table driver→executors, and that table is k·d rows — linear
+# in the corpus under the constant-cell-size dial (measured: the k=667
+# two-level serve spent ~1 s/pass rebuilding 43k-row frames; a
+# k=66 700 index would spend ~a minute PER SERVE).  A persisted
+# assigner tree is immutable, and a streaming sink serves hundreds of
+# batches against the same tree — so the frames are built once
+# (Arrow-batched: pandas input is ~2× faster at 43k rows and ~30× at
+# millions) and reused for the life of the session.  Lloyd-loop
+# callers also pass through here with per-iteration centroids: each
+# iteration is a fresh key, used once — harmless, bounded by eviction.
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_frame(spark, content, columns: list[str], schema: str) -> DataFrame:
+    import hashlib
+    import json as _json
+
+    key = (
+        spark.sparkContext.applicationId,
+        schema,
+        hashlib.md5(_json.dumps(content, sort_keys=True).encode()).hexdigest(),
+    )
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        import pandas as pd
+
+        if len(_FRAME_CACHE) > 64:  # crude bound; trees are few per session
+            _FRAME_CACHE.clear()
+        pdf = pd.DataFrame(content, columns=columns)
+        df = _FRAME_CACHE[key] = spark.createDataFrame(pdf, schema)
+    return df
+
+
 def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: str) -> DataFrame:
     """One integer assignment pass → (id, _cl).  Narrow explode +
     broadcast flat centroids + conditional integer sums in a single
@@ -115,7 +151,9 @@ def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: st
     double kernel needs."""
     spark = codes.sparkSession
     flat = [(cid, pos, int(y)) for cid, mv in cents for pos, y in enumerate(mv)]
-    flat_df = F.broadcast(spark.createDataFrame(flat, "cid int, _pos int, _y long"))
+    flat_df = F.broadcast(
+        _cached_frame(spark, flat, ["cid", "_pos", "_y"], "cid int, _pos int, _y long")
+    )
     mm = {cid: sum(y * y for y in mv) for cid, mv in cents}
     ex = codes.select(id_col, F.posexplode("_u").alias("_pos", "_x"))
     per = ex.join(flat_df, "_pos").groupBy(id_col).agg(
@@ -266,14 +304,20 @@ def _grouped_assign(
         for pos, y in enumerate(mv)
     ]
     flat_df = F.broadcast(
-        spark.createDataFrame(flat, "_c1 int, cid int, _pos int, _y long")
+        _cached_frame(
+            spark, flat, ["_c1", "cid", "_pos", "_y"], "_c1 int, cid int, _pos int, _y long"
+        )
     )
     mm_rows = []
     for c1, cl in cents2.items():
         mm = {cid: sum(y * y for y in mv) for cid, mv in cl}
         mm_rows.append(tuple([c1] + [mm.get(cid) for cid in range(k2)]))
     mm_schema = "_c1 int, " + ", ".join(f"_mm{c} long" for c in range(k2))
-    mm_df = F.broadcast(codes2.sparkSession.createDataFrame(mm_rows, mm_schema))
+    mm_df = F.broadcast(
+        _cached_frame(
+            spark, mm_rows, ["_c1"] + [f"_mm{c}" for c in range(k2)], mm_schema
+        )
+    )
     ex = codes2.select(id_col, "_c1", F.posexplode("_u").alias("_pos", "_x"))
     per = (
         ex.join(flat_df, ["_c1", "_pos"])
