@@ -76,11 +76,13 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     # candidates stage ≈ 1x the prior whole query.
     "q_corpus_curation": (7, ["q_corpus_curation", ("q_corpus_curation", 1.0)]),
     # r8 folded the semantic (SemDeDup k=16) arm in at weight 7.3; that
-    # entry lapsed with the r8 artifact.  r9 folds the forced-two-level
-    # semantic arm over a 1/3 subcorpus — a second (coarse+fine) Lloyd
-    # plus a ~(n/3)²/12-pair cell join ≈ 0.5x the whole-union prior
-    # (the k=16 arm's join scores ~4x the pairs).
-    "q_embed_near_dup_lsh": (9, ["q_embed_near_dup_lsh", ("q_embed_near_dup_lsh", 0.5)]),
+    # entry lapsed with the r8 artifact.  r9 folds TWO arms: the
+    # forced-two-level semantic arm over a 1/3 subcorpus (a second
+    # coarse+fine Lloyd plus a ~(n/3)²/12-pair cell join) and the
+    # incremental-serve arm (bootstrap Lloyd on the 200-id prefix + two
+    # increments' cell joins ≈ one more k=8 pair pass) ≈ 0.8x the
+    # whole-union prior combined.
+    "q_embed_near_dup_lsh": (9, ["q_embed_near_dup_lsh", ("q_embed_near_dup_lsh", 0.8)]),
     # r9: PII hash-gate folded into the profile IN PLACE (not a new
     # arm): one more map-only regex chain (7 counts + 7 replaces + md5)
     # over the planted text ≈ one more profile-scale pass.
@@ -134,7 +136,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq", "rerank"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
     "q_corpus_curation": ("variant", ["curation", "incremental"]),
-    "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic", "semantic2"]),
+    "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic", "semantic2", "sem_inc"]),
 }
 
 

@@ -897,6 +897,81 @@ from ..operators.semantic import _two_level_split as _sem_split  # noqa: E402
 
 _SEM2_K1, _SEM2_K2 = _sem_split(_SEM2_K, _SEM2_KMAX)
 
+# Incremental-SemDeDup arm: the engine BOOTSTRAPS cells on the id<200
+# prefix (its own Lloyd), then serves ids [200,350) and [350,∞) as two
+# real increments against the in-plan cell index (the persisted-store
+# policy, operators/incremental.incremental_semantic_near_dup) and
+# emits the union of accepted ids.  The oracle replays the SPLIT-FREE
+# one-shot equivalent — the split-invariance theorem the pytest suite
+# pins (fixed bootstrap cells + monotone ids + int8 scorer ⇒ any split
+# accepts the same set): reject id b ≥ 200 iff SOME lower-id row in
+# its cell scores int8-cosine ≥ t.  Cells come from a Lloyd run over
+# the PREFIX only, routed onto the full corpus — exactly the assigner-
+# tree serve path.
+_SEMI_K, _SEMI_B0, _SEMI_C1 = 8, 200, 350
+# serve threshold picked for gate DISCRIMINATION on this corpus: at the
+# union's 0.18 nearly every non-boot row has some ≥0.18 lower-id cell
+# mate (≈all rejected — a hash over the bootstrap alone); at 0.35 the
+# sf0.01 corpus accepts 411/500 — both outcomes well represented, so
+# the hash pins which rows survive, not just how many
+_SEMI_T = 0.35
+
+
+def _sem_inc_ctes(k: int, iters: int, dims: int, b0: int, t: float, scale: int = 1024) -> str:
+    """CTE chain for the incremental-SemDeDup oracle (u-prefixed to
+    coexist with the other semantic chains): validity-filter + quantize
+    the FULL corpus, run Lloyd (seeds + updates) over the id<b0
+    BOOTSTRAP rows only, assign ALL valid rows under the final
+    centroids (= the assigner-tree routing), score within-cell pairs
+    with the stored-code int8 cosine (norm guards matching _qcos), and
+    reject every b ≥ b0 with a lower-id match.  Accepted = every corpus
+    id (corrupt included) not rejected."""
+    ctes = [
+        f"""uval AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM vecs
+    ) WHERE v IS NOT NULL AND len(v) = {dims}
+          AND len(list_filter(v, x -> x IS NULL)) = 0
+          AND m IS NOT NULL AND NOT isnan(m) AND NOT isinf(m)
+)""",
+        f"usc AS {_quantize_cte('uval')}",
+        "uqn AS (SELECT vec_id, qc, sqrt(CAST(list_dot_product(qc, qc) AS DOUBLE)) AS n FROM usc)",
+        "usu AS (SELECT vec_id, list_transform(qc, x -> x + 127) AS u FROM usc)",
+        f"ub AS (SELECT vec_id, u FROM usu WHERE vec_id < {b0})",
+        f"""um0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(u, x -> {scale}*x) AS mv FROM ub ORDER BY vec_id LIMIT {k})""",
+    ]
+    prev_m = "um0"
+    for i in range(iters):
+        ctes.append(f"""ua{i} AS (
+  SELECT vec_id, u, cid AS cl FROM (
+    SELECT s.vec_id, s.u, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(c.mv, c.mv) - {2 * scale}*list_dot_product(s.u, c.mv), c.cid) AS rk
+    FROM ub s, {prev_m} c) WHERE rk = 1)""")
+        prev_m = f"um{i + 1}"
+        ctes.append(f"""{prev_m} AS (
+  SELECT cl AS cid, list(({scale}*sx) // cnt ORDER BY pos) AS mv FROM (
+    SELECT a.cl, t.i AS pos, SUM(a.u[t.i+1]) AS sx, COUNT(*) AS cnt
+    FROM ua{i} a, range({dims}) t(i) GROUP BY a.cl, t.i) GROUP BY cl)""")
+    # final centroids routed onto the FULL corpus (= assigner tree)
+    ctes.append(f"""ucell AS (
+  SELECT vec_id, cid AS cl FROM (
+    SELECT s.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(c.mv, c.mv) - {2 * scale}*list_dot_product(s.u, c.mv), c.cid) AS rk
+    FROM usu s, {prev_m} c) WHERE rk = 1)""")
+    ctes.append(f"""urej AS (
+  SELECT DISTINCT b.vec_id FROM ucell a JOIN ucell b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN uqn na ON na.vec_id = a.vec_id JOIN uqn nb ON nb.vec_id = b.vec_id
+  WHERE b.vec_id >= {b0} AND na.n > 0 AND nb.n > 0
+    AND CAST(list_dot_product(na.qc, nb.qc) AS DOUBLE) / (nb.n * na.n) >= {t})""")
+    ctes.append(
+        "uacc AS (SELECT e.vec_id FROM embeddings e LEFT JOIN urej r"
+        " ON e.vec_id = r.vec_id WHERE r.vec_id IS NULL)"
+    )
+    return ",\n".join(ctes)
+
 
 @register(
     "q_embed_near_dup_lsh",
@@ -924,8 +999,15 @@ _SEM2_K1, _SEM2_K2 = _sem_split(_SEM2_K, _SEM2_KMAX)
                ROUND({_COS}, 6) AS cosine_sim
         FROM tmemb a JOIN tmemb b ON a.cl = b.cl AND a.vec_id < b.vec_id
         WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
+    ),
+    {_sem_inc_ctes(_SEMI_K, _SEM_ITERS, _DIMS, _SEMI_B0, _SEMI_T)},
+    usemi AS (
+        SELECT 'sem_inc' AS variant, vec_id AS id_a,
+               CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine_sim
+        FROM uacc
     )
-    SELECT * FROM lshp UNION ALL SELECT * FROM semp UNION ALL SELECT * FROM sem2p
+    SELECT * FROM lshp UNION ALL SELECT * FROM semp
+    UNION ALL SELECT * FROM sem2p UNION ALL SELECT * FROM usemi
     """,
 )
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,8 +1028,22 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       deterministic 1/3 subcorpus; the oracle replays the full
       two-level recurrence (:func:`_sem2_ctes`), so the hash gate
       covers the code that runs at auto_k corpus sizes, not only the
-      flat kernel."""
-    from ..operators.semantic import semantic_dedup_pairs
+      flat kernel.
+    - ``variant='sem_inc'`` — the INCREMENTAL serve policy
+      (operators/incremental.incremental_semantic_near_dup): cells
+      bootstrapped on the id<200 prefix, ids [200,350) and [350,∞)
+      served as two REAL increments against the in-plan cell index
+      (the second increment's index carries ALL of the first's rows,
+      accepted or not); rows are the union of accepted ids, hash-gated
+      against the oracle's split-free one-shot equivalent
+      (:func:`_sem_inc_ctes`) — the split-invariance contract the
+      pytest suite pins, now under the hash gate like the band
+      family's `incremental` arm of q_corpus_curation."""
+    from ..operators.incremental import (
+        incremental_semantic_near_dup,
+        semantic_cell_index,
+    )
+    from ..operators.semantic import kmeans_int8_tree, semantic_dedup_pairs
 
     emb = _embeddings(spark, sf_dir)
     lsh = lsh_bucketed_pairs(
@@ -963,7 +1059,34 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEAR_DUP_T,
         flat_k_max=_SEM2_KMAX,
     ).select(F.lit("semantic2").alias("variant"), "id_a", "id_b", "cosine_sim")
-    return lsh.unionByName(sem).unionByName(sem2)
+    # incremental-serve arm: bootstrap Lloyd on the prefix, two real
+    # increments against the growing in-plan index, emit accepted ids
+    boot = emb.filter(F.col("vec_id") < _SEMI_B0)
+    inc1 = emb.filter((F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1))
+    inc2 = emb.filter(F.col("vec_id") >= _SEMI_C1)
+    asg, _, tree = kmeans_int8_tree(boot, k=_SEMI_K, iters=_SEM_ITERS, dims=_DIMS)
+    if tree is None:  # drained corpus — everything (nothing) accepted
+        acc_ids = emb.select("vec_id")
+    else:
+        idx = semantic_cell_index(
+            boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
+        )
+        r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
+        r2 = incremental_semantic_near_dup(
+            inc2, idx.unionByName(r1.index_rows), tree, threshold=_SEMI_T, dims=_DIMS
+        )
+        acc_ids = (
+            boot.select("vec_id")
+            .unionByName(r1.accepted.select("vec_id"))
+            .unionByName(r2.accepted.select("vec_id"))
+        )
+    semi = acc_ids.select(
+        F.lit("sem_inc").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+    )
+    return lsh.unionByName(sem).unionByName(sem2).unionByName(semi)
 
 
 # IVF: deterministic codebook = the 16 lowest-id vectors; assignment and
