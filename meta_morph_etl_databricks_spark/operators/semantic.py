@@ -136,7 +136,16 @@ def _cached_frame(spark, content, columns: list[str], schema: str) -> DataFrame:
 
         if len(_FRAME_CACHE) > 64:  # crude bound; trees are few per session
             _FRAME_CACHE.clear()
-        pdf = pd.DataFrame(content, columns=columns)
+        if any(x is None for row in content for x in row):
+            # missing (cell, cid) slots: keep None as None — a numeric
+            # pandas column would coerce it to NaN, which the NON-Arrow
+            # converter (the driver harness's DEFAULT confs) rejects for
+            # long columns (caught by the portability check); object
+            # dtype rides the slow path but only the tiny mm frame
+            # (k1 rows) ever carries Nones
+            pdf = pd.DataFrame(content, columns=columns, dtype=object)
+        else:
+            pdf = pd.DataFrame(content, columns=columns)
         df = _FRAME_CACHE[key] = spark.createDataFrame(pdf, schema)
     return df
 
