@@ -85,7 +85,17 @@ def _read_small_file(spark: SparkSession, path: str) -> str | None:
     p = path_cls(path)
     if not fs.exists(p):
         return None
-    stream = fs.open(p)
+    try:
+        stream = fs.open(p)
+    except Exception as e:  # TOCTOU: exists() raced a delete+rename flip
+        # Hadoop's local rename refuses an existing destination, so
+        # every pointer flip takes the delete+rename fallback — a
+        # concurrent reader can see exists()=true then open()=FNFE.
+        # Treat it as "missing": live_root's highest-complete-gen
+        # fallback already covers a momentarily absent pointer.
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
     try:
         # read on the JVM side — py4j passes byte[] by value, so a
         # Python-side readFully(buf) would never see the bytes
