@@ -75,14 +75,15 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     # increments, banded joins against the growing in-plan index) ≈ the
     # candidates stage ≈ 1x the prior whole query.
     "q_corpus_curation": (7, ["q_corpus_curation", ("q_corpus_curation", 1.0)]),
-    # r8 folded the semantic (SemDeDup k=16) arm in at weight 7.3; that
-    # entry lapsed with the r8 artifact.  r9 folds TWO arms: the
-    # forced-two-level semantic arm over a 1/3 subcorpus (a second
-    # coarse+fine Lloyd plus a ~(n/3)²/12-pair cell join) and the
-    # incremental-serve arm (bootstrap Lloyd on the 200-id prefix + two
-    # increments' cell joins ≈ one more k=8 pair pass) ≈ 0.8x the
-    # whole-union prior combined.
-    "q_embed_near_dup_lsh": (9, ["q_embed_near_dup_lsh", ("q_embed_near_dup_lsh", 0.8)]),
+    # r9's two-arm fold lapsed with the r9 artifact.  r10: the flat
+    # k=16 full-corpus semantic arm RETIRED (2.45s arm + its share of
+    # the 10.5s _build in the r9 decomposition — subsumed by semantic2's
+    # two-level gate + sem_inc's serve gate, round-9 slot hygiene) and
+    # the takedown-policy arm folded in (one more inc2 cell join over
+    # sem_inc's shared bootstrap — cheap).  Net ≈ 0.85x the r9 whole;
+    # the gate floor SHRINKS with the union instead of coasting on the
+    # fatter r9 number.
+    "q_embed_near_dup_lsh": (10, [("q_embed_near_dup_lsh", 0.85)]),
     # r9: PII hash-gate folded into the profile IN PLACE (not a new
     # arm): one more map-only regex chain (7 counts + 7 replaces + md5)
     # over the planted text ≈ one more profile-scale pass.
@@ -136,7 +137,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq", "rerank"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
     "q_corpus_curation": ("variant", ["curation", "incremental"]),
-    "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic", "semantic2", "sem_inc"]),
+    "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic2", "sem_inc", "retract"]),
 }
 
 

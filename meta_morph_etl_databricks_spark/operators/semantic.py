@@ -221,6 +221,22 @@ def assign_cells(codes: DataFrame, tree: AssignerTree, id_col: str) -> DataFrame
     )
 
 
+def _tree_leaf_cents(tree: AssignerTree) -> list[tuple[int, list[int]]]:
+    """Every (label, fixed-point centroid) the tree can EMIT when
+    routing — the coverage enumeration behind the empty-coarse-cell
+    guarantee (see :func:`_kmeans_two_level`).  For a "two" node the
+    labels are ``c1·k2 + cid`` over the coarse node's emittable labels
+    × that cell's fine centroids."""
+    if tree[0] == "flat":
+        return list(tree[1])
+    _, coarse, k2, cents2 = tree
+    out: list[tuple[int, list[int]]] = []
+    for c1, _ in _tree_leaf_cents(coarse):
+        for cid, mv in cents2.get(c1, []):
+            out.append((c1 * k2 + cid, mv))
+    return out
+
+
 def tree_to_json(tree: AssignerTree) -> dict:
     """Assigner tree → a JSON-safe dict (the ``_index_meta.json``
     sidecar representation; int dict keys become strings)."""
@@ -421,6 +437,22 @@ def _kmeans_two_level(
         cents2 = {}
         for (c1, cid), dims_ in sorted(nxt.items()):
             cents2.setdefault(c1, []).append((cid, [dims_[p] for p in sorted(dims_)]))
+    # Routing-coverage guarantee (round-9 advice): a coarse centroid can
+    # win ZERO members in the final bootstrap assignment (floor-rounded
+    # updates move the means enough that a sandwiched centroid loses
+    # everything — reachable, pinned by
+    # test_empty_coarse_cell_still_routable) yet stay routable by future
+    # increments through the persisted tree.  Without a cents2 entry for
+    # that c1, _grouped_assign's inner join on _c1 DROPS the row and the
+    # vector is silently accepted forever with a NULL cell.  Seed every
+    # uncovered coarse label's fine level with the coarse centroid
+    # itself (one cell, cid 0): increments landing there get label
+    # c1·k2 and dedup against each other.  Bootstrap assignment is
+    # untouched — no bootstrap row has _c1 = an empty coarse cell, so
+    # the seeded entries never compete below.
+    for _c1, _mv in _tree_leaf_cents(coarse_tree):
+        if _c1 not in cents2:
+            cents2[_c1] = [(0, _mv)]
     final = _grouped_assign(codes2, cents2, k2, id_col).select(
         id_col, (F.col("_c1") * k2 + F.col("_cl2")).alias("_cl")
     )

@@ -287,7 +287,13 @@ def repetition_profile(
 #   separator-grouped PANs need optional-separator groups whose
 #   backtracking order is NOT in the proven common subset, so they are
 #   deliberately out) before phones: a 13+ digit run must not have its
-#   first 14 digits eaten as an overlong intl phone;
+#   first 14 digits eaten as an overlong intl phone.  The reverse trade
+#   is accepted: a '+' followed by a 13–16 digit run (an intl phone at
+#   E.164's upper widths) is classified as CARD — the run matches
+#   card's \b\d{13,16}\b first and the '+' stays in the clear.  Kind
+#   misattribution only: the digits are still redacted, both engine and
+#   oracle share the order, and 13+-digit E.164 numbers are rare next
+#   to contiguous PANs (fixture row 15 pins the choice);
 # - the two phone shapes last — the least structured digit patterns.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

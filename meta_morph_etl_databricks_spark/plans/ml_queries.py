@@ -768,7 +768,7 @@ def _bucket_sql(planes: list[list[float]]) -> str:
 # both engines' lanes (int64 in Spark, the DOUBLE that DuckDB routes
 # list_dot_product through), so cluster assignments are bit-identical
 # and the arm is hash-comparable where float k-means never could be.
-_SEM_K, _SEM_ITERS = 16, 1
+_SEM_ITERS = 1
 
 # Forced-two-level arm: the scale path of kmeans_int8 (coarse flat
 # Lloyd → per-cell fine Lloyd, operators/semantic.py _kmeans_two_level)
@@ -915,6 +915,11 @@ _SEMI_K, _SEMI_B0, _SEMI_C1 = 8, 200, 350
 # sf0.01 corpus accepts 411/500 — both outcomes well represented, so
 # the hash pins which rows survive, not just how many
 _SEMI_T = 0.35
+# Takedown arm: ids ≡ 0 (mod 7) among the pre-inc2 history (bootstrap +
+# first increment) are retracted between the increments — the modulus
+# hits both accepted and rejected history, so the gate pins that a
+# removed row stops rejecting REGARDLESS of its own acceptance status.
+_RETR_MOD = 7
 
 
 def _sem_inc_ctes(k: int, iters: int, dims: int, b0: int, t: float, scale: int = 1024) -> str:
@@ -985,13 +990,6 @@ def _sem_inc_ctes(k: int, iters: int, dims: int, b0: int, t: float, scale: int =
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
     ),
-    {_sem_ctes(_SEM_K, _SEM_ITERS, _DIMS)},
-    semp AS (
-        SELECT 'semantic' AS variant, a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({_COS}, 6) AS cosine_sim
-        FROM memb a JOIN memb b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        WHERE ROUND({_COS}, 6) >= {_NEAR_DUP_T}
-    ),
     vecs2 AS (SELECT vec_id, v FROM vecs WHERE vec_id % {_SEM2_MOD} = 0),
     {_sem2_ctes(_SEM2_K1, _SEM2_K2, _SEM_ITERS, _DIMS)},
     sem2p AS (
@@ -1005,9 +1003,23 @@ def _sem_inc_ctes(k: int, iters: int, dims: int, b0: int, t: float, scale: int =
         SELECT 'sem_inc' AS variant, vec_id AS id_a,
                CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine_sim
         FROM uacc
+    ),
+    uretr AS (
+        SELECT DISTINCT b.vec_id
+        FROM ucell a JOIN ucell b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN uqn na ON na.vec_id = a.vec_id JOIN uqn nb ON nb.vec_id = b.vec_id
+        WHERE b.vec_id >= {_SEMI_C1} AND na.n > 0 AND nb.n > 0
+          AND NOT (a.vec_id % {_RETR_MOD} = 0 AND a.vec_id < {_SEMI_C1})
+          AND CAST(list_dot_product(na.qc, nb.qc) AS DOUBLE) / (nb.n * na.n) >= {_SEMI_T}
+    ),
+    uretrp AS (
+        SELECT 'retract' AS variant, e.vec_id AS id_a,
+               CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine_sim
+        FROM embeddings e LEFT JOIN uretr r ON e.vec_id = r.vec_id
+        WHERE e.vec_id >= {_SEMI_C1} AND r.vec_id IS NULL
     )
-    SELECT * FROM lshp UNION ALL SELECT * FROM semp
-    UNION ALL SELECT * FROM sem2p UNION ALL SELECT * FROM usemi
+    SELECT * FROM lshp UNION ALL SELECT * FROM sem2p
+    UNION ALL SELECT * FROM usemi UNION ALL SELECT * FROM uretrp
     """,
 )
 def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,18 +1029,16 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``variant='lsh'`` — sign-random-projection buckets (2^8): the
       O(n²) all-pairs join becomes a per-bucket equi-join — the
       random-partition ANN shape.
-    - ``variant='semantic'`` — SemDeDup (operators/semantic.py):
-      integer-exact k-means cells (k=16, one Lloyd update) — the
-      density-following partition that pairs paraphrases LSH's random
-      hyperplanes split apart.  At scale, k grows with the corpus
-      (auto_k) so the per-cell quadratic term stays flat.
-    - ``variant='semantic2'`` — the SAME operator forced down its SCALE
-      path (``flat_k_max=4`` routes k=12 through _kmeans_two_level:
-      coarse k1=4 flat Lloyd, fine k2=3 per-cell Lloyd) on the
-      deterministic 1/3 subcorpus; the oracle replays the full
-      two-level recurrence (:func:`_sem2_ctes`), so the hash gate
-      covers the code that runs at auto_k corpus sizes, not only the
-      flat kernel.
+    - ``variant='semantic2'`` — SemDeDup (operators/semantic.py)
+      forced down its SCALE path (``flat_k_max=4`` routes k=12 through
+      _kmeans_two_level: coarse k1=4 flat Lloyd, fine k2=3 per-cell
+      Lloyd) on the deterministic 1/3 subcorpus; the oracle replays the
+      full two-level recurrence (:func:`_sem2_ctes`), so the hash gate
+      covers the code that runs at auto_k corpus sizes.  (The flat
+      k=16 full-corpus ``semantic`` arm was retired in r10 — subsumed
+      by this arm's two-level gate plus ``sem_inc``'s serve gate, per
+      the round-9 slot-hygiene verdict; the flat recurrence itself
+      stays pinned engine-vs-SQL by tests/test_semantic.py.)
     - ``variant='sem_inc'`` — the INCREMENTAL serve policy
       (operators/incremental.incremental_semantic_near_dup): cells
       bootstrapped on the id<200 prefix, ids [200,350) and [350,∞)
@@ -1038,7 +1048,18 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       against the oracle's split-free one-shot equivalent
       (:func:`_sem_inc_ctes`) — the split-invariance contract the
       pytest suite pins, now under the hash gate like the band
-      family's `incremental` arm of q_corpus_curation."""
+      family's `incremental` arm of q_corpus_curation.
+    - ``variant='retract'`` — the TAKEDOWN policy (r10,
+      operators/index_store.retract_ids): between the two increments,
+      every id ≡ 0 (mod 7) of the pre-inc2 history (bootstrap + first
+      increment, accepted AND rejected rows alike) is retracted from
+      the index, and inc2 is served against the remainder; rows are
+      inc2's accepted ids.  The oracle replays the decision rule with
+      the retraction as an id predicate on the MATCHING side — a row
+      whose only near-dup history was retracted flips to accepted,
+      which is precisely the policy consequence takedown demands (the
+      store mechanics — generation swap, seen purge, crash windows —
+      are pytest-gated in test_index_lifecycle.py)."""
     from ..operators.incremental import (
         incremental_semantic_near_dup,
         semantic_cell_index,
@@ -1049,9 +1070,6 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucketed_pairs(
         emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T
     ).select(F.lit("lsh").alias("variant"), "id_a", "id_b", "cosine_sim")
-    sem = semantic_dedup_pairs(
-        emb, k=_SEM_K, iters=_SEM_ITERS, threshold=_NEAR_DUP_T
-    ).select(F.lit("semantic").alias("variant"), "id_a", "id_b", "cosine_sim")
     sem2 = semantic_dedup_pairs(
         emb.filter(F.col("vec_id") % _SEM2_MOD == 0),
         k=_SEM2_K,
@@ -1067,26 +1085,43 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg, _, tree = kmeans_int8_tree(boot, k=_SEMI_K, iters=_SEM_ITERS, dims=_DIMS)
     if tree is None:  # drained corpus — everything (nothing) accepted
         acc_ids = emb.select("vec_id")
+        retr_ids = emb.select("vec_id").where(F.col("vec_id") >= _SEMI_C1)
     else:
         idx = semantic_cell_index(
             boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
         )
         r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
+        grown = idx.unionByName(r1.index_rows)
         r2 = incremental_semantic_near_dup(
-            inc2, idx.unionByName(r1.index_rows), tree, threshold=_SEMI_T, dims=_DIMS
+            inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS
         )
         acc_ids = (
             boot.select("vec_id")
             .unionByName(r1.accepted.select("vec_id"))
             .unionByName(r2.accepted.select("vec_id"))
         )
+        # takedown replay: drop the retracted ids' rows from the grown
+        # index (exactly the frame a post-retract_ids serve reads) and
+        # re-serve inc2 — shares the bootstrap tree and r1 with sem_inc,
+        # so the arm costs one more cell join, not another Lloyd
+        retracted = (F.col("vec_id") % _RETR_MOD == 0) & (F.col("vec_id") < _SEMI_C1)
+        r2r = incremental_semantic_near_dup(
+            inc2, grown.where(~retracted), tree, threshold=_SEMI_T, dims=_DIMS
+        )
+        retr_ids = r2r.accepted.select("vec_id")
     semi = acc_ids.select(
         F.lit("sem_inc").alias("variant"),
         F.col("vec_id").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("cosine_sim"),
     )
-    return lsh.unionByName(sem).unionByName(sem2).unionByName(semi)
+    retr = retr_ids.select(
+        F.lit("retract").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+    )
+    return lsh.unionByName(sem2).unionByName(semi).unionByName(retr)
 
 
 # IVF: deterministic codebook = the 16 lowest-id vectors; assignment and

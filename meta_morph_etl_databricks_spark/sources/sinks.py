@@ -306,16 +306,17 @@ def merge_upsert_transactional(
     source rows insert, unmatched target rows survive.
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
-    and 6) and 2026-08-15 (rounds 7, 8 and 9): ``pip download
+    and 6) and 2026-08-15 (rounds 7 through 10): ``pip download
     delta-spark`` → "No matching distribution found" (the index host is
     unreachable / returns no versions — no package network); ``import
     delta`` → ModuleNotFoundError; filesystem-wide search for
     ``delta-{spark,core,storage}*.jar`` / a vendored wheel / an ivy
-    cache → nothing; zero delta jars under pyspark/jars, so neither pip
-    nor ``spark.jars.packages`` can fetch it.  Until a runtime ships
-    the jar, the executable concurrent-merge story is
-    ``merge_upsert(lock_retries=N)``: one writer wins, the other waits
-    and re-merges against the installed result (serialized, tested).
+    cache (``~/.ivy2``, ``~/.m2``) → nothing; zero delta jars under
+    pyspark/jars, so neither pip nor ``spark.jars.packages`` can fetch
+    it.  Until a runtime ships the jar, the executable concurrent-merge
+    story is ``merge_upsert(lock_retries=N)``: one writer wins, the
+    other waits and re-merges against the installed result
+    (serialized, tested).
     """
     try:
         from delta.tables import DeltaTable  # type: ignore[import-not-found]

@@ -191,7 +191,10 @@ def stream_incremental_dedup(
         # delete the old index permanently.  Two fs.exists calls per
         # batch buys immunity to that whole class.
         ix.recover_compaction(spark, index_path)
-        meta = ix.read_index_meta(spark, index_path)
+        # resolve the pointer ONCE per batch — meta and data must come
+        # from the same generation (round-9 advice: a flip between
+        # separate meta/live reads pairs stale meta with new data)
+        live, meta = ix.live_index(spark, index_path)
         if meta is None:
             meta = {
                 "kind": ix.BAND_KIND,
@@ -211,7 +214,6 @@ def stream_incremental_dedup(
                 index_path,
             )
             ix._check_id_type(batch_df, meta, index_path)
-            live = ix.live_root(spark, index_path)
         nb = meta["n_buckets"]
 
         # persist the seen-filtered batch AND its band rows: fresh
@@ -276,6 +278,8 @@ def stream_incremental_semantic_dedup(
     target_cell_size: int = 300,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    recluster_when_due: bool = False,
+    drift_factor: float = 4.0,
 ):
     """SemDeDup sibling of :func:`stream_incremental_embed_near_dup`:
     continuous semantic curation against the persisted k-means cell
@@ -296,10 +300,17 @@ def stream_incremental_semantic_dedup(
     cells): it passes through accepted-as-is, nothing is written to the
     index, and bootstrap retries on the next batch.
 
-    Cell-drift honesty: cells are fixed at bootstrap; long streams
-    should poll ``index_store.semantic_recluster_due`` between runs and
-    rebuild+swap when occupancy drifts — the dial every IVF-shaped
-    system carries."""
+    Cell-drift handling: cells are fixed at bootstrap and drift as the
+    corpus grows.  ``recluster_when_due=True`` closes the loop in-sink:
+    after each committed batch the O(1) occupancy dial
+    (``index_store.semantic_recluster_due``, sidecar row counter ÷ k vs
+    ``drift_factor × target_cell_size``) is polled, and when it fires
+    the index is rebuilt from its own stored int8 codes and atomically
+    swapped (``index_store.recluster_semantic_index``) — between
+    triggers, the single-writer slot compaction already uses, so no
+    appender is ever live during the swap and the next batch routes
+    through the new generation's tree.  Default off: the rebuild is an
+    O(corpus-codes) Lloyd run, a scheduling decision the operator owns."""
     from ..operators import index_store as ix
     from ..operators.incremental import incremental_semantic_near_dup, semantic_cell_index
     from ..operators.semantic import auto_k, kmeans_int8_tree, tree_from_json, tree_to_json
@@ -310,7 +321,10 @@ def stream_incremental_semantic_dedup(
         spark = batch_df.sparkSession
         # UNCONDITIONAL — same crash-class immunity as the other sinks
         ix.recover_compaction(spark, index_path)
-        meta = ix.read_index_meta(spark, index_path)
+        # resolve the pointer ONCE per batch — meta and data must come
+        # from the same generation (round-9 advice: a flip between
+        # separate meta/live reads pairs stale meta with new data)
+        live, meta = ix.live_index(spark, index_path)
         if meta is None:
             n = batch_df.count()
             kk = k if k is not None else auto_k(n, target_cell_size)
@@ -330,6 +344,7 @@ def stream_incremental_semantic_dedup(
                 "n_buckets": n_buckets or ix.auto_index_buckets(n),
                 "target_cell_size": target_cell_size,
                 "bootstrap_rows": n,
+                "rows": 0,
                 "tree": tree_to_json(tree),
             }
             live = ix.init_index(spark, index_path, meta)
@@ -341,7 +356,6 @@ def stream_incremental_semantic_dedup(
                 expected["k"] = k
             ix._require_meta(meta, expected, index_path)
             ix._check_id_type(batch_df, meta, index_path)
-            live = ix.live_root(spark, index_path)
         nb = meta["n_buckets"]
         tree = tree_from_json(meta["tree"])
 
@@ -376,9 +390,17 @@ def stream_incremental_semantic_dedup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            meta = ix._bump_rows(spark, live, meta, new_rows.count())
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
+            if recluster_when_due and ix.semantic_recluster_due(
+                spark, index_path, drift_factor
+            ):
+                # BETWEEN-triggers writer slot, same as compaction: the
+                # rebuild-and-swap runs with no appender live, and the
+                # next batch resolves the new generation's tree/meta
+                ix.recluster_semantic_index(spark, index_path)
         finally:
             new_rows.unpersist()
             fresh.unpersist()
@@ -448,7 +470,10 @@ def stream_incremental_embed_near_dup(
         # delete the old index permanently.  Two fs.exists calls per
         # batch buys immunity to that whole class.
         ix.recover_compaction(spark, index_path)
-        meta = ix.read_index_meta(spark, index_path)
+        # resolve the pointer ONCE per batch — meta and data must come
+        # from the same generation (round-9 advice: a flip between
+        # separate meta/live reads pairs stale meta with new data)
+        live, meta = ix.live_index(spark, index_path)
         if meta is None:
             c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
             meta = {
@@ -472,7 +497,6 @@ def stream_incremental_embed_near_dup(
                 expected["center"] = center
             ix._require_meta(meta, expected, index_path)
             ix._check_id_type(batch_df, meta, index_path)
-            live = ix.live_root(spark, index_path)
         nb = meta["n_buckets"]
 
         fresh = _filter_fresh(batch_df, live, meta).persist()

@@ -387,6 +387,46 @@ def test_legacy_flat_index_migrates_then_compacts(spark, corpus, tmp_path):
     assert ix.open_band_index(spark, d)[0].count() >= n
 
 
+def test_recover_legacy_compaction_trash(spark, corpus, tmp_path):
+    """Pre-r9 two-rename compaction debris across the layout upgrade
+    (round-9 advice): a crash between old→trash and tmp→root left the
+    ONLY index copy in <root>__compact_trash with root missing.  The
+    generation-era recovery must restore it as generation 0 — not
+    return 'clean' and let the next batch bootstrap a fresh EMPTY index
+    that re-admits every duplicate."""
+    import shutil
+
+    d = str(tmp_path / "lidx")
+    staging = str(tmp_path / "stage")
+    meta = ix.create_band_index(corpus.where("doc_id < 40"), d, n_buckets=8)
+    _plant_seen(spark, d)
+    n = ix.open_band_index(spark, d)[0].count()
+    # fabricate the pre-r9 crash state: FLAT tree sidelined as trash
+    # (plus a half-written tmp), root gone
+    shutil.copytree(ix.live_root(spark, d), staging)
+    shutil.rmtree(d)
+    os.rename(staging, d + "__compact_trash")
+    os.makedirs(d + "__compact_tmp/pfx=0")
+    assert ix.recover_compaction(spark, d) == "restored"
+    assert not os.path.exists(d + "__compact_trash")
+    assert not os.path.exists(d + "__compact_tmp")
+    assert ix.live_root(spark, d).endswith("gen-0000000")
+    df, got_meta = ix.open_band_index(spark, d)
+    assert got_meta == meta and df.count() == n
+    assert spark.read.parquet(f"{ix.live_root(spark, d)}/_seen_ids").count() == 1
+    # a duplicate of an indexed doc must still be REJECTED post-recovery
+    dup = corpus.where("doc_id = 1").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    assert ix.serve_incremental_dedup(dup, d, append=False).accepted.isEmpty()
+    # the other crash side: root already holds the installed index —
+    # recovery drops the debris and leaves the index alone
+    os.makedirs(d + "__compact_trash/pfx=0")
+    ix.recover_compaction(spark, d)
+    assert not os.path.exists(d + "__compact_trash")
+    assert ix.open_band_index(spark, d)[0].count() == n
+
+
 def test_reader_safe_during_compaction(spark, corpus, tmp_path):
     """The round-8 two-rename swap had a no-live-directory window a
     concurrent reader could land in.  With the pointer swap, a reader

@@ -1,0 +1,154 @@
+"""Persisted IVF index kind (round-10: IVF/IVF-PQ serving unified under
+the index store).  The bar the three dedup kinds already meet:
+
+1. serve parity — the pfx-pruned store serve returns EXACTLY what the
+   ad-hoc DataFrame path returns (pruning only skips buckets no probed
+   list hashes into);
+2. sidecar pinning — nlist/codec/id-type mismatches raise loudly; the
+   quantizers (coarse centroids, PQ codebooks) always come from the
+   sidecar;
+3. generation-pointer crash windows — pointer loss falls back
+   passively, retraction works, debris is reaped.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_morph_etl_databricks_spark.operators import index_store as ix
+from meta_morph_etl_databricks_spark.operators.quantize import (
+    ivf_pq_index,
+    ivf_pq_topk,
+    ivf_pq_topk_rerank,
+    pq_codebooks_from_codes,
+    quantize_int8,
+)
+from meta_morph_etl_databricks_spark.operators.similarity import (
+    ivf_centroids,
+    ivf_topk,
+)
+
+DIMS = 16
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(DIMS)]
+        rows.append((i, base))
+    return spark.createDataFrame(rows, SCHEMA).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.where("vec_id % 37 = 0")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint()
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, r.cosine_sim) for r in df.collect()
+    )
+
+
+def test_float_serve_matches_adhoc_path(spark, emb, queries, tmp_path):
+    path = str(tmp_path / "ivf")
+    meta = ix.create_ivf_index(emb, path, nlist=8)
+    assert meta["nlist"] == 8 and meta["codec"] == "float"
+    cents = ivf_centroids(emb, 8)
+    assert ix._ivf_centroids_from_meta(meta) == cents  # sidecar pins them
+    want = _rows(ivf_topk(emb, queries, cents, k=5, nprobe=3))
+    got = _rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))
+    assert got == want and len(got) == 5 * queries.count()
+
+
+def test_pq_serve_and_rerank_match_adhoc_path(spark, emb, queries, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    meta = ix.create_ivf_index(emb, path, nlist=8, codec="pq", m=4, ksub=8)
+    cents = ivf_centroids(emb, 8)
+    codes = quantize_int8(emb).select("vec_id", "q_vec")
+    cb = pq_codebooks_from_codes(codes, m=4, ksub=8)
+    assert meta["pq"]["codebooks"] == cb
+    adhoc = ivf_pq_index(emb, cents, cb)
+    want = _rows(ivf_pq_topk(adhoc, queries, cents, cb, k=5, nprobe=3))
+    got = _rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))
+    assert got == want
+    want_rr = _rows(
+        ivf_pq_topk_rerank(adhoc, queries, cents, cb, emb, k=5, nprobe=3)
+    )
+    got_rr = _rows(
+        ix.serve_ivf_topk(queries, path, k=5, nprobe=3, rerank_embeddings=emb)
+    )
+    assert got_rr == want_rr
+
+
+def test_sidecar_validation_and_kind_cross_checks(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb, path, nlist=8)
+    df, meta = ix.open_ivf_index(spark, path, nlist=8, codec="float")
+    assert df.count() == 120
+    with pytest.raises(ValueError, match="different parameters"):
+        ix.open_ivf_index(spark, path, nlist=16)
+    with pytest.raises(ValueError, match="different parameters"):
+        ix.open_ivf_index(spark, path, codec="pq")
+    with pytest.raises(ValueError, match="kind"):
+        ix.open_band_index(spark, path)
+    with pytest.raises(ValueError, match="unknown codec"):
+        ix.create_ivf_index(emb, str(tmp_path / "bad"), codec="int4")
+    # id-type pinning on the rerank join-back
+    wrong = emb.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
+    pqp = str(tmp_path / "pq")
+    ix.create_ivf_index(emb, pqp, nlist=8, codec="pq", m=4, ksub=8)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="rebuild the index or align"):
+        ix.serve_ivf_topk(q, pqp, k=3, rerank_embeddings=wrong)
+
+
+def test_append_then_serve_finds_new_vectors(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb.where("vec_id < 100"), path, nlist=8)
+    inc = emb.where("vec_id >= 100")
+    ix.append_ivf_vectors(inc, path)
+    q = inc.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ix.serve_ivf_topk(q, path, k=1, nprobe=2)
+    # every appended vector's own top-1 is itself (cosine 1.0)
+    assert sorted((r.query_id, r.vec_id) for r in got.collect()) == [
+        (i, i) for i in range(100, 120)
+    ]
+    with pytest.raises(ValueError, match="rebuild the index or align"):
+        ix.append_ivf_vectors(
+            inc.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding"), path
+        )
+
+
+def test_pointer_crash_and_retraction(spark, emb, queries, tmp_path):
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb, path, nlist=8)
+    live0 = ix.live_root(spark, path)
+    base = _rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))
+
+    # pointer lost: passive fallback serves identically; recovery re-points
+    os.remove(f"{path}/{ix.CURRENT_FILE}")
+    assert _rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3)) == base
+    assert ix.recover_compaction(spark, path) == "restored"
+    assert ix.live_root(spark, path) == live0
+
+    # retraction: a retracted vector disappears from every serve
+    victim = base[0][1]
+    assert ix.retract_ids(spark, path, [victim]) == 1
+    after = _rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))
+    assert victim not in {vid for _, vid, _ in after}
+    assert len(after) == len(base)  # k refills from the remaining corpus
+    # compaction works on the kind (schema registry covers it)
+    ix.compact_index(spark, path)
+    assert len(_rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))) == len(base)

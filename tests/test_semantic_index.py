@@ -232,6 +232,107 @@ def test_stream_semantic_restart_param_mismatch_raises(spark, tmp_path):
     run_once(9, k=2)  # unchanged params restart cleanly (seen no-op)
 
 
+def test_empty_coarse_cell_still_routable(spark, tmp_path):
+    """A coarse centroid can win ZERO members in the FINAL bootstrap
+    assignment yet stay routable by increments forever (round-9 advice).
+    This fixture makes it happen: seed s1 sits between s0 and s2; its
+    pass-1 members (s1 itself and a far perpendicular point) drag the
+    updated mean to where BOTH defect in the final pass — coarse cell 1
+    ends empty while its centroid stays in the tree.  The builder must
+    seed the empty cell's fine level (coverage guarantee) so an
+    increment landing there gets a real cell and dedups, instead of
+    NULL-celling and being silently accepted forever.
+
+    The anchor third dimension pins quantize_int8's per-vector scale at
+    exactly 1/127, so embedding (u1-127, u2-127, -127)/127 codes to the
+    designed integer point (u1, u2, 0) in shifted-u space."""
+
+    def vec(u1, u2):
+        return [(u1 - 127) / 127.0, (u2 - 127) / 127.0, -1.0]
+
+    from meta_morph_etl_databricks_spark.operators.semantic import _tree_leaf_cents
+
+    pts = [(0, vec(0, 0)), (1, vec(15, 0)), (2, vec(40, 0)), (3, vec(15, 40))]
+    pts += [(4 + i, vec(28, 30)) for i in range(12)]
+    emb = spark.createDataFrame(pts, SCHEMA)
+    asg, _, tree = kmeans_int8_tree(emb, k=7, iters=1, dims=3, flat_k_max=3)
+    assert tree[0] == "two"
+    _, coarse, k2, cents2 = tree
+    # the hole is REAL on this fixture: coarse cell 1 has no final member
+    assert 1 not in {r.cluster // k2 for r in asg.collect()}
+    # ...and the coverage guarantee closes it: every coarse label the
+    # tree can emit has fine centroids
+    assert set(cents2) == {c for c, _ in _tree_leaf_cents(coarse)}
+
+    # end to end through the persisted store: an increment landing in
+    # the empty coarse cell is indexed with a REAL cell, and its scaled
+    # copy is rejected against it on the next serve
+    path = str(tmp_path / "idx")
+    ix.create_semantic_index(emb, path, k=7, iters=1, dims=3, flat_k_max=3)
+    inc1 = spark.createDataFrame([(100, vec(15, 20))], SCHEMA)
+    r1 = ix.serve_incremental_semantic_dedup(inc1, path, threshold=0.999)
+    assert [r.vec_id for r in r1.accepted.collect()] == [100]
+    idx = spark.read.parquet(ix.live_root(spark, path))
+    assert idx.where("vec_id = 100").collect()[0].cell is not None
+    inc2 = spark.createDataFrame(
+        [(101, [x * 0.5 for x in vec(15, 20)])], SCHEMA  # scaled copy: qcos 1.0
+    )
+    r2 = ix.serve_incremental_semantic_dedup(inc2, path, threshold=0.999)
+    assert r2.accepted.count() == 0
+
+
+def test_serve_int8_cosine_exact_boundary(spark, tmp_path):
+    """Boundary audit for the incremental-semantic SERVE path (the
+    round-6 lesson applied to round 9's new policy): the serve
+    thresholds the int8 cosine at exact ``t`` and the oracle replays
+    the same integer kernel, so shared constants could hide shared
+    bugs.  Codes are crafted to land exactly on the cut —
+    [127,0,...] vs [127,0,95,...] gives qcos = 16129/(√25154·127) in
+    pure IEEE doubles — and pinned three ways: the ENGINE rejects at
+    threshold == qcos and accepts at the very next double, both rows
+    provably share the single bootstrap cell (k=1 — the join cannot
+    mask the cut), and DuckDB's replay of the integer kernel produces
+    the bit-identical double."""
+    import math
+
+    dims = 16
+    a = [1.0] + [0.0] * (dims - 1)
+    b = [1.0, 0.0, 0.75] + [0.0] * (dims - 3)  # 0.75·127 = 95.25 → 95
+    path = str(tmp_path / "idx")
+    boot = spark.createDataFrame([(0, a)], SCHEMA)
+    ix.create_semantic_index(boot, path, k=1, iters=1, dims=dims)
+    inc = spark.createDataFrame([(1, b)], SCHEMA)
+
+    # both in the one bootstrap cell — the cell join reaches the cut
+    idx_df = ix.open_semantic_index(spark, path)[0]
+    cells = {r.vec_id: r.cell for r in idx_df.collect()}
+    tree = tree_from_json(ix.read_index_meta(spark, path)["tree"])
+    inc_cell = semantic_cell_assign(inc, tree, dims=dims).collect()[0].cell
+    assert cells[0] == inc_cell
+
+    t = 16129.0 / (math.sqrt(25154.0) * 127.0)
+    at_t = ix.serve_incremental_semantic_dedup(inc, path, threshold=t, append=False)
+    assert at_t.accepted.count() == 0, "qcos == t must reject"
+    above = ix.serve_incremental_semantic_dedup(
+        inc, path, threshold=math.nextafter(t, 1.0), append=False
+    )
+    assert above.accepted.count() == 1, "qcos < t must accept"
+
+    # cross-engine: DuckDB's replay of the integer kernel (the oracle's
+    # exact expression shape) produces the bit-identical double
+    import duckdb
+
+    qa = [127] + [0] * (dims - 1)
+    qb = [127, 0, 95] + [0] * (dims - 3)
+    (duck_qcos,) = duckdb.connect().execute(
+        "SELECT list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /"
+        " (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))"
+        "  * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))",
+        {"a": qa, "b": qb},
+    ).fetchone()
+    assert duck_qcos == t
+
+
 def test_recluster_dial(spark, tmp_path):
     """Occupancy drift: cells only grow under serve; the dial flips
     once mean occupancy passes drift_factor × target_cell_size."""

@@ -678,6 +678,177 @@ def bench_incremental_embed(spark, sampler: _Sampler, label: str, d: str, passes
     }
 
 
+def bench_semantic_growing(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 3, one_shot=None
+) -> dict:
+    """VERDICT r9 #4 — the 98/2 daily-serve shape for the SEMANTIC kind,
+    completing the triad (the band/embed kinds published it in r7):
+    bootstrap the persisted cell index over the low-98% of ids ONCE,
+    then serve the 2% tail as the daily increment through the store.
+    ``one_shot`` is the comparator record — the full-corpus
+    semantic_dedup_pairs run :func:`bench_semantic` already timed at
+    this label (reused, not re-paid: it IS what you'd run daily without
+    the index).  Expected shape: serve tracks the increment
+    (assigner-tree routing + pruned bucket reads), one-shot re-pays the
+    full Lloyd + cell join every day."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    cut = emb.selectExpr(
+        "percentile_cont(0.98) WITHIN GROUP (ORDER BY vec_id) AS c"
+    ).first()["c"]
+    corpus = emb.where(F.col("vec_id") < cut)
+    increment = emb.where(F.col("vec_id") >= cut)
+    n_corpus, n_inc = corpus.count(), increment.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="inc_semgrow_")
+    try:
+        t0 = time.time()
+        meta = ix.create_semantic_index(corpus, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        inc_rec = sampler.measure(
+            lambda: ix.serve_incremental_semantic_dedup(
+                increment, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    out = {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "k": meta["k"],
+        "n_buckets": meta["n_buckets"],
+        "index_build_sec": build_sec,
+        "incremental": inc_rec,
+    }
+    if one_shot is not None:
+        out["one_shot_full_corpus"] = one_shot
+    return out
+
+
+def bench_recluster(spark, sampler: _Sampler, label: str, d: str, passes: int = 2) -> dict:
+    """VERDICT r9 #1 — serve-time recovery after forced drift: bootstrap
+    on a tiny 2% prefix (auto_k hands out a handful of cells), serve the
+    next ~98% INTO those cells (mean occupancy drifts ~50× past
+    target_cell_size — the dial fires), time a fixed 32-vector probe
+    against the drifted index, then ``recluster_semantic_index`` (one
+    Lloyd over the STORED codes, k re-sized to the grown corpus, atomic
+    swap) and re-time the SAME probe.  Expected: dial on→off, probe
+    serve drops (per-cell populations return to ~target, pruned reads
+    shrink), recluster cost ≈ one two-level Lloyd — the amortized
+    maintenance charge, not a serve-path charge."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    lo_cut = emb.selectExpr(
+        "percentile_cont(0.02) WITHIN GROUP (ORDER BY vec_id) AS c"
+    ).first()["c"]
+    probe_cut = (
+        emb.orderBy(F.col("vec_id").desc()).limit(32).agg(F.min("vec_id")).first()[0]
+    )
+    boot = emb.where(F.col("vec_id") < lo_cut)
+    grow = emb.where((F.col("vec_id") >= lo_cut) & (F.col("vec_id") < probe_cut))
+    probe = emb.where(F.col("vec_id") >= probe_cut)
+    n_boot, n_grow = boot.count(), grow.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="reclust_")
+    try:
+        ix.create_semantic_index(boot, idx_dir)
+        k_before = ix.read_index_meta(spark, idx_dir)["k"]
+        ix.serve_incremental_semantic_dedup(grow, idx_dir, threshold=0.9)  # drift
+        dial_before = ix.semantic_recluster_due(spark, idx_dir)
+        before = sampler.measure(
+            lambda: ix.serve_incremental_semantic_dedup(
+                probe, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+        t0 = time.time()
+        meta2 = ix.recluster_semantic_index(spark, idx_dir)
+        recluster_sec = round(time.time() - t0, 2)
+        dial_after = ix.semantic_recluster_due(spark, idx_dir)
+        after = sampler.measure(
+            lambda: ix.serve_incremental_semantic_dedup(
+                probe, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_bootstrap": n_boot,
+        "n_grown": n_grow,
+        "k_drifted": k_before,
+        "k_reclustered": meta2["k"],
+        "dial_before": dial_before,
+        "dial_after": dial_after,
+        "serve_drifted": before,
+        "recluster_sec": recluster_sec,
+        "serve_reclustered": after,
+    }
+
+
+def bench_ivf_store(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 2, n_queries: int = 32
+) -> dict:
+    """VERDICT r9 #2 — the persisted-IVF serve must stay flat-ish as the
+    corpus grows: create_ivf_index hashes the auto_nlist (√n) lists into
+    ≤nlist pfx buckets, and serve_ivf_topk reads ONLY the probed lists'
+    buckets (pruned_read), so a fixed query batch touches ~nprobe lists
+    of ~√n rows — sublinear in the corpus, vs the O(n) brute scan.  The
+    build column is the amortized one-time assignment cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    n = emb.count()
+    queries = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint()
+    )
+    idx_dir = tempfile.mkdtemp(prefix="ivfstore_")
+    try:
+        t0 = time.time()
+        meta = ix.create_ivf_index(emb, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        serve_rec = sampler.measure(
+            lambda: ix.serve_ivf_topk(queries, idx_dir, k=10).count(), passes
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n": n,
+        "nlist": meta["nlist"],
+        "n_buckets": meta["n_buckets"],
+        "n_queries": n_queries,
+        "index_build_sec": build_sec,
+        "serve": serve_rec,
+    }
+
+
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
@@ -762,6 +933,37 @@ def main() -> None:
             bench_semantic_partitioned(spark, sampler, "scale100", scale100_dir, passes=2)
         )
 
+    # r10 rows: semantic 98/2 daily serve (one-shot comparator reused
+    # from semantic_recs — same label order), drift->recluster recovery,
+    # and the persisted-IVF pruned serve
+    sem_grow_recs = [
+        bench_semantic_growing(
+            spark, sampler, "sf0.1", base_dir, passes=3, one_shot=semantic_recs[0]["run"]
+        ),
+        bench_semantic_growing(
+            spark, sampler, "scale10", scale_dir, passes=2, one_shot=semantic_recs[1]["run"]
+        ),
+    ]
+    if scale100_dir:
+        sem_grow_recs.append(
+            bench_semantic_growing(
+                spark, sampler, "scale100", scale100_dir, passes=1,
+                one_shot=semantic_recs[2]["run"],
+            )
+        )
+    recluster_recs = [
+        bench_recluster(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_recluster(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    ivf_store_recs = [
+        bench_ivf_store(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_ivf_store(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:
+        ivf_store_recs.append(
+            bench_ivf_store(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -813,6 +1015,25 @@ def main() -> None:
             f"semantic_dedup[{p['label']}]: n={p['n_vectors']} k={p['k']} "
             f"per_cell={p['per_cell']} pairs={p['pairs']} t={p['run']['sec_norm']}s"
         )
+    for p in sem_grow_recs:
+        one = p.get("one_shot_full_corpus")
+        print(
+            f"semantic_growing[{p['label']}]: corpus={p['n_corpus']} inc={p['n_increment']} "
+            f"k={p['k']} build={p['index_build_sec']}s serve={p['incremental']['sec_norm']}s"
+            + (f" vs one-shot {one['sec_norm']}s" if one else "")
+        )
+    for p in recluster_recs:
+        print(
+            f"recluster[{p['label']}]: boot={p['n_bootstrap']} grown={p['n_grown']} "
+            f"k {p['k_drifted']}->{p['k_reclustered']} dial {p['dial_before']}->{p['dial_after']} "
+            f"serve {p['serve_drifted']['sec_norm']}s->{p['serve_reclustered']['sec_norm']}s "
+            f"(rebuild {p['recluster_sec']}s)"
+        )
+    for p in ivf_store_recs:
+        print(
+            f"ivf_store[{p['label']}]: n={p['n']} nlist={p['nlist']} buckets={p['n_buckets']} "
+            f"build={p['index_build_sec']}s serve={p['serve']['sec_norm']}s"
+        )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -856,6 +1077,9 @@ def main() -> None:
         "semantic_partitioned": part_sem_recs,
         "ivf_indexed_auto": ivf_rec,
         "semantic_dedup": semantic_recs,
+        "semantic_growing": sem_grow_recs,
+        "recluster_recovery": recluster_recs,
+        "ivf_store": ivf_store_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
     }
