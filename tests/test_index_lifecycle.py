@@ -284,6 +284,57 @@ def test_retraction_clears_seen_store_and_survives_stream_crash(spark, tmp_path)
     assert 0 in seen  # re-recorded by the redelivery batch
 
 
+def test_retraction_stream_crash_semantic_kind(spark, tmp_path):
+    """Same mid-retract crash story on the SEMANTIC kind: the streaming
+    sink's per-batch recovery re-points at the retraction's generation,
+    the retracted vector's near-dup is accepted, and the retracted id's
+    redelivery is re-processed (seen entry purged with the data)."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_semantic_dedup,
+    )
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(DIMS)]
+    rows = [(0, base)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(DIMS)]) for i in range(1, 8)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "semidx")
+    acc = str(tmp_path / "semacc")
+
+    def run_once():
+        q = stream_incremental_semantic_dedup(
+            spark.readStream.schema(ESCHEMA).parquet(str(src) + "/*"),
+            path,
+            acc,
+            str(tmp_path / "semck"),
+            threshold=0.999,
+            k=2,
+            dims=DIMS,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows, ESCHEMA).write.parquet(str(src / "b1"))
+    run_once()
+    assert 0 in {r.vec_id for r in spark.read.parquet(acc).collect()}
+
+    ix.retract_ids(spark, path, [0])
+    os.remove(f"{path}/{ix.CURRENT_FILE}")  # crash in the flip window
+
+    # redeliver id 0 (seen purged → re-processed) plus a scaled copy of
+    # the retracted vector (data purged → accepted, where pre-retraction
+    # it would have been rejected)
+    b2 = [(0, base), (100, [x * 1.5 for x in base])]
+    spark.createDataFrame(b2, ESCHEMA).write.parquet(str(src / "b2"))
+    run_once()
+    accepted = [r.vec_id for r in spark.read.parquet(acc).collect()]
+    assert accepted.count(0) == 2
+    # within-batch policy still applies post-retraction: 0 (lower id,
+    # same content) wins, 100 rejects against it
+    assert 100 not in accepted
+
+
 def test_retract_unknown_ids_is_noop(spark, tmp_path):
     path = str(tmp_path / "idx")
     docs, _ = _band_docs(spark)
