@@ -92,7 +92,18 @@ def dequantize(q: Column, scale: Column) -> Column:
 
 def qdot(a: Column, b: Column) -> Column:
     """Integer dot product of two int8 codes, accumulated in long —
-    64 dims of ±127 products peaks at ~1e6, nowhere near overflow."""
+    64 dims of ±127 products peaks at ~1e6, nowhere near overflow.
+
+    Deliberately the ``aggregate(zip_with(...))`` HOF, including in the
+    per-PAIR join filters.  The "HOFs run interpreted, unroll to
+    GetArrayItem for codegen" rule that pays at small widths
+    (incremental._est: 16 equality terms) INVERTS at dims=64 — measured
+    r10 on the 4.6M-pair scale100 semantic serve filter: HOF 12.6 s,
+    64-term GetArrayItem chain 55.8 s, balanced-tree sum 58.6 s,
+    pre-cast-int HOF 13.5 s.  The 64-wide unrolled expression blows the
+    JIT budget while the HOF's tight specialized loop stays ~40 ns per
+    element — do not "optimize" this into indexed form without
+    re-measuring."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),

@@ -1090,6 +1090,12 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = semantic_cell_index(
             boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
         )
+        # NOT checkpointed: the grown-index subtree is recomputed inside
+        # r2's AND r2r's plans, but it is two map-only routing passes
+        # over ≤2k rows — A/B at sf0.1 (r10): checkpointing idx+grown
+        # read 15.2s vs 15.7s raw on the whole union, inside wobble
+        # (same break-even as q_corpus_curation's documented A/B:
+        # materialization ≥ recompute for cheap map passes)
         r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
         grown = idx.unionByName(r1.index_rows)
         r2 = incremental_semantic_near_dup(
