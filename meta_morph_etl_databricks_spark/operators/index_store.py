@@ -1182,9 +1182,13 @@ def recluster_semantic_index(
         & (F.size("q_vec") == dims)
         & ~F.exists("q_vec", lambda x: x.isNull())
     )
+    # lazy checkpoint: the Lloyd jobs explode ``_u`` and would re-run
+    # the shift transform per exploded element (the generator-inlining
+    # trap measured in semantic.kmeans_int8_tree — 68.5 s → 17.9 s at
+    # 196k×64); stored is already materialized, this pins the projection
     codes = stored.where(valid).select(
         id_col, F.transform("q_vec", lambda x: x.cast("long") + F.lit(127)).alias("_u")
-    )
+    ).localCheckpoint(eager=False)
     final, _, tree = _kmeans_dispatch(
         codes, k, iters, id_col, _FLAT_K_MAX if flat_k_max is None else flat_k_max
     )

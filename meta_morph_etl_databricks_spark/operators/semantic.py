@@ -557,7 +557,20 @@ def kmeans_int8_tree(
     per vector."""
     if k is None:
         k = auto_k(embeddings.count() if n_docs is None else n_docs)
-    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+    # Materialize the codes ONCE (lazy local checkpoint — first job pays
+    # it).  Every Lloyd job (seed collect, per-iteration assign+update,
+    # final assignment) explodes ``_u``, and a raw lineage re-evaluates
+    # the quantize+shift chain UNDER the generate — the O(d²)
+    # expression-inlining cousin of the quantize_int8 scale trap, paid
+    # per exploded ELEMENT.  Measured at 196k×64 (r10): the k=654
+    # two-level build dropped 68.5 s → 17.9 s with bit-identical
+    # assignments; the codes frame is n·(8+8d) bytes (~100 MB at 196k),
+    # driver-free.  Same fix applied at semantic_cell_assign (increment
+    # routing: 12.5 s → 1.4 s per 4k-vector serve pass) and
+    # recluster_semantic_index.
+    codes = _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     final, cents, tree = _kmeans_dispatch(
         codes, k, iters, id_col, _FLAT_K_MAX if flat_k_max is None else flat_k_max
     )
@@ -585,7 +598,12 @@ def semantic_cell_assign(
     (NULL / wrong-length / NULL-element / non-finite) are excluded
     exactly as :func:`_shifted_codes` excluded them from the original
     clustering: they belong to no cell and can never pair."""
-    codes = _shifted_codes(embeddings, dims, id_col, vec_col)
+    # lazy checkpoint: the assigner explode would otherwise re-evaluate
+    # the quantize chain per exploded element (see kmeans_int8_tree —
+    # measured 12.5 s → 1.4 s per 4k-vector routing pass at k1=26)
+    codes = _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     return assign_cells(codes, tree, id_col).withColumnRenamed("_cl", "cell")
 
 
