@@ -291,7 +291,7 @@ def main() -> None:
     #
     # The query is BUILT once per pass and every arm filters the same
     # frame: several builders do eager driver work at construction time
-    # (the semantic arm's Lloyd collects + checkpoint, the bucketed-arm
+    # (the sem_inc arm's bootstrap Lloyd collects, the bucketed-arm
     # table write), and rebuilding per arm attributed that shared prefix
     # to EVERY arm's number (r8's lsh variant read 5.3 s for a 0.8 s
     # plan).  Construction cost is reported separately as '_build' —

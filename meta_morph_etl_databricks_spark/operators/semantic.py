@@ -19,15 +19,17 @@ Scale shape — identical cost profile to the other dedup families:
 - pair scoring is an equi-join on cluster id: O(Σ per-cluster n²)
   instead of O(n²).  Size ``k`` to the corpus (``auto_k``) so the
   per-cluster population — and with it the quadratic term — stays
-  constant as the corpus grows; the registry query pins k=16 so its
-  oracle stays in lockstep.
+  constant as the corpus grows; the registry arms pin small k values
+  (semantic2: k=12 forced two-level; sem_inc/retract: k=8 bootstrap)
+  so their oracles stay in lockstep.
 - large k (what auto_k produces at real corpus sizes) routes through a
   two-level coarse-to-fine decomposition: flat assignment is O(n·d·k)
   and k grows with the corpus, so flat auto-k SemDeDup would be
   quadratic in n — two-level is O(n·d·2√k) (measured: 200k vectors /
-  667 cells serve in one ~250s pass where the flat kernel never
-  finished; BENCH_SCALE ``semantic_dedup`` shows time tracking pair
-  OUTPUT, 26× time for 100× corpus).
+  667 cells cluster in one pass — ~250 s when the kernel first landed
+  in r8, ~18 s after the r10 codes checkpoint — where the flat kernel
+  never finished; BENCH_SCALE ``semantic_dedup`` shows time tracking
+  pair OUTPUT, never n²).
 
 Exactness contract (what makes this oracle-checkable where MLlib
 KMeans is not): Lloyd runs entirely in INTEGER arithmetic over the
