@@ -131,6 +131,19 @@ def test_append_then_serve_finds_new_vectors(spark, emb, tmp_path):
         )
 
 
+def test_empty_corpus_degrades_to_empty_serves(spark, emb, queries, tmp_path):
+    """Drained-corpus degradation, store edition (the registry-query
+    sweep in test_degenerate.py does not reach the store): an index
+    created over zero rows serves empty results instead of raising, on
+    both codecs' query paths."""
+    path = str(tmp_path / "ivf0")
+    meta = ix.create_ivf_index(emb.limit(0), path, nlist=8)
+    assert meta["nlist"] == 0 and meta["centroids"] == []
+    got = ix.serve_ivf_topk(queries, path, k=5, nprobe=3)
+    assert got.count() == 0
+    assert {f.name for f in got.schema.fields} >= {"query_id", "vec_id", "cosine_sim"}
+
+
 def test_pointer_crash_and_retraction(spark, emb, queries, tmp_path):
     path = str(tmp_path / "ivf")
     ix.create_ivf_index(emb, path, nlist=8)
