@@ -55,54 +55,15 @@ def dedup_stream_exact(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
-def _seen_dir(live: str) -> str:
-    # underscore prefix: parquet partition discovery over the live index
-    # dir ignores it, like _SUCCESS / _index_meta.json.  ``live`` is the
-    # RESOLVED generation dir — the seen store travels with its
-    # generation (compaction re-packs it into the next one).
-    return f"{live.rstrip('/')}/_seen_ids"
-
-
-def _seen_pfx(id_col: str, n_buckets: int):
-    from pyspark.sql import functions as F
-
-    return F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
-
-
-def _filter_fresh(batch_df: DataFrame, live: str, meta: dict) -> DataFrame:
-    """Drop ids already processed by a committed batch.  The seen store
-    is an 8-bytes/doc sidecar partitioned by an id-hash prefix: the
-    batch's touched prefixes are collected (bounded by n_buckets) and
-    the anti-join reads ONLY those partitions — O(batch) per batch, vs
-    the old design's full-index distinct() scan+shuffle every trigger.
-    The id's type comes from the sidecar meta (round-8 advice: it was
-    hardcoded long here AND in the compaction rewrite)."""
-    from ..operators.index_store import _seen_schema, pruned_read
-    from ..sources.sinks import path_exists
-
-    spark = batch_df.sparkSession
-    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
-    sd = _seen_dir(live)
-    if not path_exists(spark, sd):
-        return batch_df
-    touched = [
-        r.p
-        for r in batch_df.select(_seen_pfx(id_col, n_buckets).alias("p")).distinct().collect()
-    ]
-    seen = pruned_read(spark, sd, _seen_schema(meta), touched, prefix="spfx")
-    return batch_df.join(seen.select(id_col), id_col, "left_anti")
-
-
-def _append_seen(ids_df: DataFrame, live: str, meta: dict) -> None:
-    from pyspark.sql import functions as F
-
-    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
-    (
-        ids_df.select(F.col(id_col), _seen_pfx(id_col, n_buckets).alias("spfx"))
-        .write.mode("append")
-        .partitionBy("spfx")
-        .parquet(_seen_dir(live))
-    )
+# The seen-store convention (partition prefix, directory name, fresh
+# filter, commit-marker append) lives in operators/index_store next to
+# the other pfx conventions (round-10 advice: recluster_semantic_index
+# inlined the prefix expression; one definition now serves the sinks,
+# the batch IVF ingest, and the rebuild re-packs).  These aliases keep
+# this module's historical names for callers and tests.
+from ..operators.index_store import _seen_dir, _seen_pfx  # noqa: F401
+from ..operators.index_store import append_seen_ids as _append_seen
+from ..operators.index_store import seen_filter_fresh as _filter_fresh
 
 
 def stream_incremental_dedup(
@@ -223,6 +184,7 @@ def stream_incremental_dedup(
         # long-running stream must not accumulate caches.
         from pyspark.sql import functions as F
 
+        tombs = ix._tombstone_list(spark, live)
         fresh = _filter_fresh(batch_df, live, meta).persist()
         if fresh.isEmpty():
             fresh.unpersist()
@@ -234,7 +196,10 @@ def stream_incremental_dedup(
         )
         try:
             touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
-            index = ix.pruned_read(spark, live, ix._band_schema(meta), touched)
+            index = ix._minus_tombstones(
+                spark, live, meta,
+                ix.pruned_read(spark, live, ix._band_schema(meta), touched), tombs,
+            )
             res = incremental_dedup(
                 fresh,
                 index.drop("pfx"),
@@ -248,6 +213,13 @@ def stream_incremental_dedup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             banded.write.mode("append").partitionBy("pfx").parquet(live)
+            # re-ingested takedown ids become servable again — cleared
+            # BEFORE the seen marker so a crash between the two replays
+            # the batch (full-row dups) instead of stranding re-accepted
+            # content behind its own tombstone
+            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+            if back:
+                ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
@@ -359,6 +331,7 @@ def stream_incremental_semantic_dedup(
         nb = meta["n_buckets"]
         tree = tree_from_json(meta["tree"])
 
+        tombs = ix._tombstone_list(spark, live)
         fresh = _filter_fresh(batch_df, live, meta).persist()
         if fresh.isEmpty():
             fresh.unpersist()
@@ -376,7 +349,10 @@ def stream_incremental_semantic_dedup(
                 .distinct()
                 .collect()
             ]
-            index = ix.pruned_read(spark, live, ix._sem_schema(meta), touched)
+            index = ix._minus_tombstones(
+                spark, live, meta,
+                ix.pruned_read(spark, live, ix._sem_schema(meta), touched), tombs,
+            )
             res = incremental_semantic_near_dup(
                 fresh,
                 index.drop("pfx"),
@@ -390,7 +366,20 @@ def stream_incremental_semantic_dedup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            # counter bump BEFORE the seen marker: a crash in between
+            # replays the batch, physically re-appending rows while the
+            # counter was already bumped once, so meta['rows'] UNDER-
+            # counts physical rows until the next compact/recluster
+            # recount (round-10 advice) — acceptable for a drift
+            # heuristic: the dial fires LATE, never spuriously, and
+            # compact_every bounds the drift window.  (Bump-after-seen
+            # would overcount on the mirror-image crash — same class.)
             meta = ix._bump_rows(spark, live, meta, new_rows.count())
+            # re-ingested takedown ids become servable again — cleared
+            # BEFORE the seen marker (see stream_incremental_dedup)
+            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+            if back:
+                ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
@@ -499,6 +488,7 @@ def stream_incremental_embed_near_dup(
             ix._check_id_type(batch_df, meta, index_path)
         nb = meta["n_buckets"]
 
+        tombs = ix._tombstone_list(spark, live)
         fresh = _filter_fresh(batch_df, live, meta).persist()
         if fresh.isEmpty():
             fresh.unpersist()
@@ -518,7 +508,10 @@ def stream_incremental_embed_near_dup(
                 .distinct()
                 .collect()
             ]
-            index = ix.pruned_read(spark, live, ix._embed_schema(meta), touched)
+            index = ix._minus_tombstones(
+                spark, live, meta,
+                ix.pruned_read(spark, live, ix._embed_schema(meta), touched), tombs,
+            )
             res = incremental_embed_near_dup(
                 fresh,
                 index.drop("pfx"),
@@ -533,6 +526,11 @@ def stream_incremental_embed_near_dup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            # re-ingested takedown ids become servable again — cleared
+            # BEFORE the seen marker (see stream_incremental_dedup)
+            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+            if back:
+                ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path)
