@@ -1761,9 +1761,23 @@ def append_ivf_vectors(
             new_embeddings.unpersist()
             return
     try:
-        assign = ivf_index(
-            new_embeddings, _ivf_centroids_from_meta(meta), id_col, vec_col, method="auto"
-        )
+        if not meta["centroids"] and meta["codec"] == "float":
+            # EMPTY bootstrap codebook: the assignment kernel returns
+            # zero rows for it, which would silently DROP the ingest.
+            # Park the vectors in the NULL list instead (NULL pfx —
+            # never probed, zero serve IO) so they are retained but
+            # unservable until the first retrain_ivf_index gives the
+            # index a codebook (ivf_retrain_due reports due).
+            assign = new_embeddings.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(None).cast("long").alias("centroid_id"),
+                F.lit(0.0).alias("_n"),
+            )
+        else:
+            assign = ivf_index(
+                new_embeddings, _ivf_centroids_from_meta(meta), id_col, vec_col, method="auto"
+            )
         if meta["codec"] == "pq":
             codes = quantize_int8(assign, vec_col).select(id_col, "centroid_id", "q_vec")
             rows = pq_encode(
@@ -2000,14 +2014,17 @@ def retrain_ivf_index(
     n = stored.count()
     if nlist is None:
         nlist = auto_nlist(n)
-    if embeddings is not None:
-        _check_id_type(embeddings, meta, path)
-        vecs = embeddings.select(id_col, vec_col)
-    elif meta["codec"] == "pq":
-        vecs = stored.select(
-            id_col, F.expr(_pq_decode_sql(meta["pq"]["codebooks"])).alias(vec_col)
-        )
+    if meta["codec"] == "pq":
+        if embeddings is not None:
+            _check_id_type(embeddings, meta, path)
+            vecs = embeddings.select(id_col, vec_col)
+        else:
+            vecs = stored.select(
+                id_col, F.expr(_pq_decode_sql(meta["pq"]["codebooks"])).alias(vec_col)
+            )
     else:
+        # float codec stores the exact vectors — an external source
+        # could only disagree with them, so it is ignored by design
         vecs = stored.select(id_col, vec_col)
     centroids = ivf_centroids(vecs, nlist, id_col, vec_col)
     if meta["codec"] == "pq":

@@ -165,3 +165,96 @@ def test_pointer_crash_and_retraction(spark, emb, queries, tmp_path):
     # compaction works on the kind (schema registry covers it)
     ix.compact_index(spark, path)
     assert len(_rows(ix.serve_ivf_topk(queries, path, k=5, nprobe=3))) == len(base)
+
+
+def test_retrain_matches_fresh_bootstrap_float(spark, emb, queries, tmp_path):
+    """The IVF parity contract (float codec): retrain over the index's
+    own stored vectors ≡ create_ivf_index over the full corpus at the
+    same dials — identical codebook, n_buckets, counters, and serve
+    results (same deterministic lowest-id seed rule, same assignment
+    kernel, exact vectors stored so no corpus re-read is needed)."""
+    pa = str(tmp_path / "grown")
+    ix.create_ivf_index(emb.where("vec_id < 60"), pa, nlist=7)
+    ix.append_ivf_vectors(emb.where("vec_id >= 60"), pa)
+    meta_a = ix.retrain_ivf_index(spark, pa)
+
+    pb = str(tmp_path / "fresh")
+    meta_b = ix.create_ivf_index(emb, pb)  # auto_nlist(120) = 16 floor
+    for key in ("nlist", "centroids", "n_buckets", "rows", "bootstrap_rows"):
+        assert meta_a[key] == meta_b[key], key
+    got = _rows(ix.serve_ivf_topk(queries, pa, k=5, nprobe=3))
+    want = _rows(ix.serve_ivf_topk(queries, pb, k=5, nprobe=3))
+    assert got == want and len(got) == 5 * queries.count()
+
+
+def test_retrain_dial_fires_and_clears(spark, emb, tmp_path):
+    """Growth dial story: appends past drift_factor²× the codebook's
+    √-rule capacity fire the dial; retrain re-sizes nlist to the grown
+    corpus and the dial clears.  The counter survives crash-lossy
+    _rows deletion by degrading to the sidecar count (late, not
+    wrong)."""
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb.where("vec_id < 20"), path, nlist=4)
+    assert not ix.ivf_retrain_due(spark, path, drift_factor=2.0)  # 20 < 64
+    ix.append_ivf_vectors(emb.where("vec_id >= 20"), path)
+    assert ix.read_index_meta(spark, path)["rows"] == 120
+    assert ix.ivf_retrain_due(spark, path, drift_factor=2.0)  # 120 > 64
+    meta = ix.retrain_ivf_index(spark, path)
+    assert meta["nlist"] == 16 and meta["rows"] == 120  # auto_nlist floor
+    assert not ix.ivf_retrain_due(spark, path, drift_factor=2.0)
+    with pytest.raises(ValueError, match="no IVF index"):
+        ix.ivf_retrain_due(spark, str(tmp_path / "nope"))
+
+
+def test_retrain_pq_from_stored_codes(spark, emb, queries, tmp_path):
+    """PQ codec retrain without the corpus: the coarse codebook is
+    re-trained over RECONSTRUCTED vectors, stored codes stay valid
+    (only list membership changes), and the serve keeps finding every
+    vector's own top-1 — recall preserved, PQ codebooks untouched."""
+    path = str(tmp_path / "ivfpq")
+    boot = ix.create_ivf_index(
+        emb.where("vec_id < 60"), path, nlist=4, codec="pq", m=4, ksub=8
+    )
+    ix.append_ivf_vectors(emb.where("vec_id >= 60"), path)
+    meta = ix.retrain_ivf_index(spark, path)
+    assert meta["nlist"] == 16 and meta["codec"] == "pq"
+    assert meta["pq"]["codebooks"] == boot["pq"]["codebooks"]  # codes kept
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ix.serve_ivf_topk(q, path, k=1, nprobe=16, rerank_embeddings=emb)
+    assert sorted((r.query_id, r.vec_id) for r in got.collect()) == [
+        (i, i) for i in range(120)
+    ]
+
+
+def test_append_dedupe_redelivery(spark, emb, tmp_path):
+    """The optional idempotent-ingest contract (round-10 advice: the
+    default single-writer/no-redelivery path was implicit): a retried
+    append with dedupe_redelivery=True is a no-op — no duplicate rows,
+    so no top-k slot is double-occupied."""
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb.where("vec_id < 100"), path, nlist=8)
+    inc = emb.where("vec_id >= 100")
+    ix.append_ivf_vectors(inc, path, dedupe_redelivery=True)
+    ix.append_ivf_vectors(inc, path, dedupe_redelivery=True)  # redelivery
+    df, meta = ix.open_ivf_index(spark, path)
+    assert df.count() == 120 and meta["rows"] == 120
+    got = ix.serve_ivf_topk(
+        inc.select(F.col("vec_id").alias("query_id"), "embedding"), path, k=2, nprobe=3
+    )
+    pairs = [(r.query_id, r.vec_id) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))  # no duplicate neighbor slots
+
+
+def test_empty_bootstrap_heals_via_retrain(spark, emb, queries, tmp_path):
+    """An index created over zero rows (empty codebook, zero lists)
+    reports retrain-due as soon as rows arrive; the retrain gives it a
+    real codebook and the serve comes alive."""
+    path = str(tmp_path / "ivf0")
+    ix.create_ivf_index(emb.limit(0), path, nlist=8)
+    assert not ix.ivf_retrain_due(spark, path)  # nothing there yet
+    ix.append_ivf_vectors(emb, path)
+    assert ix.ivf_retrain_due(spark, path)  # any rows beat zero lists
+    meta = ix.retrain_ivf_index(spark, path)
+    assert meta["nlist"] == 16
+    got = ix.serve_ivf_topk(queries, path, k=5, nprobe=3)
+    assert got.count() == 5 * queries.count()

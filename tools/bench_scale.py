@@ -849,6 +849,154 @@ def bench_ivf_store(
     }
 
 
+def bench_takedown(spark, sampler: _Sampler, label: str, d: str, n_ids: int = 16, passes: int = 2) -> dict:
+    """r11 — O(ids) tombstone takedown vs the O(index) physical
+    rewrite, across corpus scale: build the embedding bucket index
+    once, time ``tombstone_ids`` over n_ids (expected: flat
+    driver-side milliseconds at any corpus — one atomic JSON-sidecar
+    replace), measure the serve-side cost of pending tombstones (a
+    broadcast anti-join on the pruned read) against the clean serve,
+    then time ``retract_ids`` over a disjoint n_ids (expected: grows
+    with the corpus — a full generational rewrite; it also reaps the
+    pending tombstones).  The ratio column the takedown design note
+    asked for: tombstone stays flat while retract scales with rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    n = emb.count()
+    low = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(2 * n_ids).collect()]
+    ids_tomb, ids_retract = low[:n_ids], low[n_ids:]
+    probe_cut = (
+        emb.orderBy(F.col("vec_id").desc()).limit(64).agg(F.min("vec_id")).first()[0]
+    )
+    probe = emb.where(F.col("vec_id") >= probe_cut)
+    idx_dir = tempfile.mkdtemp(prefix="takedown_")
+    try:
+        t0 = time.time()
+        ix.create_embedding_index(emb.where(F.col("vec_id") < probe_cut), idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        serve_clean = sampler.measure(
+            lambda: ix.serve_incremental_embed_near_dup(
+                probe, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+        t0 = time.time()
+        ix.tombstone_ids(spark, idx_dir, ids_tomb)
+        tombstone_sec = round(time.time() - t0, 3)
+        serve_tombstoned = sampler.measure(
+            lambda: ix.serve_incremental_embed_near_dup(
+                probe, idx_dir, threshold=0.9, append=False
+            ).accepted.count(),
+            passes,
+        )
+        t0 = time.time()
+        ix.retract_ids(spark, idx_dir, ids_retract)
+        retract_sec = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n": n,
+        "n_ids": n_ids,
+        "index_build_sec": build_sec,
+        "serve_clean": serve_clean,
+        "tombstone_sec": tombstone_sec,
+        "serve_tombstoned": serve_tombstoned,
+        "retract_sec": retract_sec,
+    }
+
+
+def bench_ivf_retrain(spark, sampler: _Sampler, label: str, d: str, passes: int = 2, fixed_nprobe: int = 8) -> dict:
+    """r11 — the IVF growth story the r10 verdict flagged ("no drift
+    dial or retrain"): bootstrap on a 10% prefix (nlist = √(n/10)),
+    append the other 90% against the FROZEN codebook (per-list
+    population grows √10× past the √ rule), then retrain-and-swap.
+    Measured at a FIXED nprobe budget (the auto dial is a list-space
+    FRACTION, which hides the damage: frac·n rows scanned regardless
+    of nlist): with nlist √10× too small, nprobe=8 lists hold √10×
+    the rows — after retrain the same 8-list budget scans √10× fewer
+    rows at comparable recall.  recall@10 vs brute force on 20 queries
+    confirms the scan-cost drop is not paid in quality."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.operators.similarity import cosine_topk
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    lo_cut = emb.selectExpr(
+        "percentile_cont(0.10) WITHIN GROUP (ORDER BY vec_id) AS c"
+    ).first()["c"]
+    queries = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint()
+    )
+    idx_dir = tempfile.mkdtemp(prefix="ivfretrain_")
+    try:
+        ix.create_ivf_index(emb.where(F.col("vec_id") < lo_cut), idx_dir)
+        ix.append_ivf_vectors(emb.where(F.col("vec_id") >= lo_cut), idx_dir)
+        meta1 = ix.read_index_meta(spark, idx_dir)
+        dial_before = ix.ivf_retrain_due(spark, idx_dir)
+
+        def topk_sets(df):
+            out: dict[int, set] = {}
+            for r in df.select("query_id", "vec_id").collect():
+                out.setdefault(r.query_id, set()).add(r.vec_id)
+            return out
+
+        truth = topk_sets(cosine_topk(emb, queries, k=10, exclude_self=True))
+
+        def recall_of(df) -> float:
+            got = topk_sets(df)
+            per_q = [
+                len(got.get(qid, set()) & ids) / max(len(ids), 1)
+                for qid, ids in truth.items()
+            ]
+            return round(sum(per_q) / max(len(per_q), 1), 4)
+
+        def serve():
+            return ix.serve_ivf_topk(
+                queries, idx_dir, k=10, nprobe=fixed_nprobe, exclude_self=True
+            )
+
+        before = sampler.measure(lambda: serve().count(), passes)
+        recall_before = recall_of(serve())
+        t0 = time.time()
+        meta2 = ix.retrain_ivf_index(spark, idx_dir)
+        retrain_sec = round(time.time() - t0, 2)
+        dial_after = ix.ivf_retrain_due(spark, idx_dir)
+        after = sampler.measure(lambda: serve().count(), passes)
+        recall_after = recall_of(serve())
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n": meta2["rows"],
+        "nlist_frozen": meta1["nlist"],
+        "nlist_retrained": meta2["nlist"],
+        "fixed_nprobe": fixed_nprobe,
+        "dial_before": dial_before,
+        "dial_after": dial_after,
+        "serve_frozen": before,
+        "retrain_sec": retrain_sec,
+        "serve_retrained": after,
+        "recall_frozen": recall_before,
+        "recall_retrained": recall_after,
+    }
+
+
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
@@ -964,6 +1112,17 @@ def main() -> None:
             bench_ivf_store(spark, sampler, "scale100", scale100_dir, passes=1)
         )
 
+    # r11 rows: O(ids) tombstone takedown vs O(index) retract, and the
+    # IVF frozen-codebook drift -> retrain recovery
+    takedown_recs = [
+        bench_takedown(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_takedown(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    ivf_retrain_recs = [
+        bench_ivf_retrain(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_ivf_retrain(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -1034,6 +1193,19 @@ def main() -> None:
             f"ivf_store[{p['label']}]: n={p['n']} nlist={p['nlist']} buckets={p['n_buckets']} "
             f"build={p['index_build_sec']}s serve={p['serve']['sec_norm']}s"
         )
+    for p in takedown_recs:
+        print(
+            f"takedown[{p['label']}]: n={p['n']} ids={p['n_ids']} "
+            f"tombstone={p['tombstone_sec']}s retract={p['retract_sec']}s "
+            f"serve {p['serve_clean']['sec_norm']}s->{p['serve_tombstoned']['sec_norm']}s w/ pending"
+        )
+    for p in ivf_retrain_recs:
+        print(
+            f"ivf_retrain[{p['label']}]: n={p['n']} nlist {p['nlist_frozen']}->{p['nlist_retrained']} "
+            f"dial {p['dial_before']}->{p['dial_after']} "
+            f"serve@nprobe={p['fixed_nprobe']} {p['serve_frozen']['sec_norm']}s->{p['serve_retrained']['sec_norm']}s "
+            f"recall {p['recall_frozen']}->{p['recall_retrained']} (retrain {p['retrain_sec']}s)"
+        )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -1080,6 +1252,8 @@ def main() -> None:
         "semantic_growing": sem_grow_recs,
         "recluster_recovery": recluster_recs,
         "ivf_store": ivf_store_recs,
+        "takedown": takedown_recs,
+        "ivf_retrain": ivf_retrain_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
     }
