@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import json
 import math
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -285,6 +287,118 @@ def _new_generation(spark: SparkSession, root: str) -> str:
     return f"{_GEN_PREFIX}{nxt:07d}"
 
 
+WRITER_LOCK_SUFFIX = "__writer_lock"
+
+
+@contextmanager
+def writer_lock(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    retries: int = 0,
+    retry_interval_sec: float = 1.0,
+):
+    """ENFORCE the single-writer index slot (round-10 verdict task 3).
+
+    Every generation-writing op (create/init/migrate, compact, retract,
+    recluster, retrain, tombstone) runs its whole body — including its
+    leading :func:`recover_compaction` — inside this lock; before it,
+    the single-writer rule was docstring convention only, and two
+    concurrent writers could both pass recovery and race
+    :func:`_new_generation` into interleaved half-generations.  Readers
+    stay lock-free (the pointer protocol already gives them atomic
+    snapshots); plain appends stay lock-free too — they are the
+    streaming sink's per-trigger hot path and the sink IS the single
+    appender by contract (``append_ivf_vectors`` docstring).
+
+    Mechanics: the lock is an atomically-created marker file at
+    ``<root>__writer_lock`` — a SIBLING of the index root, not inside
+    it, so :func:`migrate_index`'s rename-the-root-aside and the debris
+    reaper never touch it (same placement as ``merge_upsert``'s
+    ``__lock``, sources/sinks.py).  The marker body records the op name
+    and acquire time for operators staring at a stuck slot.  Release is
+    in ``finally`` — an exception inside the op frees the slot (its
+    half-built generation is debris the next writer's recovery reaps);
+    only a hard process kill leaves the lock behind, and then the next
+    writer FAILS LOUDLY naming :func:`break_writer_lock` rather than
+    corrupting the slot.  ``retries``: the loser polls and re-tries, so
+    concurrent maintenance ops serialize instead of failing."""
+    from ..sources.sinks import _hadoop_fs, _try_acquire_lock
+
+    root = path.rstrip("/")
+    lock_path = f"{root}{WRITER_LOCK_SUFFIX}"
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    lock = path_cls(lock_path)
+    acquired = False
+    for attempt in range(retries + 1):
+        if _try_acquire_lock(fs, lock):
+            acquired = True
+            break
+        if attempt < retries:
+            time.sleep(retry_interval_sec)
+    if not acquired:
+        raise IOError(
+            f"{op}: {lock_path} exists — another writer holds the index's "
+            "single-writer slot (or a previous writer was hard-killed; run "
+            "break_writer_lock() after confirming it is dead, or pass "
+            "lock_retries to wait for the holder)"
+        )
+    try:
+        # best-effort breadcrumb for operators; losing it to a crash
+        # costs nothing (the empty marker still locks)
+        try:
+            _write_small_file(
+                spark, lock_path, json.dumps({"op": op, "acquired_unix": time.time()})
+            )
+        except Exception:
+            pass
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
+def _locked_writer(fn):
+    """Decorator enforcing :func:`writer_lock` around a generation-
+    writing op.  The op's first parameter supplies the SparkSession
+    (directly, or via ``.sparkSession`` on a DataFrame for the
+    ``create_*`` builders), its second is the index root.  Every
+    decorated op gains keyword-only ``lock_retries`` /
+    ``lock_retry_interval_sec`` so concurrent maintenance can choose to
+    serialize instead of failing fast."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(
+        *args,
+        lock_retries: int = 0,
+        lock_retry_interval_sec: float = 1.0,
+        **kwargs,
+    ):
+        first = args[0]
+        spark = first if isinstance(first, SparkSession) else first.sparkSession
+        path = args[1] if len(args) > 1 else kwargs["path"]
+        with writer_lock(
+            spark, path, fn.__name__, lock_retries, lock_retry_interval_sec
+        ):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def break_writer_lock(spark: SparkSession, path: str) -> bool:
+    """Operator-grade recovery from a hard-killed writer: remove the
+    ``__writer_lock`` marker so the next writer can take the slot.
+    Returns whether a lock existed.  ONLY safe after confirming the
+    previous holder is dead — the half-built generation it left behind
+    is reaped by the next writer's :func:`recover_compaction`, so no
+    further cleanup is needed."""
+    from ..sources.sinks import _hadoop_fs
+
+    root = path.rstrip("/")
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    return bool(fs.delete(path_cls(f"{root}{WRITER_LOCK_SUFFIX}"), False))
+
+
 def _reject_legacy_for_write(spark: SparkSession, root: str) -> None:
     """create_* over a LEGACY flat index must not interleave generation
     dirs with the flat data (the stale root sidecar would hijack the
@@ -298,6 +412,7 @@ def _reject_legacy_for_write(spark: SparkSession, root: str) -> None:
         )
 
 
+@_locked_writer
 def init_index(spark: SparkSession, path: str, meta: dict) -> str:
     """Bootstrap an EMPTY index at ``path`` in the generation layout:
     create the first generation with only the meta sidecar and point
@@ -324,6 +439,7 @@ def _finish_generation(spark: SparkSession, root: str, gen: str, meta: dict) -> 
     _install_pointer(spark, root, gen)
 
 
+@_locked_writer
 def migrate_index(spark: SparkSession, path: str) -> str:
     """Move a legacy FLAT index (data directly under root) into the
     generation layout so compaction/rebuild get the reader-atomic
@@ -605,6 +721,7 @@ def _minus_tombstones(
     return df.join(F.broadcast(_ids_df(spark, meta, tombs)), meta["id_col"], "left_anti")
 
 
+@_locked_writer
 def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
     """O(ids) takedown: hide ``ids`` from every serve/open NOW (the
     legal requirement), defer the physical rewrite to the next
@@ -620,8 +737,8 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
     clears the id's tombstone, making the re-accepted content servable
     again.  Crash-safe: the sidecar is replaced atomically
     (:func:`_replace_small_file`); a crash loses at worst the
-    in-flight update, never yields a torn list.  Single-writer, same
-    slot as compaction."""
+    in-flight update, never yields a torn list.  Single-writer slot
+    ENFORCED via :func:`writer_lock` (r11), shared with compaction."""
     recover_compaction(spark, path)  # writer entry point
     root = path.rstrip("/")
     live, meta = live_index(spark, root)
@@ -713,6 +830,7 @@ def pruned_read(
 
 
 # --------------------------------------------------------- band index
+@_locked_writer
 def create_band_index(
     docs: DataFrame,
     path: str,
@@ -968,6 +1086,7 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
     return "finished" if removed else state
 
 
+@_locked_writer
 def compact_index(spark: SparkSession, path: str) -> None:
     """Rewrite an index into one file per bucket, dropping duplicate
     rows.  Appends add O(touched) small files per increment and
@@ -988,8 +1107,11 @@ def compact_index(spark: SparkSession, path: str) -> None:
     two-rename swap had a no-live-directory window).  A crash at any
     point leaves the pointer on a complete generation;
     :func:`recover_compaction` (run first, and by every streaming batch)
-    deletes the debris.  Still not safe under concurrent WRITERS — run
-    it where the appender runs (e.g. between streaming triggers).
+    deletes the debris.  Concurrent MAINTENANCE writers are serialized
+    by :func:`writer_lock` (r11 — before it, single-writer was
+    convention only); plain appends stay lock-free, so still run
+    compaction where the appender runs (e.g. between streaming
+    triggers) or rely on the in-sink ``compact_every`` path.
 
     Legacy flat indexes must :func:`migrate_index` first — the pointer
     protocol needs the generation layout."""
@@ -1046,6 +1168,7 @@ def compact_index(spark: SparkSession, path: str) -> None:
 
 
 # ---------------------------------------------------- embedding index
+@_locked_writer
 def create_embedding_index(
     embeddings: DataFrame,
     path: str,
@@ -1185,6 +1308,7 @@ def serve_incremental_embed_near_dup(
 
 
 # ----------------------------------------------------- semantic index
+@_locked_writer
 def create_semantic_index(
     embeddings: DataFrame,
     path: str,
@@ -1384,6 +1508,7 @@ def semantic_recluster_due(spark: SparkSession, path: str, drift_factor: float =
     return rows / max(meta["k"], 1) > drift_factor * meta["target_cell_size"]
 
 
+@_locked_writer
 def recluster_semantic_index(
     spark: SparkSession,
     path: str,
@@ -1416,9 +1541,10 @@ def recluster_semantic_index(
     decisions are bit-identical to ``create_semantic_index`` over the
     full corpus at the same dials.  Crash-safe like compaction: a crash
     anywhere leaves the pointer on the old complete generation and
-    :func:`recover_compaction` reaps the debris.  Single-writer, same
-    slot as compaction (the semantic streaming sink's
-    ``recluster_when_due`` runs it between triggers).
+    :func:`recover_compaction` reaps the debris.  Single-writer slot
+    ENFORCED via :func:`writer_lock` (r11; the semantic streaming
+    sink's ``recluster_when_due`` runs it between triggers with
+    ``lock_retries`` so it serializes behind external maintenance).
 
     Corrupt history (NULL-cell rows: NULL / wrong-length / null-element
     codes) is carried over unchanged — still NULL cell, NULL pfx, zero
@@ -1522,6 +1648,7 @@ def recluster_semantic_index(
     return new_meta
 
 
+@_locked_writer
 def retract_ids(spark: SparkSession, path: str, ids: list) -> int:
     """Takedown across every index kind: remove ALL trace of ``ids`` —
     index rows AND seen-sidecar entries — by writing generation N+1
@@ -1545,7 +1672,8 @@ def retract_ids(spark: SparkSession, path: str, ids: list) -> int:
     EXISTING pfx — rows keep their buckets, only membership changes).
     Crash-safe exactly like compaction: meta lands last, the flip is
     atomic, :func:`recover_compaction` reaps a half-built generation.
-    Single-writer, same slot as compaction."""
+    Single-writer slot ENFORCED via :func:`writer_lock` (r11), shared
+    with compaction."""
     from ..sources.sinks import _hadoop_fs
 
     recover_compaction(spark, path)  # writer entry point
@@ -1608,6 +1736,7 @@ def _ivf_centroids_from_meta(meta: dict) -> list[tuple[int, list[float]]]:
     return [(int(cid), [float(x) for x in mv]) for cid, mv in meta["centroids"]]
 
 
+@_locked_writer
 def create_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -1955,6 +2084,7 @@ def ivf_retrain_due(spark: SparkSession, path: str, drift_factor: float = 2.0) -
     return rows > (drift_factor * nlist) ** 2
 
 
+@_locked_writer
 def retrain_ivf_index(
     spark: SparkSession,
     path: str,
@@ -1967,7 +2097,8 @@ def retrain_ivf_index(
     :func:`recluster_semantic_index`, built on the same generation
     protocol (new codebook + rows into gen N+1, meta LAST, one atomic
     pointer flip; crash debris reaped by :func:`recover_compaction`;
-    single-writer, same slot as compaction).  Re-sizes ``nlist`` via
+    single-writer slot enforced via :func:`writer_lock`, r11).
+    Re-sizes ``nlist`` via
     ``auto_nlist`` (√n) and ``n_buckets`` via ``auto_index_buckets``
     over the CURRENT row count (pass explicit values to pin); pending
     tombstones and replay-duplicate rows are reaped by the rewrite.

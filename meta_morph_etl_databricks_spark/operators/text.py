@@ -283,25 +283,27 @@ def repetition_profile(
 #   typed as an address, not left for a weaker rule;
 # - ssn before card/phones: 3-2-4 dashed digits are fully structured
 #   and disjoint from phone_dashed's 3-3-4 by the middle width;
-# - card (a plain 13–16 digit run — the common contiguous-PAN shape;
-#   separator-grouped PANs need optional-separator groups whose
-#   backtracking order is NOT in the proven common subset, so they are
-#   deliberately out) before phones: a 13+ digit run must not have its
-#   first 14 digits eaten as an overlong intl phone.  The reverse trade
-#   is accepted: a '+' followed by a 13–16 digit run (an intl phone at
-#   E.164's upper widths) is classified as CARD — the run matches
-#   card's \b\d{13,16}\b first and the '+' stays in the clear.  Kind
-#   misattribution only: the digits are still redacted, both engine and
-#   oracle share the order, and 13+-digit E.164 numbers are rare next
-#   to contiguous PANs (fixture row 15 pins the choice);
-# - the two phone shapes last — the least structured digit patterns.
+# - phone_intl before card (r11, closing the round-10 precedence
+#   misattribution): the '+' ANCHOR makes the reorder safe — a bare
+#   13–16 digit run has no '+' and cannot be touched by phone_intl, so
+#   card still gets every contiguous PAN; but a '+'-prefixed run is
+#   strong phone evidence and now wins.  The width runs to 16 (past
+#   E.164's 15) deliberately: a '+' followed by a PAN-width digit run
+#   should be typed as an over-long intl phone, with the '+' consumed,
+#   not leave the '+' in the clear and the digits typed card (the r10
+#   trade, reversed here — fixture row 15 pins the flip on BOTH
+#   engines).  card itself stays a plain 13–16 digit run — the common
+#   contiguous-PAN shape; separator-grouped PANs need optional-
+#   separator groups whose backtracking order is NOT in the proven
+#   common subset, so they are deliberately out;
+# - the dashed phone shape last — the least structured digit pattern.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv6": r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}\b",  # full 8-group form
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",        # fixed 3-2-4: no elasticity
+    "phone_intl": r"\+\d{7,16}\b",          # E.164-ish + PAN-width: one quantifier
     "card": r"\b\d{13,16}\b",               # contiguous PAN digit run
-    "phone_intl": r"\+\d{7,14}\b",          # E.164-ish: rigid, one quantifier
     "phone_dashed": r"\b\d{3}-\d{3}-\d{4}\b",  # fixed widths: no elasticity
 }
 

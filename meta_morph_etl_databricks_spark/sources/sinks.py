@@ -306,10 +306,11 @@ def merge_upsert_transactional(
     source rows insert, unmatched target rows survive.
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
-    and 6) and 2026-08-15 (rounds 7 through 10): ``pip download
-    delta-spark`` → "No matching distribution found" (the index host is
-    unreachable / returns no versions — no package network); ``import
-    delta`` → ModuleNotFoundError; filesystem-wide search for
+    and 6), 2026-08-15 (rounds 7 through 10) and 2026-08-16 (round
+    11): ``pip download delta-spark`` → "No matching distribution
+    found" (the index host is unreachable / returns no versions — no
+    package network); ``import delta`` → ModuleNotFoundError;
+    filesystem-wide search for
     ``delta-{spark,core,storage}*.jar`` / a vendored wheel / an ivy
     cache (``~/.ivy2``, ``~/.m2``) → nothing; zero delta jars under
     pyspark/jars, so neither pip nor ``spark.jars.packages`` can fetch

@@ -222,7 +222,7 @@ def stream_incremental_dedup(
                 ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path)
+                ix.compact_index(spark, index_path, lock_retries=60)
         finally:
             banded.unpersist()
             fresh.unpersist()
@@ -382,14 +382,14 @@ def stream_incremental_semantic_dedup(
                 ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path)
+                ix.compact_index(spark, index_path, lock_retries=60)
             if recluster_when_due and ix.semantic_recluster_due(
                 spark, index_path, drift_factor
             ):
                 # BETWEEN-triggers writer slot, same as compaction: the
                 # rebuild-and-swap runs with no appender live, and the
                 # next batch resolves the new generation's tree/meta
-                ix.recluster_semantic_index(spark, index_path)
+                ix.recluster_semantic_index(spark, index_path, lock_retries=60)
         finally:
             new_rows.unpersist()
             fresh.unpersist()
@@ -533,7 +533,7 @@ def stream_incremental_embed_near_dup(
                 ix.clear_tombstones(spark, live, back)
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path)
+                ix.compact_index(spark, index_path, lock_retries=60)
         finally:
             new_rows.unpersist()
             fresh.unpersist()

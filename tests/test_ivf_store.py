@@ -258,3 +258,67 @@ def test_empty_bootstrap_heals_via_retrain(spark, emb, queries, tmp_path):
     assert meta["nlist"] == 16
     got = ix.serve_ivf_topk(queries, path, k=5, nprobe=3)
     assert got.count() == 5 * queries.count()
+
+
+def test_serve_hot_list_plan_is_broadcast_and_correct(spark, tmp_path):
+    """Hot-LIST skew guard (round-10 verdict task 5): with 90% of the
+    corpus in ONE inverted list (bootstrap codebook frozen on a uniform
+    slice, then a tight cluster appended), the serve must not hand the
+    hot list to a shuffle join — the probe side (queries×nprobe rows)
+    is BROADCAST, so the hot list streams through file-split
+    parallelism and no single task owns 90% of the rows.  The plan is
+    the guard; tools/bench_scale.bench_ivf_hot_skew measures the
+    scan-cost recovery via retrain at scale."""
+    rng = random.Random(5)
+    uniform = [(i, [rng.uniform(-1, 1) for _ in range(DIMS)]) for i in range(24)]
+    anchor = uniform[0][1]
+    hot = [
+        (100 + i, [a + 0.01 * rng.uniform(-1, 1) for a in anchor]) for i in range(216)
+    ]
+    u_df = spark.createDataFrame(uniform, SCHEMA)
+    h_df = spark.createDataFrame(hot, SCHEMA)
+    path = str(tmp_path / "ivfhot")
+    ix.create_ivf_index(u_df, path, nlist=8)
+    ix.append_ivf_vectors(h_df, path)
+
+    # the plant worked: one list holds >=85% of the corpus
+    live, meta = ix.live_index(spark, path)
+    occ = (
+        spark.read.schema(ix._ivf_schema(meta)).parquet(live)
+        .groupBy("centroid_id").count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    assert occ.mx / occ.n >= 0.85, (occ.mx, occ.n)
+
+    qs = h_df.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    served = ix.serve_ivf_topk(qs, path, k=5, nprobe=2, exclude_self=True)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the inverted-list join keys on centroid_id with the PROBE side
+    # broadcast — never a shuffle join whose build/stream partitioning
+    # keys on the skewed centroid_id
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+    # the only nested-loop is the query×codebook centroid ranking
+    # (bounded: |queries|·nlist tiny rows) — same rule as
+    # test_plan_audit: a Cross-typed BNLJ would be an accident
+    crosses = [
+        b.splitlines()[0]
+        for b in plan.split("BroadcastNestedLoopJoin")[1:]
+        if "Cross" in b.splitlines()[0]
+    ]
+    assert not crosses, plan
+    got = {r.query_id: r for r in served.groupBy("query_id").count().collect()}
+    assert len(got) == 4 and all(r["count"] == 5 for r in got.values())
+
+    # recovery: retrain subdivides the dense region — occupancy collapses
+    meta2 = ix.retrain_ivf_index(spark, path)
+    live2, _ = ix.live_index(spark, path)
+    occ2 = (
+        spark.read.schema(ix._ivf_schema(meta2)).parquet(live2)
+        .groupBy("centroid_id").count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    assert occ2.mx / occ2.n < occ.mx / occ.n, (occ2.mx, occ2.n)

@@ -39,7 +39,7 @@ FIXTURE = [
     (12, "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 but ::1 is compressed"),
     (13, "17 digits 12345678901234567 are neither card nor phone"),
     (14, "fe80:1:2:3:4:5:6:7 short-group v6; 1.2.3.4 stays an ipv4"),
-    (15, "intl-length pan +4111111111111111 keeps its plus in the clear"),
+    (15, "intl-length pan +4111111111111111 is typed as an intl phone"),
 ]
 
 
@@ -69,13 +69,14 @@ def test_redaction_kinds_and_order(spark, docs):
     assert out[12] == "v6 <PII:ipv6> but ::1 is compressed"
     assert out[13] == "17 digits 12345678901234567 are neither card nor phone"
     assert out[14] == "<PII:ipv6> short-group v6; <PII:ipv4> stays an ipv4"
-    # precedence trade, pinned deliberately (round-9 advice): a '+'
-    # followed by a 13-16 digit run is classified as CARD (the digit
-    # run matches card's \b\d{13,16}\b before phone_intl runs) — the
-    # '+' survives in the clear and the per-kind count attributes to
-    # card, not phone_intl.  The text is still fully redacted and the
-    # oracle chain shares the order, so parity holds either way.
-    assert out[15] == "intl-length pan +<PII:card> keeps its plus in the clear"
+    # precedence fix (round-10 verdict task 6, reversing the r9 trade):
+    # the anchored '\+' pattern now runs BEFORE card and spans up to 16
+    # digits, so a '+'-prefixed PAN-width run is typed phone_intl with
+    # the '+' consumed — '+' is strong phone evidence, and bare digit
+    # runs are unreachable by the anchored pattern so card keeps every
+    # contiguous PAN (rows 8/11/13 unchanged).  Engine and oracle share
+    # the order, so parity holds by construction.
+    assert out[15] == "intl-length pan <PII:phone_intl> is typed as an intl phone"
 
 
 def test_counts_and_total(spark, docs):

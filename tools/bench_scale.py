@@ -997,6 +997,111 @@ def bench_ivf_retrain(spark, sampler: _Sampler, label: str, d: str, passes: int 
     }
 
 
+def bench_ivf_hot_skew(
+    spark, sampler: _Sampler, label: str, d: str, passes: int = 2, fixed_nprobe: int = 4
+) -> dict:
+    """r11 (verdict task 5) — IVF hot-LIST skew: the skew story covers
+    aggs and joins (operators/skew.py) but a clustered corpus can put
+    most vectors in ONE inverted list, making every probe of that list
+    O(n) regardless of nlist.  Plant the worst case deliberately:
+    bootstrap the codebook on a uniform 10% slice, then append a 90%
+    TIGHT cluster (every appended vector = one anchor + 1% noise) — all
+    of it assigns to the single bootstrap centroid nearest the anchor,
+    so one list holds ~90% of the corpus.
+
+    Two claims measured:
+
+    1. the hot serve is NOT a single-task straggler — the probe side of
+       the serve join is broadcast (probes = queries×nprobe rows), so
+       the hot list streams through file-split parallelism and the
+       window top-k is WindowGroupLimit'd map-side (plan shape pinned by
+       tests/test_ivf_store.py::test_serve_hot_list_plan_is_broadcast);
+       the cost is scan-proportional (~0.9n rows for a hot-probing
+       query), paid across all cores;
+    2. the RECOVERY is the r11 retrain: kmeans over the grown corpus
+       subdivides the dense region into many lists, max-list occupancy
+       collapses, and the same fixed-nprobe serve scans a small fraction
+       again.  (At 100 TB: the drift dial ``ivf_retrain_due`` fires on
+       the 10× growth long before the skew is this bad.)
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    lo_cut = emb.selectExpr(
+        "percentile_cont(0.10) WITHIN GROUP (ORDER BY vec_id) AS c"
+    ).first()["c"]
+    uniform = emb.where(F.col("vec_id") < lo_cut)
+    anchor = uniform.select("embedding").first()[0]
+    anchor_sql = "array(" + ", ".join(repr(float(v)) for v in anchor) + ")"
+    hot = (
+        emb.where(F.col("vec_id") >= lo_cut)
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"zip_with({anchor_sql}, embedding, (a, e) -> a + 0.01 * e)"
+            ),
+        )
+        .localCheckpoint()  # freeze the synthetic cluster for reuse
+    )
+    queries = (
+        hot.orderBy(F.col("vec_id").desc())
+        .limit(16)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint()
+    )
+    idx_dir = tempfile.mkdtemp(prefix="ivfhot_")
+    try:
+        ix.create_ivf_index(uniform, idx_dir)
+        ix.append_ivf_vectors(hot, idx_dir)
+        live, meta = ix.live_index(spark, idx_dir)
+        occ = (
+            spark.read.schema(ix._ivf_schema(meta)).parquet(live)
+            .groupBy("centroid_id").count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+            .first()
+        )
+        hot_frac = round(occ.mx / occ.n, 3)
+
+        def serve():
+            return ix.serve_ivf_topk(
+                queries, idx_dir, k=10, nprobe=fixed_nprobe, exclude_self=True
+            ).count()
+
+        serve_hot = sampler.measure(serve, passes)
+        t0 = time.time()
+        meta2 = ix.retrain_ivf_index(spark, idx_dir)
+        retrain_sec = round(time.time() - t0, 2)
+        live2, _ = ix.live_index(spark, idx_dir)
+        occ2 = (
+            spark.read.schema(ix._ivf_schema(meta2)).parquet(live2)
+            .groupBy("centroid_id").count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+            .first()
+        )
+        hot_frac_after = round(occ2.mx / occ2.n, 3)
+        serve_retrained = sampler.measure(serve, passes)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n": occ.n,
+        "nlist_boot": meta["nlist"],
+        "nlist_retrained": meta2["nlist"],
+        "fixed_nprobe": fixed_nprobe,
+        "hot_list_frac": hot_frac,
+        "hot_list_frac_retrained": hot_frac_after,
+        "serve_hot": serve_hot,
+        "retrain_sec": retrain_sec,
+        "serve_retrained": serve_retrained,
+    }
+
+
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
@@ -1103,6 +1208,10 @@ def main() -> None:
         bench_recluster(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_recluster(spark, sampler, "scale10", scale_dir, passes=2),
     ]
+    if scale100_dir:  # r11 (verdict task 4): the 196k drift→recluster row
+        recluster_recs.append(
+            bench_recluster(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
     ivf_store_recs = [
         bench_ivf_store(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_ivf_store(spark, sampler, "scale10", scale_dir, passes=2),
@@ -1121,6 +1230,17 @@ def main() -> None:
     ivf_retrain_recs = [
         bench_ivf_retrain(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_ivf_retrain(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:  # takedown-flat and retrain-recovery at the 100× corpus
+        takedown_recs.append(
+            bench_takedown(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+        ivf_retrain_recs.append(
+            bench_ivf_retrain(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+    ivf_hot_recs = [
+        bench_ivf_hot_skew(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_ivf_hot_skew(spark, sampler, "scale10", scale_dir, passes=2),
     ]
 
     skew_rec = bench_skew_band(spark, sampler)
@@ -1206,6 +1326,13 @@ def main() -> None:
             f"serve@nprobe={p['fixed_nprobe']} {p['serve_frozen']['sec_norm']}s->{p['serve_retrained']['sec_norm']}s "
             f"recall {p['recall_frozen']}->{p['recall_retrained']} (retrain {p['retrain_sec']}s)"
         )
+    for p in ivf_hot_recs:
+        print(
+            f"ivf_hot_skew[{p['label']}]: n={p['n']} nlist {p['nlist_boot']}->{p['nlist_retrained']} "
+            f"hot_frac {p['hot_list_frac']}->{p['hot_list_frac_retrained']} "
+            f"serve@nprobe={p['fixed_nprobe']} {p['serve_hot']['sec_norm']}s->"
+            f"{p['serve_retrained']['sec_norm']}s (retrain {p['retrain_sec']}s)"
+        )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
           f"(skew plan: {skew_rec['hot_skew_split']['plan_skew']}), "
@@ -1254,6 +1381,7 @@ def main() -> None:
         "ivf_store": ivf_store_recs,
         "takedown": takedown_recs,
         "ivf_retrain": ivf_retrain_recs,
+        "ivf_hot_skew": ivf_hot_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
     }
