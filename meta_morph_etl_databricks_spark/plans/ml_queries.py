@@ -1049,17 +1049,24 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       (:func:`_sem_inc_ctes`) — the split-invariance contract the
       pytest suite pins, now under the hash gate like the band
       family's `incremental` arm of q_corpus_curation.
-    - ``variant='retract'`` — the TAKEDOWN policy (r10,
-      operators/index_store.retract_ids): between the two increments,
+    - ``variant='retract'`` — the TAKEDOWN policy, covering BOTH store
+      paths (r10 eager ``index_store.retract_ids``; r11 O(ids)
+      ``index_store.tombstone_ids``): between the two increments,
       every id ≡ 0 (mod 7) of the pre-inc2 history (bootstrap + first
-      increment, accepted AND rejected rows alike) is retracted from
-      the index, and inc2 is served against the remainder; rows are
-      inc2's accepted ids.  The oracle replays the decision rule with
-      the retraction as an id predicate on the MATCHING side — a row
-      whose only near-dup history was retracted flips to accepted,
-      which is precisely the policy consequence takedown demands (the
-      store mechanics — generation swap, seen purge, crash windows —
-      are pytest-gated in test_index_lifecycle.py)."""
+      increment, accepted AND rejected rows alike) is taken down, and
+      inc2 is served against the remainder; rows are inc2's accepted
+      ids.  The two paths serve the IDENTICAL frame by construction —
+      the eager rewrite drops the ids' rows into generation N+1, the
+      tombstone path anti-joins them at read time — and that
+      equivalence is pinned store-vs-store in test_tombstones.py
+      (policy parity per kind), so this one arm hash-gates the policy
+      for both.  The oracle replays the decision rule with the
+      takedown as an id predicate on the MATCHING side — a row whose
+      only near-dup history was taken down flips to accepted, which is
+      precisely the policy consequence takedown demands (the store
+      mechanics — generation swap, seen purge, sidecar atomicity,
+      crash windows — are pytest-gated in test_index_lifecycle.py and
+      test_tombstones.py)."""
     from ..operators.incremental import (
         incremental_semantic_near_dup,
         semantic_cell_index,
