@@ -1002,27 +1002,34 @@ def bench_ivf_hot_skew(
 ) -> dict:
     """r11 (verdict task 5) — IVF hot-LIST skew: the skew story covers
     aggs and joins (operators/skew.py) but a clustered corpus can put
-    most vectors in ONE inverted list, making every probe of that list
-    O(n) regardless of nlist.  Plant the worst case deliberately:
-    bootstrap the codebook on a uniform 10% slice, then append a 90%
-    TIGHT cluster (every appended vector = one anchor + 1% noise) — all
-    of it assigns to the single bootstrap centroid nearest the anchor,
-    so one list holds ~90% of the corpus.
+    most vectors in ONE inverted list.  Plant the worst case: bootstrap
+    the codebook on a uniform 10% slice, then append a 90% TIGHT
+    cluster (every appended vector = one anchor + 1% noise) — all of it
+    assigns to the single centroid nearest the anchor, so one list
+    holds ~90% of the corpus.  Comparator: the SAME corpus size and
+    dials with the natural (un-planted) vectors.
 
-    Two claims measured:
+    What the row shows (and what it deliberately does NOT claim):
 
-    1. the hot serve is NOT a single-task straggler — the probe side of
-       the serve join is broadcast (probes = queries×nprobe rows), so
-       the hot list streams through file-split parallelism and the
-       window top-k is WindowGroupLimit'd map-side (plan shape pinned by
-       tests/test_ivf_store.py::test_serve_hot_list_plan_is_broadcast);
-       the cost is scan-proportional (~0.9n rows for a hot-probing
-       query), paid across all cores;
-    2. the RECOVERY is the r11 retrain: kmeans over the grown corpus
-       subdivides the dense region into many lists, max-list occupancy
-       collapses, and the same fixed-nprobe serve scans a small fraction
-       again.  (At 100 TB: the drift dial ``ivf_retrain_due`` fires on
-       the 10× growth long before the skew is this bad.)
+    1. no single-task straggler — the serve join broadcasts the PROBE
+       side (queries×nprobe rows), so the hot list streams through
+       file-split parallelism and the per-query top-k is
+       WindowGroupLimit'd map-side; plan shape pinned by
+       tests/test_ivf_store.py::test_serve_hot_list_plan_is_broadcast.
+       The hot serve costs MORE than the natural serve — but in
+       proportion to rows scanned (~hot_frac·n vs ~n·nprobe/nlist),
+       paid evenly across all cores, never one task owning 90%.
+    2. NO geometric rescue exists or is claimed: vectors that are
+       genuinely 1%-noise copies are mutually near, so ANY coarse
+       quantizer (lowest-id seeds, k-means — measured: retrain leaves
+       occupancy at 0.90) keeps them in one cell, and any query near
+       the cluster legitimately has ~0.9n near neighbors to rank.  The
+       scale-correct fix is UPSTREAM: this corpus is the textbook
+       near-dup corpus, and the engine's dedup family (embedding LSH /
+       SemDeDup) removes the mass before it reaches the index.  The
+       GROWTH failure mode (frozen codebook, organic corpus) is the
+       separate bench_ivf_retrain row, where retrain genuinely
+       recovers.
     """
     import shutil
     import tempfile
@@ -1039,66 +1046,51 @@ def bench_ivf_hot_skew(
     uniform = emb.where(F.col("vec_id") < lo_cut)
     anchor = uniform.select("embedding").first()[0]
     anchor_sql = "array(" + ", ".join(repr(float(v)) for v in anchor) + ")"
-    hot = (
-        emb.where(F.col("vec_id") >= lo_cut)
-        .withColumn(
-            "embedding",
-            F.expr(
-                f"zip_with({anchor_sql}, embedding, (a, e) -> a + 0.01 * e)"
-            ),
-        )
-        .localCheckpoint()  # freeze the synthetic cluster for reuse
-    )
-    queries = (
-        hot.orderBy(F.col("vec_id").desc())
-        .limit(16)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .localCheckpoint()
-    )
-    idx_dir = tempfile.mkdtemp(prefix="ivfhot_")
-    try:
-        ix.create_ivf_index(uniform, idx_dir)
-        ix.append_ivf_vectors(hot, idx_dir)
-        live, meta = ix.live_index(spark, idx_dir)
-        occ = (
-            spark.read.schema(ix._ivf_schema(meta)).parquet(live)
-            .groupBy("centroid_id").count()
-            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
-            .first()
-        )
-        hot_frac = round(occ.mx / occ.n, 3)
+    rest = emb.where(F.col("vec_id") >= lo_cut)
+    hot = rest.withColumn(
+        "embedding",
+        F.expr(f"zip_with({anchor_sql}, embedding, (a, e) -> a + 0.01 * e)"),
+    ).localCheckpoint()  # freeze the synthetic cluster for reuse
 
-        def serve():
-            return ix.serve_ivf_topk(
-                queries, idx_dir, k=10, nprobe=fixed_nprobe, exclude_self=True
-            ).count()
-
-        serve_hot = sampler.measure(serve, passes)
-        t0 = time.time()
-        meta2 = ix.retrain_ivf_index(spark, idx_dir)
-        retrain_sec = round(time.time() - t0, 2)
-        live2, _ = ix.live_index(spark, idx_dir)
-        occ2 = (
-            spark.read.schema(ix._ivf_schema(meta2)).parquet(live2)
-            .groupBy("centroid_id").count()
-            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
-            .first()
+    def build_and_serve(tail_df, tag: str) -> tuple[dict, float, dict]:
+        queries = (
+            tail_df.orderBy(F.col("vec_id").desc())
+            .limit(16)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .localCheckpoint()
         )
-        hot_frac_after = round(occ2.mx / occ2.n, 3)
-        serve_retrained = sampler.measure(serve, passes)
-    finally:
-        shutil.rmtree(idx_dir, ignore_errors=True)
+        idx_dir = tempfile.mkdtemp(prefix=f"ivf{tag}_")
+        try:
+            ix.create_ivf_index(uniform, idx_dir)
+            ix.append_ivf_vectors(tail_df, idx_dir)
+            live, meta = ix.live_index(spark, idx_dir)
+            occ = (
+                spark.read.schema(ix._ivf_schema(meta)).parquet(live)
+                .groupBy("centroid_id").count()
+                .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+                .first()
+            )
+            serve = sampler.measure(
+                lambda: ix.serve_ivf_topk(
+                    queries, idx_dir, k=10, nprobe=fixed_nprobe, exclude_self=True
+                ).count(),
+                passes,
+            )
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        return meta, round(occ.mx / occ.n, 3), serve
+
+    meta_nat, frac_nat, serve_nat = build_and_serve(rest, "nat")
+    meta_hot, frac_hot, serve_hot = build_and_serve(hot, "hot")
     return {
         "label": label,
-        "n": occ.n,
-        "nlist_boot": meta["nlist"],
-        "nlist_retrained": meta2["nlist"],
+        "n": rest.count() + uniform.count(),
+        "nlist": meta_hot["nlist"],
         "fixed_nprobe": fixed_nprobe,
-        "hot_list_frac": hot_frac,
-        "hot_list_frac_retrained": hot_frac_after,
+        "hot_list_frac_natural": frac_nat,
+        "hot_list_frac_planted": frac_hot,
+        "serve_natural": serve_nat,
         "serve_hot": serve_hot,
-        "retrain_sec": retrain_sec,
-        "serve_retrained": serve_retrained,
     }
 
 
@@ -1328,10 +1320,10 @@ def main() -> None:
         )
     for p in ivf_hot_recs:
         print(
-            f"ivf_hot_skew[{p['label']}]: n={p['n']} nlist {p['nlist_boot']}->{p['nlist_retrained']} "
-            f"hot_frac {p['hot_list_frac']}->{p['hot_list_frac_retrained']} "
-            f"serve@nprobe={p['fixed_nprobe']} {p['serve_hot']['sec_norm']}s->"
-            f"{p['serve_retrained']['sec_norm']}s (retrain {p['retrain_sec']}s)"
+            f"ivf_hot_skew[{p['label']}]: n={p['n']} nlist={p['nlist']} "
+            f"hot_frac nat {p['hot_list_frac_natural']} vs planted {p['hot_list_frac_planted']} "
+            f"serve@nprobe={p['fixed_nprobe']} nat {p['serve_natural']['sec_norm']}s vs "
+            f"hot {p['serve_hot']['sec_norm']}s"
         )
     print(f"skew_band: uniform {skew_rec['uniform']['sec_norm']}s, "
           f"hot+split {skew_rec['hot_skew_split']['sec_norm']}s "
