@@ -2212,3 +2212,52 @@ def retrain_ivf_index(
         )
     _finish_generation(spark, root, gen, new_meta)
     return new_meta
+
+
+def index_info(spark: SparkSession, path: str) -> dict:
+    """Read-only operator console for one index slot (r11) — the
+    lifecycle grew enough moving parts (generations, row counter,
+    tombstone backlog, drift dials, writer lock) that "what state is
+    this index in?" deserves one cheap call instead of five sidecar
+    reads.  Lock-free and passive (safe during a live writer): small-
+    file reads plus one bounded generation listing; the only data-scale
+    work is the footer-count fallback for pre-counter sidecars, and
+    only when a dial needs it.
+
+    Returns ``{path, live, kind, meta, rows, generations,
+    pending_tombstones, maintenance_due, writer_lock}`` where
+
+    - ``rows`` is the counter-overlaid live count (None for kinds that
+      do not maintain one);
+    - ``maintenance_due`` is the kind-appropriate drift dial at default
+      factors (:func:`semantic_recluster_due` / :func:`ivf_retrain_due`;
+      None for the band/embed kinds, whose maintenance is file-count
+      compaction scheduled by ``compact_every``);
+    - ``writer_lock`` is the holder breadcrumb (op + acquire time) when
+      a writer currently holds the slot, "held" when the marker exists
+      but the breadcrumb was lost to a crash, and None when free."""
+    root = path.rstrip("/")
+    live, meta = live_index(spark, root)
+    info: dict = {
+        "path": root,
+        "live": live,
+        "kind": None if meta is None else meta.get("kind"),
+        "meta": meta,
+        "rows": None if meta is None else meta.get("rows"),
+        "generations": _gen_dir_names(spark, root),
+        "pending_tombstones": len(_tombstone_list(spark, live)),
+        "maintenance_due": None,
+        "writer_lock": None,
+    }
+    if meta is not None:
+        if meta.get("kind") == SEM_KIND:
+            info["maintenance_due"] = semantic_recluster_due(spark, root)
+        elif meta.get("kind") == IVF_KIND:
+            info["maintenance_due"] = ivf_retrain_due(spark, root)
+    lock_text = _read_small_file(spark, f"{root}{WRITER_LOCK_SUFFIX}")
+    if lock_text is not None:  # "" = marker exists, breadcrumb not yet/lost
+        try:
+            info["writer_lock"] = json.loads(lock_text) if lock_text.strip() else "held"
+        except ValueError:
+            info["writer_lock"] = "held"
+    return info

@@ -148,3 +148,43 @@ def test_exception_inside_op_releases_lock(spark, tmp_path):
     fs, path_cls, _ = _hadoop_fs(spark, path)
     assert not fs.exists(path_cls(_lock_file(path)))
     ix.compact_index(spark, path)  # slot usable
+
+
+def test_index_info_console(spark, tmp_path):
+    """index_info (r11): one read-only call reports the slot's whole
+    lifecycle state — kind, live generation, counter-overlaid rows,
+    tombstone backlog, the kind-appropriate drift dial, and the writer
+    lock holder.  Passive: calling it mid-writer-tenure must not
+    interfere with the lock."""
+    path = str(tmp_path / "bidx")
+    info0 = ix.index_info(spark, path)
+    assert info0["kind"] is None and info0["generations"] == []
+    assert info0["writer_lock"] is None and info0["pending_tombstones"] == 0
+
+    _mk_band_index(spark, path)
+    ix.tombstone_ids(spark, path, [1, 2, 3])
+    info = ix.index_info(spark, path)
+    assert info["kind"] == ix.BAND_KIND
+    assert info["live"].endswith(info["generations"][-1])
+    assert info["pending_tombstones"] == 3
+    assert info["maintenance_due"] is None  # band kind: compact_every owns it
+    assert info["writer_lock"] is None
+
+    with ix.writer_lock(spark, path, "test_holder"):
+        held = ix.index_info(spark, path)["writer_lock"]
+        assert held == "held" or held["op"] == "test_holder"
+    assert ix.index_info(spark, path)["writer_lock"] is None
+
+    # dial surfaces for the counting kinds
+    import random
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    ipath = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb, ipath, nlist=4)
+    iinfo = ix.index_info(spark, ipath)
+    assert iinfo["kind"] == ix.IVF_KIND and iinfo["rows"] == 60
+    assert iinfo["maintenance_due"] is False
