@@ -243,3 +243,40 @@ def test_meta_sidecar_is_write_once_and_counter_overlays(spark, tmp_path):
     assert ix.read_index_meta(spark, path)["rows"] == 10  # graceful degrade
     # the dial still answers (late, never broken)
     assert ix.semantic_recluster_due(spark, path, drift_factor=0.1) in (True, False)
+
+
+def test_tombstone_write_crash_windows(spark, tmp_path, monkeypatch):
+    """The takedown sidecar replace is tmp+rename: a crash BEFORE the
+    rename must leave the previous tombstone list fully intact (no torn
+    JSON, no partial takedown), and the stranded ``.tmp`` must not leak
+    into reads or block the retried takedown."""
+    path = str(tmp_path / "bidx")
+    docs, _ = _band_docs(spark)
+    ix.create_band_index(docs, path, n_buckets=8)
+    assert ix.tombstone_ids(spark, path, [1, 2]) == 2
+    live = ix.live_root(spark, path)
+
+    real_write = ix._write_small_file
+
+    def die_after_tmp(spark_, p, text):
+        real_write(spark_, p, text)
+        if p.endswith(f"{ix.TOMBSTONES_FILE}.tmp"):
+            raise RuntimeError("crash between tmp write and rename")
+
+    monkeypatch.setattr(ix, "_write_small_file", die_after_tmp)
+    with pytest.raises(RuntimeError, match="crash between"):
+        ix.tombstone_ids(spark, path, [3, 4])
+    monkeypatch.setattr(ix, "_write_small_file", real_write)
+
+    # old list intact and readable; the in-flight ids were NOT applied
+    assert ix._tombstone_list(spark, live) == [1, 2]
+    # the writer lock was released by the finally — retry succeeds and
+    # the rename-over simply replaces the stranded tmp
+    assert ix.tombstone_ids(spark, path, [3, 4]) == 2
+    assert ix._tombstone_list(spark, live) == [1, 2, 3, 4]
+    # next generational rewrite reaps everything, sidecar and tmp alike
+    ix.compact_index(spark, path)
+    live2 = ix.live_root(spark, path)
+    assert ix._tombstone_list(spark, live2) == []
+    df, _ = ix.open_band_index(spark, path)
+    assert df.where(df.doc_id.isin([1, 2, 3, 4])).isEmpty()
