@@ -165,7 +165,7 @@ def stream_incremental_dedup(
                 "bands": bands,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
             }
-            live = ix.init_index(spark, index_path, meta)
+            live = ix.init_index(spark, index_path, meta, lock_retries=60)
         else:
             if meta.get("kind") != ix.BAND_KIND:
                 raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
@@ -319,7 +319,7 @@ def stream_incremental_semantic_dedup(
                 "rows": 0,
                 "tree": tree_to_json(tree),
             }
-            live = ix.init_index(spark, index_path, meta)
+            live = ix.init_index(spark, index_path, meta, lock_retries=60)
         else:
             if meta.get("kind") != ix.SEM_KIND:
                 raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
@@ -474,7 +474,7 @@ def stream_incremental_embed_near_dup(
                 "center": c,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
             }
-            live = ix.init_index(spark, index_path, meta)
+            live = ix.init_index(spark, index_path, meta, lock_retries=60)
         else:
             if meta.get("kind") != ix.EMBED_KIND:
                 raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")

@@ -188,3 +188,52 @@ def test_index_info_console(spark, tmp_path):
     iinfo = ix.index_info(spark, ipath)
     assert iinfo["kind"] == ix.IVF_KIND and iinfo["rows"] == 60
     assert iinfo["maintenance_due"] is False
+
+
+def test_stream_compaction_serializes_behind_external_lock(spark, tmp_path):
+    """The in-sink maintenance calls pass ``lock_retries=60``: a stream
+    whose ``compact_every`` fires while an EXTERNAL maintenance op
+    holds the writer lock must WAIT for the slot and then compact —
+    not die with the fail-fast IOError, and not skip the compaction."""
+    import glob
+    import threading
+    import time
+
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "wlsrc"
+    src.mkdir()
+    index_path = str(tmp_path / "wlidx")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(i, " ".join(f"s{i}w{j}" for j in range(30))) for i in range(6)], schema
+    ).write.parquet(str(src / "b1"))
+
+    # hold the slot from "outside" for a few seconds, releasing while
+    # the batch's compaction is polling
+    release = threading.Event()
+
+    def hold():
+        with ix.writer_lock(spark, index_path, "external_maintenance"):
+            release.wait(timeout=30)
+
+    holder = threading.Thread(target=hold)
+    holder.start()
+    time.sleep(0.5)  # the holder owns the slot before the stream starts
+    threading.Timer(4.0, release.set).start()
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = stream_incremental_dedup(
+        stream, index_path, str(tmp_path / "wlacc"), str(tmp_path / "wlckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+    holder.join(timeout=30)
+
+    # the compaction ran (one file per bucket) — it waited, then won
+    live = ix.live_root(spark, index_path)
+    for bucket_dir in glob.glob(f"{live}/pfx=*"):
+        assert len(glob.glob(f"{bucket_dir}/*.parquet")) == 1
+    assert spark.read.parquet(str(tmp_path / "wlacc")).count() == 6
