@@ -27,6 +27,9 @@ from .dedup import (  # noqa: F401
     dedup_stream,
     dedup_stream_exact,
     stream_incremental_dedup,
+    stream_incremental_embed_near_dup,
+    stream_incremental_semantic_dedup,
+    stream_ivf_ingest,
 )
 from .joins import clicks_to_purchases_stream, enrich_stream, interval_join_streams  # noqa: F401
 from .sinks import (  # noqa: F401

@@ -544,3 +544,88 @@ def stream_incremental_embed_near_dup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    codec: str = "float",
+    m: int = 4,
+    ksub: int = 16,
+    n_buckets: int | None = None,
+    trigger_available_now: bool = True,
+    compact_every: int | None = None,
+    retrain_when_due: bool = False,
+    drift_factor: float = 2.0,
+):
+    """Streaming ingest into the persisted IVF store (r11 — lifecycle
+    parity with the three dedup kinds, which have had sinks since
+    r7/r9): bootstrap the codebook from the FIRST non-empty batch
+    (``index_store.create_ivf_index`` — nlist/codec/PQ codebooks pinned
+    in the sidecar), then every later batch assigns to the stored
+    quantizers and appends through
+    ``append_ivf_vectors(dedupe_redelivery=True)`` — replayed ids are
+    dropped via the shared seen-id sidecar, re-ingested takedown ids
+    are resurrected, and the ``_rows`` counter feeds the growth dial.
+
+    Maintenance between triggers, same pattern as the dedup sinks:
+    ``compact_every=N`` bounds small files and replay bloat;
+    ``retrain_when_due=True`` polls :func:`ivf_retrain_due` (O(1)) after
+    each committed batch and runs :func:`retrain_ivf_index` when the
+    corpus outgrows the frozen codebook — the swap is one atomic
+    pointer flip, so concurrent serves never observe a half-state.
+    All maintenance (and first-batch bootstrap) passes ``lock_retries``
+    so the stream SERIALIZES behind external maintenance holding the
+    writer lock instead of dying.
+
+    At-least-once window, mirroring the dedup sinks: data lands before
+    the seen marker, so a crash between them replays the batch as
+    full-row duplicates — for IVF those can transiently occupy extra
+    top-k slots until the next compaction collapses them
+    (``compact_every`` bounds the exposure; the dedup kinds' duplicate
+    rows are correctness-neutral, the IVF kind's are
+    quality-transient)."""
+    from ..operators import index_store as ix
+
+    def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ix.recover_compaction(spark, index_path)
+        live, meta = ix.live_index(spark, index_path)
+        if meta is None:
+            if batch_df.isEmpty():
+                return  # nothing to bootstrap a codebook from yet
+            ix.create_ivf_index(
+                batch_df, index_path,
+                nlist=nlist, id_col=id_col, vec_col=vec_col,
+                codec=codec, m=m, ksub=ksub, n_buckets=n_buckets,
+                lock_retries=60,
+            )
+            # seen marker for the bootstrap batch, written LAST like the
+            # append path's — a crash in between replays batch 1 as
+            # full-row dups (see the at-least-once note above)
+            live, meta = ix.live_index(spark, index_path)
+            ix.append_seen_ids(batch_df.select(id_col), live, meta)
+        else:
+            if meta.get("kind") != ix.IVF_KIND:
+                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+            expected = {"id_col": id_col, "vec_col": vec_col, "codec": codec}
+            if nlist is not None:
+                expected["nlist"] = nlist
+            ix._require_meta(meta, expected, index_path)
+            ix._check_id_type(batch_df, meta, index_path)
+            ix.append_ivf_vectors(batch_df, index_path, dedupe_redelivery=True)
+        if compact_every and (_batch_id + 1) % compact_every == 0:
+            ix.compact_index(spark, index_path, lock_retries=60)
+        if retrain_when_due and ix.ivf_retrain_due(spark, index_path, drift_factor):
+            ix.retrain_ivf_index(spark, index_path, lock_retries=60)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

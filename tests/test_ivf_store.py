@@ -338,3 +338,68 @@ def test_serve_hot_list_plan_is_broadcast_and_correct(spark, tmp_path):
     meta2 = ix.retrain_ivf_index(spark, path)
     assert meta2["nlist"] >= meta["nlist"]
     assert ix.serve_ivf_topk(qs, path, k=5, nprobe=2).count() == 20
+
+
+def test_stream_ivf_ingest_lifecycle(spark, tmp_path):
+    """The r11 streaming ingest sink: first batch bootstraps the
+    codebook, later batches append against the stored quantizers with
+    redelivery dedup, tombstoned ids resurrect on re-ingest, and
+    retrain_when_due rebuilds the codebook between triggers once the
+    corpus outgrows the bootstrap."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import stream_ivf_ingest
+
+    rng = random.Random(7)
+
+    def vecs(ids):
+        return [(i, [rng.uniform(-1, 1) for _ in range(DIMS)]) for i in ids]
+
+    src = tmp_path / "ivsrc"
+    src.mkdir()
+    path = str(tmp_path / "ividx")
+    ckpt = str(tmp_path / "ivckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+        q = stream_ivf_ingest(
+            stream, path, ckpt,
+            retrain_when_due=True, drift_factor=1.0,  # forced-low dial
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(vecs(range(40)), SCHEMA).write.parquet(str(src / "b1"))
+    run_once()
+    live, meta = ix.live_index(spark, path)
+    assert meta["kind"] == ix.IVF_KIND and meta["rows"] == 40
+    nlist1 = meta["nlist"]
+
+    # redelivery: 10 old ids + 30 new — seen filter drops the replays
+    spark.createDataFrame(
+        vecs(range(30, 70)), SCHEMA
+    ).write.parquet(str(src / "b2"))
+    ix.tombstone_ids(spark, path, [5])
+    run_once()
+    live, meta = ix.live_index(spark, path)
+    stored = spark.read.schema(ix._ivf_schema(meta)).parquet(live)
+    assert stored.count() == 70  # no duplicate rows from ids 30..39
+    assert meta["rows"] == 70
+    # growth 40 -> 70 with drift_factor=1.0: the retrain fired and
+    # re-sized nlist to the grown corpus (sqrt(70) > 1.0 * nlist1)
+    assert meta["nlist"] >= nlist1
+    assert not ix.ivf_retrain_due(spark, path, drift_factor=1.0)
+    # id 5 was tombstoned and NOT re-ingested: still hidden
+    df, _ = ix.open_ivf_index(spark, path)
+    assert df.where("vec_id = 5").isEmpty()
+
+    # resurrection: re-deliver id 5's content in a fresh batch — the
+    # tombstone masks its seen entry, the ingest clears the tombstone
+    spark.createDataFrame(vecs([5]), SCHEMA).write.parquet(str(src / "b3"))
+    run_once()
+    df, _ = ix.open_ivf_index(spark, path)
+    assert df.where("vec_id = 5").count() >= 1
+
+    # the store serves: every query gets k rows
+    qs = (
+        spark.createDataFrame(vecs(range(60, 64)), SCHEMA)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assert ix.serve_ivf_topk(qs, path, k=5, nprobe=3).count() == 20
