@@ -880,6 +880,7 @@ def create_band_index(
     recover_compaction(spark, path)
     _reject_legacy_for_write(spark, path.rstrip("/"))
     rows = minhash_band_index(docs, text_col, id_col, num_hashes, bands)
+    n_rows = None
     if n_buckets is None:
         # the band generator cannot be pruned out of a count() (row
         # multiplicity depends on it), so auto-sizing would evaluate the
@@ -889,7 +890,8 @@ def create_band_index(
         # write).  Explicit-n_buckets callers skip both the count and
         # the checkpoint copy.
         rows = rows.localCheckpoint()
-        n_buckets = auto_index_buckets(rows.count())
+        n_rows = rows.count()
+        n_buckets = auto_index_buckets(n_rows)
     meta = {
         "kind": BAND_KIND,
         "id_col": id_col,
@@ -907,19 +909,30 @@ def create_band_index(
         .partitionBy("pfx")
         .parquet(f"{root}/{gen}")
     )
+    if n_rows is None:  # explicit-n_buckets path: footer-only count
+        n_rows = spark.read.schema(_band_schema(meta)).parquet(f"{root}/{gen}").count()
+    # running row counter (r11, extending the SEM/IVF convention to the
+    # band kind): feeds rebucket_due's O(1) growth dial
+    meta["rows"] = n_rows
     _finish_generation(spark, root, gen, meta)
     return meta
 
 
 def append_band_rows(rows: DataFrame, path: str, meta: dict) -> None:
     """Append an increment's band rows (``IncrementalDedupResult
-    .index_rows``) into the live generation's partitioned layout."""
+    .index_rows``) into the live generation's partitioned layout and
+    bump the growth counter (no-op for pre-r11 sidecars without
+    ``rows``)."""
+    spark = rows.sparkSession
+    live = live_root(spark, path)
     (
         rows.withColumn("pfx", _band_pfx(meta["n_buckets"]))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(live_root(rows.sparkSession, path))
+        .parquet(live)
     )
+    if "rows" in meta:
+        _bump_rows(spark, live, meta, rows.count())
 
 
 def open_band_index(
@@ -998,6 +1011,7 @@ def serve_incremental_dedup(
         if append:
             # pfx already on the cached rows — write them directly
             banded.write.mode("append").partitionBy("pfx").parquet(live)
+            _bump_rows(spark, live, meta, banded.count())
             back = _reingested_tombstones(spark, meta, new_docs, tombs)
             if back:  # re-ingested takedown ids become servable again
                 clear_tombstones(spark, live, back)
@@ -1192,6 +1206,127 @@ def compact_index(spark: SparkSession, path: str) -> None:
     _finish_generation(spark, root, gen, meta)
 
 
+def rebucket_due(
+    spark: SparkSession,
+    path: str,
+    drift_factor: float = 4.0,
+    target_rows_per_bucket: int = 500,
+) -> bool:
+    """Growth dial for the PARTITION layout itself (r11) — the sibling
+    of :func:`semantic_recluster_due` / :func:`ivf_retrain_due` for the
+    band/embed kinds, which have no quantizer to retrain but the same
+    frozen-at-bootstrap problem: ``n_buckets`` is sized to the create
+    corpus, so a corpus that grows 100× under appends carries 100× the
+    target rows per bucket and every serve's pruned read degrades
+    linearly with it.  Fires when mean bucket population exceeds
+    ``drift_factor × target_rows_per_bucket`` (the ``auto_index_buckets``
+    target).  O(1): reads the ``rows`` counter maintained by every
+    committed append/serve-append/compact (pre-r11 sidecars fall back
+    to one footer count).  Applies to any kind, but the SEM/IVF kinds
+    normally re-size buckets through their own rebuilds
+    (:func:`recluster_semantic_index` / :func:`retrain_ivf_index`);
+    :func:`rebucket_index` is the cheap rewrite that fixes layout alone
+    (no Lloyd, no codebook retrain)."""
+    live, meta = live_index(spark, path)
+    if meta is None:
+        raise ValueError(f"no index at {path}")
+    rows = meta.get("rows")
+    if rows is None:  # pre-r11 sidecar — footer-only count, O(files)
+        rows = spark.read.schema(_kind_schema(meta)).parquet(live).count()
+    return rows / max(meta["n_buckets"], 1) > drift_factor * target_rows_per_bucket
+
+
+def _kind_pfx(meta: dict) -> Column:
+    """The kind's partition expression at the meta's CURRENT bucket
+    count — the single registry the generational rewrites use so a new
+    kind cannot silently miss re-partitioning."""
+    builders = {
+        BAND_KIND: _band_pfx,
+        EMBED_KIND: _bucket_pfx,
+        SEM_KIND: _cell_pfx,
+        IVF_KIND: _list_pfx,
+    }
+    return builders[meta["kind"]](meta["n_buckets"])
+
+
+@_locked_writer
+def rebucket_index(spark: SparkSession, path: str, n_buckets: int | None = None) -> dict:
+    """Re-partition an index into ``n_buckets`` (default:
+    ``auto_index_buckets`` over the current row count) — the layout-only
+    generational rewrite :func:`rebucket_due` asks for.  Everything
+    else is preserved: band/bucket/cell/codebook parameters, serve
+    decisions, seen history (re-packed under the new ``spfx``).  Like
+    every rewrite it also collapses replay-duplicate rows and reaps
+    pending tombstones, and it swaps in with one atomic pointer flip
+    (crash debris reaped by :func:`recover_compaction`; single-writer
+    slot enforced via :func:`writer_lock`).
+
+    Cost: one pruned-shuffle pass over the index (repartition on the
+    NEW pfx) — no Lloyd, no codebook retrain, no corpus re-read; the
+    cheap maintenance op for the band/embed kinds whose only drift is
+    occupancy.  Returns the new meta dict."""
+    from ..sources.sinks import _hadoop_fs
+
+    recover_compaction(spark, path)  # writer entry point
+    root = path.rstrip("/")
+    live, meta = live_index(spark, root)
+    if meta is None:
+        raise ValueError(f"no {META_FILE} at {path} — nothing to rebucket")
+    if live == root:
+        raise ValueError(
+            f"index at {path} uses the legacy flat layout — run migrate_index "
+            "first to get the reader-atomic pointer swap"
+        )
+    schema = _kind_schema(meta)
+    tombs = _tombstone_list(spark, live)
+    stored = (
+        _minus_tombstones(
+            spark, live, meta, spark.read.schema(schema).parquet(live), tombs
+        )
+        .drop("pfx")
+        .distinct()
+    )
+    if n_buckets is None:
+        rows = meta.get("rows")
+        if rows is None:
+            stored = stored.localCheckpoint()  # reused by count + write
+            rows = stored.count()
+        n_buckets = auto_index_buckets(rows)
+    new_meta = dict(meta, n_buckets=n_buckets)
+    gen = _new_generation(spark, root)
+    new_dir = f"{root}/{gen}"
+    (
+        stored.withColumn("pfx", _kind_pfx(new_meta))
+        .repartition("pfx")
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(new_dir)
+    )
+    fs, path_cls, _ = _hadoop_fs(spark, root)
+    if fs.exists(path_cls(f"{live}/_seen_ids")):
+        id_col = meta["id_col"]
+        (
+            _minus_tombstones(
+                spark, live, meta,
+                spark.read.schema(_seen_schema(meta)).parquet(f"{live}/_seen_ids"),
+                tombs,
+            )
+            .select(id_col)
+            .distinct()
+            .withColumn("spfx", _seen_pfx(id_col, n_buckets))
+            .repartition("spfx")
+            .write.mode("overwrite")
+            .partitionBy("spfx")
+            .parquet(f"{new_dir}/_seen_ids")
+        )
+    if "rows" in new_meta:  # distinct() dropped replay dupes — recount
+        new_meta = dict(
+            new_meta, rows=spark.read.schema(schema).parquet(new_dir).count()
+        )
+    _finish_generation(spark, root, gen, new_meta)
+    return new_meta
+
+
 # ---------------------------------------------------- embedding index
 @_locked_writer
 def create_embedding_index(
@@ -1219,8 +1354,10 @@ def create_embedding_index(
     recover_compaction(spark, path)  # writer entry point — reap debris first
     _reject_legacy_for_write(spark, path.rstrip("/"))
     rows = embedding_bucket_index(embeddings, dims, n_planes, id_col, vec_col, center)
+    n_rows = None
     if n_buckets is None:
-        n_buckets = auto_index_buckets(rows.count())
+        n_rows = rows.count()
+        n_buckets = auto_index_buckets(n_rows)
     meta = {
         "kind": EMBED_KIND,
         "id_col": id_col,
@@ -1239,17 +1376,24 @@ def create_embedding_index(
         .partitionBy("pfx")
         .parquet(f"{root}/{gen}")
     )
+    if n_rows is None:  # explicit-n_buckets path: footer-only count
+        n_rows = spark.read.schema(_embed_schema(meta)).parquet(f"{root}/{gen}").count()
+    meta["rows"] = n_rows  # growth counter (r11) — feeds rebucket_due
     _finish_generation(spark, root, gen, meta)
     return meta
 
 
 def append_embed_rows(rows: DataFrame, path: str, meta: dict) -> None:
+    spark = rows.sparkSession
+    live = live_root(spark, path)
     (
         rows.withColumn("pfx", _bucket_pfx(meta["n_buckets"]))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(live_root(rows.sparkSession, path))
+        .parquet(live)
     )
+    if "rows" in meta:
+        _bump_rows(spark, live, meta, rows.count())
 
 
 def open_embedding_index(
@@ -1324,6 +1468,7 @@ def serve_incremental_embed_near_dup(
         )
         if append:
             new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            _bump_rows(spark, live, meta, new_rows.count())
             back = _reingested_tombstones(spark, meta, new_embeddings, tombs)
             if back:  # re-ingested takedown ids become servable again
                 clear_tombstones(spark, live, back)

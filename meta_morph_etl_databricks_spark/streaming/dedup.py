@@ -79,6 +79,8 @@ def stream_incremental_dedup(
     n_buckets: int | None = None,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    rebucket_when_due: bool = False,
+    rebucket_target_rows: int = 500,
 ):
     """Continuous corpus curation: every micro-batch of documents is
     near-dup-deduped against the persisted MinHash band index
@@ -164,6 +166,7 @@ def stream_incremental_dedup(
                 "num_hashes": num_hashes,
                 "bands": bands,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
+                "rows": 0,  # running counter (r11) — bumped per batch
             }
             live = ix.init_index(spark, index_path, meta, lock_retries=60)
         else:
@@ -213,6 +216,9 @@ def stream_incremental_dedup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             banded.write.mode("append").partitionBy("pfx").parquet(live)
+            # counter bump before the seen marker — same replay-
+            # undercount trade as the semantic sink (see that comment)
+            meta = ix._bump_rows(spark, live, meta, banded.count())
             # re-ingested takedown ids become servable again — cleared
             # BEFORE the seen marker so a crash between the two replays
             # the batch (full-row dups) instead of stranding re-accepted
@@ -223,6 +229,12 @@ def stream_incremental_dedup(
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path, lock_retries=60)
+            if rebucket_when_due and ix.rebucket_due(
+                spark, index_path, target_rows_per_bucket=rebucket_target_rows
+            ):
+                # BETWEEN-triggers writer slot, like compact: the grown
+                # corpus gets auto_index_buckets-many buckets back
+                ix.rebucket_index(spark, index_path, lock_retries=60)
         finally:
             banded.unpersist()
             fresh.unpersist()
@@ -416,6 +428,8 @@ def stream_incremental_embed_near_dup(
     n_buckets: int | None = None,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    rebucket_when_due: bool = False,
+    rebucket_target_rows: int = 500,
 ):
     """Embedding sibling of :func:`stream_incremental_dedup`:
     continuous embedding-corpus curation against the persisted bucket
@@ -473,6 +487,7 @@ def stream_incremental_embed_near_dup(
                 "n_planes": n_planes,
                 "center": c,
                 "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
+                "rows": 0,  # running counter (r11) — bumped per batch
             }
             live = ix.init_index(spark, index_path, meta, lock_retries=60)
         else:
@@ -526,6 +541,9 @@ def stream_incremental_embed_near_dup(
             )
             res.accepted.write.mode("append").parquet(accepted_path)
             new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+            # counter bump before the seen marker — same replay-
+            # undercount trade as the semantic sink (see that comment)
+            meta = ix._bump_rows(spark, live, meta, new_rows.count())
             # re-ingested takedown ids become servable again — cleared
             # BEFORE the seen marker (see stream_incremental_dedup)
             back = ix._reingested_tombstones(spark, meta, fresh, tombs)
@@ -534,6 +552,10 @@ def stream_incremental_embed_near_dup(
             _append_seen(fresh, live, meta)  # commit marker
             if compact_every and (_batch_id + 1) % compact_every == 0:
                 ix.compact_index(spark, index_path, lock_retries=60)
+            if rebucket_when_due and ix.rebucket_due(
+                spark, index_path, target_rows_per_bucket=rebucket_target_rows
+            ):
+                ix.rebucket_index(spark, index_path, lock_retries=60)
         finally:
             new_rows.unpersist()
             fresh.unpersist()

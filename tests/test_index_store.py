@@ -272,7 +272,9 @@ def test_compact_index_dedupes_preserves_meta_and_seen(spark, corpus, tmp_path):
     assert ix.recover_compaction(spark, d) == "finished"
     assert not os.path.exists(live0) and os.path.exists(live1)
     after, meta2 = ix.open_band_index(spark, d)
-    assert meta2 == meta
+    # compaction recounts the r11 rows counter to the post-distinct
+    # truth (the manual replay write above bypassed the bump)
+    assert meta2 == dict(meta, rows=n_distinct)
     assert after.count() == n_distinct
     assert spark.read.parquet(f"{live1}/_seen_ids").count() == 1  # seen survived
     # one file per bucket
@@ -337,7 +339,8 @@ def test_recover_compaction_pointer_crash_windows(spark, corpus, tmp_path):
     os.remove(f"{d}/{ix.CURRENT_FILE}")
     assert ix.live_root(spark, d) == live0
     after, meta2 = ix.open_band_index(spark, d)  # reads fine with no pointer
-    assert meta2 == meta and after.count() == n0
+    # rows counter was bumped by the append — everything else identical
+    assert meta2 == dict(meta, rows=n0) and after.count() == n0
     assert ix.recover_compaction(spark, d) == "restored"
     assert ix.live_root(spark, d) == live0
 
@@ -381,7 +384,9 @@ def test_legacy_flat_index_migrates_then_compacts(spark, corpus, tmp_path):
         ix.compact_index(spark, d)
     live = ix.migrate_index(spark, d)
     assert live.endswith("gen-0000000")
-    assert ix.open_band_index(spark, d)[1] == meta
+    got_meta = ix.open_band_index(spark, d)[1]
+    assert got_meta["rows"] > meta["rows"]  # the append bumped the counter
+    assert dict(got_meta, rows=0) == dict(meta, rows=0)
     assert spark.read.parquet(f"{live}/_seen_ids").count() == 1
     ix.compact_index(spark, d)
     assert ix.open_band_index(spark, d)[0].count() >= n

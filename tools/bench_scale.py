@@ -997,6 +997,77 @@ def bench_ivf_retrain(spark, sampler: _Sampler, label: str, d: str, passes: int 
     }
 
 
+def bench_rebucket(spark, sampler: _Sampler, label: str, d: str, passes: int = 2) -> dict:
+    """r11 — layout growth for the band kind: bootstrap the index on a
+    1% prefix (auto buckets sized to THAT corpus), grow it 99× by
+    appends against the frozen bucket count, then `rebucket_index`.
+    The serve is a fixed 32-doc increment: against the overgrown layout
+    every touched bucket holds ~100× the target rows, so the pruned
+    read degrades linearly with growth; after the layout-only rewrite
+    (no re-hashing of minhashes, no policy change) the flat-serve
+    property returns.  The dial (`rebucket_due`) reads the `_rows`
+    counter O(1)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        minhash_band_index,
+    )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _documents
+
+    docs = _documents(spark, d)
+    n = docs.count()
+    lo_cut = docs.selectExpr(
+        "percentile_cont(0.01) WITHIN GROUP (ORDER BY doc_id) AS c"
+    ).first()["c"]
+    probe_cut = (
+        docs.orderBy(F.col("doc_id").desc()).limit(32).agg(F.min("doc_id")).first()[0]
+    )
+    boot = docs.where(F.col("doc_id") < lo_cut)
+    grow = docs.where((F.col("doc_id") >= lo_cut) & (F.col("doc_id") < probe_cut))
+    probe = docs.where(F.col("doc_id") >= probe_cut)
+    idx_dir = tempfile.mkdtemp(prefix="rebucket_")
+    try:
+        meta = ix.create_band_index(boot, idx_dir)
+        nb0 = meta["n_buckets"]
+        ix.append_band_rows(
+            minhash_band_index(grow, "text", "doc_id", meta["num_hashes"], meta["bands"]),
+            idx_dir,
+            meta,
+        )
+        dial = ix.rebucket_due(spark, idx_dir)
+        serve_grown = sampler.measure(
+            lambda: ix.serve_incremental_dedup(
+                probe, idx_dir, append=False
+            ).accepted.count(),
+            passes,
+        )
+        t0 = time.time()
+        meta2 = ix.rebucket_index(spark, idx_dir)
+        rebucket_sec = round(time.time() - t0, 2)
+        dial_after = ix.rebucket_due(spark, idx_dir)
+        serve_rebucketed = sampler.measure(
+            lambda: ix.serve_incremental_dedup(
+                probe, idx_dir, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n_docs": n,
+        "n_buckets": [nb0, meta2["n_buckets"]],
+        "dial": [dial, dial_after],
+        "serve_grown": serve_grown,
+        "rebucket_sec": rebucket_sec,
+        "serve_rebucketed": serve_rebucketed,
+    }
+
+
 def bench_ivf_hot_skew(
     spark, sampler: _Sampler, label: str, d: str, passes: int = 2, fixed_nprobe: int = 4
 ) -> dict:
@@ -1234,6 +1305,14 @@ def main() -> None:
         bench_ivf_hot_skew(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_ivf_hot_skew(spark, sampler, "scale10", scale_dir, passes=2),
     ]
+    rebucket_recs = [
+        bench_rebucket(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_rebucket(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:
+        rebucket_recs.append(
+            bench_rebucket(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
 
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
@@ -1318,6 +1397,13 @@ def main() -> None:
             f"serve@nprobe={p['fixed_nprobe']} {p['serve_frozen']['sec_norm']}s->{p['serve_retrained']['sec_norm']}s "
             f"recall {p['recall_frozen']}->{p['recall_retrained']} (retrain {p['retrain_sec']}s)"
         )
+    for p in rebucket_recs:
+        print(
+            f"rebucket[{p['label']}]: docs={p['n_docs']} buckets {p['n_buckets'][0]}->"
+            f"{p['n_buckets'][1]} dial {p['dial'][0]}->{p['dial'][1]} "
+            f"serve {p['serve_grown']['sec_norm']}s->{p['serve_rebucketed']['sec_norm']}s "
+            f"(rebucket {p['rebucket_sec']}s)"
+        )
     for p in ivf_hot_recs:
         print(
             f"ivf_hot_skew[{p['label']}]: n={p['n']} nlist={p['nlist']} "
@@ -1374,6 +1460,7 @@ def main() -> None:
         "takedown": takedown_recs,
         "ivf_retrain": ivf_retrain_recs,
         "ivf_hot_skew": ivf_hot_recs,
+        "rebucket": rebucket_recs,
         "note": "time_ratio <= ~12 (or tracking rows_ratio for pair-output "
                 "queries) = near-linear; >> that = quadratic plan",
     }
