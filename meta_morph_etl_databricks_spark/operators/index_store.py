@@ -922,9 +922,14 @@ def append_band_rows(rows: DataFrame, path: str, meta: dict) -> None:
     """Append an increment's band rows (``IncrementalDedupResult
     .index_rows``) into the live generation's partitioned layout and
     bump the growth counter (no-op for pre-r11 sidecars without
-    ``rows``)."""
+    ``rows``).  The frame is materialized once when the counter needs a
+    count — the band generator cannot be pruned out of a count(), so
+    write-then-count on the raw frame would evaluate the minhash chain
+    twice (the create-path lesson, r10)."""
     spark = rows.sparkSession
     live = live_root(spark, path)
+    if "rows" in meta:
+        rows = rows.localCheckpoint()
     (
         rows.withColumn("pfx", _band_pfx(meta["n_buckets"]))
         .write.mode("append")
@@ -1386,6 +1391,8 @@ def create_embedding_index(
 def append_embed_rows(rows: DataFrame, path: str, meta: dict) -> None:
     spark = rows.sparkSession
     live = live_root(spark, path)
+    if "rows" in meta:  # single evaluation for the counter's count
+        rows = rows.localCheckpoint()
     (
         rows.withColumn("pfx", _bucket_pfx(meta["n_buckets"]))
         .write.mode("append")
