@@ -289,6 +289,18 @@ def _new_generation(spark: SparkSession, root: str) -> str:
 
 WRITER_LOCK_SUFFIX = "__writer_lock"
 
+# roots whose writer lock THIS thread currently holds — makes the lock
+# REENTRANT per thread (r11 review): a streaming batch body holds the
+# slot for its whole append sequence, and the maintenance ops it calls
+# in-line (compact/recluster/rebucket, recover, clear_tombstones)
+# re-enter instead of deadlocking.  Thread-LOCAL on purpose: two
+# threads of one process are two writers and must still serialize
+# through the marker file (pinned by the concurrent compact+retract
+# test).
+import threading as _threading
+
+_lock_holders = _threading.local()
+
 
 @contextmanager
 def writer_lock(
@@ -326,6 +338,12 @@ def writer_lock(
     from ..sources.sinks import _hadoop_fs, _try_acquire_lock
 
     root = path.rstrip("/")
+    held = getattr(_lock_holders, "roots", None)
+    if held is None:
+        held = _lock_holders.roots = set()
+    if root in held:  # re-entry: the outer holder owns the marker
+        yield
+        return
     lock_path = f"{root}{WRITER_LOCK_SUFFIX}"
     fs, path_cls, _ = _hadoop_fs(spark, root)
     lock = path_cls(lock_path)
@@ -352,8 +370,10 @@ def writer_lock(
             )
         except Exception:
             pass
+        held.add(root)
         yield
     finally:
+        held.discard(root)
         fs.delete(lock, False)
 
 
@@ -593,10 +613,21 @@ def _bump_rows(spark: SparkSession, live: str, meta: dict, delta: int) -> dict:
     the meta write-once after completion; ``_rows`` is replaced via
     tmp+rename (:func:`_replace_small_file`) and its loss merely
     degrades the dial to the build-time count (:func:`live_index`
-    overlays it back into ``meta['rows']`` on every resolution)."""
+    overlays it back into ``meta['rows']`` on every resolution).
+
+    The delta is applied to the LIVE counter file, not the caller's
+    snapshot (r11 review): two appends that both carried the same
+    stale ``meta`` dict would otherwise write base+delta twice and
+    clobber the first bump.  Single-writer by the appender contract,
+    so the read-add-replace needs no lock."""
     if "rows" not in meta or not delta:
         return meta
-    meta = dict(meta, rows=int(meta["rows"]) + int(delta))
+    cur = _read_small_file(spark, f"{live.rstrip('/')}/{ROWS_FILE}")
+    try:
+        base = int(cur.strip()) if cur is not None else int(meta["rows"])
+    except ValueError:  # torn legacy write — meta snapshot stands
+        base = int(meta["rows"])
+    meta = dict(meta, rows=base + int(delta))
     _replace_small_file(spark, f"{live.rstrip('/')}/{ROWS_FILE}", str(meta["rows"]))
     return meta
 
@@ -697,8 +728,22 @@ def append_seen_ids(ids_df: DataFrame, live: str, meta: dict) -> None:
 def _tombstone_list(spark: SparkSession, live: str) -> list:
     """The live generation's pending-takedown ids (empty when none).
     One tiny-file read — serves already read the meta sidecar, this is
-    the same class of cost."""
-    text = _read_small_file(spark, f"{live.rstrip('/')}/{TOMBSTONES_FILE}")
+    the same class of cost.
+
+    Missing-file fallback (r11 review): :func:`_replace_small_file`'s
+    delete+rename path (the one Hadoop's local/HDFS rename-refuses-
+    existing forces) has a no-file window, and for THIS sidecar
+    "missing" must not read as "no takedowns" — that would transiently
+    serve taken-down rows.  The tmp sibling holds the complete NEW
+    list for the whole window, so a reader that finds the final name
+    missing reads the tmp instead; the drain path deletes both (see
+    :func:`clear_tombstones`), and an orphaned tmp from a CRASHED
+    update is only ever consulted while the final name is absent —
+    i.e. during a later drain, whose both-files delete clears it."""
+    base = f"{live.rstrip('/')}/{TOMBSTONES_FILE}"
+    text = _read_small_file(spark, base)
+    if text is None:
+        text = _read_small_file(spark, f"{base}.tmp")
     return [] if text is None else json.loads(text)
 
 
@@ -748,7 +793,10 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
     accepted on redelivery, and a streaming redelivery of a tombstoned
     id is re-processed (its seen entry is masked) — re-ingest then
     clears the id's tombstone, making the re-accepted content servable
-    again.  Crash-safe: the sidecar is replaced atomically
+    again — note resurrection un-hides EVERY stored row of the id, old
+    content's included, so a takedown-and-REPLACE flow (same id,
+    sanitized new content) must use :func:`retract_ids` instead (see
+    :func:`clear_tombstones`).  Crash-safe: the sidecar is replaced atomically
     (:func:`_replace_small_file`); a crash loses at worst the
     in-flight update, never yields a torn list.  Single-writer slot
     ENFORCED via :func:`writer_lock` (r11), shared with compaction."""
@@ -773,23 +821,54 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
     return len(fresh)
 
 
-def clear_tombstones(spark: SparkSession, live: str, ids: list) -> None:
+def _root_of_live(live: str) -> str:
+    """The index ROOT a live data dir belongs to: the parent for a
+    ``gen-N`` dir, the dir itself for the legacy flat layout."""
+    live = live.rstrip("/")
+    head, _, tail = live.rpartition("/")
+    return head if tail.startswith(_GEN_PREFIX) else live
+
+
+def clear_tombstones(
+    spark: SparkSession, live: str, ids: list, lock_retries: int = 60
+) -> None:
     """Un-tombstone ``ids`` (the re-ingest resurrection path): rewrite
-    the sidecar without them — atomic replace, file deleted when the
-    set drains.  Writer-side only (the sinks call it in their committed-
-    batch sequence)."""
+    the sidecar without them — atomic replace, BOTH names (final and
+    tmp) deleted when the set drains, so a crash-orphaned tmp can never
+    resurrect a stale list through :func:`_tombstone_list`'s window
+    fallback.  Writer-side only (the sinks call it in their committed-
+    batch sequence).
+
+    Takes the index writer lock (r11 review): this is a read-modify-
+    write of the same sidecar :func:`tombstone_ids` updates under the
+    lock — lock-free, a concurrent takedown landing between this
+    function's read and its replace would be silently erased, losing a
+    legal takedown.  ``lock_retries`` defaults to polling (the sinks
+    must serialize behind a concurrent takedown, not die).
+
+    Resurrection contract: clearing an id un-hides EVERY stored row of
+    that id, including rows derived from the previously taken-down
+    content — correct for the redelivery/replay case this path exists
+    for (same content re-delivered under the same id).  A takedown-
+    and-REPLACE flow (same id, sanitized new content) must use
+    :func:`retract_ids` for the takedown instead: the physical purge is
+    what guarantees the old content's rows are gone before the
+    replacement is ingested."""
     from ..sources.sinks import _hadoop_fs
 
-    cur = set(_tombstone_list(spark, live))
-    keep = sorted(cur.difference(ids))
-    if len(keep) == len(cur):
-        return
-    tf = f"{live.rstrip('/')}/{TOMBSTONES_FILE}"
-    if keep:
-        _replace_small_file(spark, tf, json.dumps(keep))
-    else:
-        fs, path_cls, _ = _hadoop_fs(spark, live)
-        fs.delete(path_cls(tf), False)
+    root = _root_of_live(live)
+    with writer_lock(spark, root, "clear_tombstones", retries=lock_retries):
+        cur = set(_tombstone_list(spark, live))
+        keep = sorted(cur.difference(ids))
+        if len(keep) == len(cur):
+            return
+        tf = f"{live.rstrip('/')}/{TOMBSTONES_FILE}"
+        if keep:
+            _replace_small_file(spark, tf, json.dumps(keep))
+        else:
+            fs, path_cls, _ = _hadoop_fs(spark, live)
+            fs.delete(path_cls(tf), False)
+            fs.delete(path_cls(f"{tf}.tmp"), False)
 
 
 def _reingested_tombstones(
@@ -849,7 +928,12 @@ def pruned_read(
     try:
         return spark.read.option("basePath", root).schema(schema).parquet(pattern)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # error CLASS first (stable across backends/locales — the
+        # path_exists lesson about message matching), message substring
+        # only as the fallback for engines predating error classes
+        cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        name = cond() if callable(cond) else None
+        if name == "PATH_NOT_FOUND" or (name is None and "PATH_NOT_FOUND" in str(e)):
             return spark.createDataFrame([], schema)
         raise
 
@@ -1014,18 +1098,19 @@ def serve_incremental_dedup(
             _banded=banded.drop("pfx"),
         )
         if append:
-            # pfx already on the cached rows — write them directly
-            banded.write.mode("append").partitionBy("pfx").parquet(live)
-            _bump_rows(spark, live, meta, banded.count())
-            back = _reingested_tombstones(spark, meta, new_docs, tombs)
-            if back:  # re-ingested takedown ids become servable again
-                clear_tombstones(spark, live, back)
+            # pfx already on the cached rows; locked + swap-aware
+            _locked_serve_append(spark, path, live, meta, banded, new_docs, tombs)
         return res
     finally:
         banded.unpersist()
 
 
-def recover_compaction(spark: SparkSession, path: str) -> str:
+def recover_compaction(
+    spark: SparkSession,
+    path: str,
+    lock_retries: int = 0,
+    lock_retry_interval_sec: float = 1.0,
+) -> str:
     """Writer-side self-heal + debris cleanup for the generation
     layout.  Idempotent; returns what it did:
 
@@ -1043,7 +1128,21 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
     WRITER-side only: readers resolve passively through
     :func:`live_root` and never delete, so a reader is safe while a
     compaction is mid-build; run this where the appender runs (the
-    streaming sinks call it per batch)."""
+    streaming sinks call it per batch).
+
+    Takes the (reentrant) writer lock (r11 review): the debris reap
+    deletes meta-less generations, and lock-free it could delete the
+    half-built generation a CONCURRENT lock-holding writer is mid-way
+    through building.  Callers already inside a writer op re-enter for
+    free; a standalone call while maintenance runs fails loudly like
+    any other writer (pass ``lock_retries`` to wait instead)."""
+    with writer_lock(
+        spark, path, "recover_compaction", lock_retries, lock_retry_interval_sec
+    ):
+        return _recover_compaction_unlocked(spark, path)
+
+
+def _recover_compaction_unlocked(spark: SparkSession, path: str) -> str:
     from ..sources.sinks import _hadoop_fs
 
     root = path.rstrip("/")
@@ -1254,6 +1353,52 @@ def _kind_pfx(meta: dict) -> Column:
     return builders[meta["kind"]](meta["n_buckets"])
 
 
+def _locked_serve_append(
+    spark: SparkSession,
+    path: str,
+    live: str,
+    meta: dict,
+    rows_with_pfx: DataFrame,
+    increment: DataFrame,
+    tombs: list,
+) -> None:
+    """The serve functions' append section, under the (reentrant) slot
+    lock — r11 review: lock-free, the append could race a concurrent
+    maintenance op's generation swap and land rows in a retired
+    generation (silently reaped a cycle later).  Inside the lock the
+    pointer is re-checked: unchanged (the common case, and always when
+    the caller is a streaming batch already holding the lock) appends
+    as computed; moved by a LAYOUT-ONLY rewrite (rebucket/compact —
+    same kind params, only ``n_buckets``/``rows`` may differ) re-keys
+    the pfx column against the new layout and appends there; moved by
+    a REBUILD that changed the kind's parameters (recluster/retrain —
+    the increment's cell/centroid assignments are stale) raises
+    loudly rather than corrupt routing — re-run the serve against the
+    new generation."""
+    with writer_lock(spark, path, "serve_append", retries=60):
+        live2, meta2 = live_index(spark, path)
+        if live2 != live:
+            same_params = {
+                k: v for k, v in (meta2 or {}).items() if k not in ("n_buckets", "rows")
+            } == {k: v for k, v in meta.items() if k not in ("n_buckets", "rows")}
+            if not same_params:
+                raise RuntimeError(
+                    f"index at {path} was rebuilt mid-serve (recluster/retrain "
+                    "swapped the live generation's parameters) — re-run the "
+                    "serve against the new generation"
+                )
+            rows_with_pfx = rows_with_pfx.drop("pfx").withColumn(
+                "pfx", _kind_pfx(meta2)
+            )
+            live, meta = live2, meta2
+            tombs = _tombstone_list(spark, live)
+        rows_with_pfx.write.mode("append").partitionBy("pfx").parquet(live)
+        _bump_rows(spark, live, meta, rows_with_pfx.count())
+        back = _reingested_tombstones(spark, meta, increment, tombs)
+        if back:  # re-ingested takedown ids become servable again
+            clear_tombstones(spark, live, back)
+
+
 @_locked_writer
 def rebucket_index(spark: SparkSession, path: str, n_buckets: int | None = None) -> dict:
     """Re-partition an index into ``n_buckets`` (default:
@@ -1297,6 +1442,8 @@ def rebucket_index(spark: SparkSession, path: str, n_buckets: int | None = None)
             stored = stored.localCheckpoint()  # reused by count + write
             rows = stored.count()
         n_buckets = auto_index_buckets(rows)
+        if meta["kind"] == IVF_KIND:  # same cap rule as create/retrain:
+            n_buckets = min(n_buckets, max(meta.get("nlist", 1), 1))
     new_meta = dict(meta, n_buckets=n_buckets)
     gen = _new_generation(spark, root)
     new_dir = f"{root}/{gen}"
@@ -1474,11 +1621,9 @@ def serve_incremental_embed_near_dup(
             _new_rows=new_rows.drop("pfx"),
         )
         if append:
-            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
-            _bump_rows(spark, live, meta, new_rows.count())
-            back = _reingested_tombstones(spark, meta, new_embeddings, tombs)
-            if back:  # re-ingested takedown ids become servable again
-                clear_tombstones(spark, live, back)
+            _locked_serve_append(
+                spark, path, live, meta, new_rows, new_embeddings, tombs
+            )
         return res
     finally:
         new_rows.unpersist()
@@ -1655,11 +1800,9 @@ def serve_incremental_semantic_dedup(
             _new_rows=new_rows.drop("pfx"),
         )
         if append:
-            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
-            _bump_rows(spark, live, meta, new_rows.count())
-            back = _reingested_tombstones(spark, meta, new_embeddings, tombs)
-            if back:  # re-ingested takedown ids become servable again
-                clear_tombstones(spark, live, back)
+            _locked_serve_append(
+                spark, path, live, meta, new_rows, new_embeddings, tombs
+            )
         return res
     finally:
         new_rows.unpersist()
@@ -2066,6 +2209,13 @@ def append_ivf_vectors(
         if new_embeddings.isEmpty():
             new_embeddings.unpersist()
             return
+    else:
+        # single evaluation (r11 review): the write, the counter bump's
+        # count() and the tombstone probe would otherwise re-run the
+        # increment's upstream plan up to three times — and a
+        # nondeterministic source could make the counted rows disagree
+        # with the written ones
+        new_embeddings = new_embeddings.localCheckpoint()
     try:
         if not meta["centroids"] and meta["codec"] == "float":
             # EMPTY bootstrap codebook: the assignment kernel returns

@@ -146,98 +146,103 @@ def stream_incremental_dedup(
 
     def dedupe_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # UNCONDITIONAL (not gated on compact_every): a compaction crash
-        # mid-swap leaves no live index, and a restart that dropped the
-        # flag would otherwise read meta=None and silently bootstrap a
-        # fresh EMPTY index over the trash — then a later recovery call
-        # would see root+trash, declare the compaction "finished", and
-        # delete the old index permanently.  Two fs.exists calls per
-        # batch buys immunity to that whole class.
-        ix.recover_compaction(spark, index_path)
-        # resolve the pointer ONCE per batch — meta and data must come
-        # from the same generation (round-9 advice: a flip between
-        # separate meta/live reads pairs stale meta with new data)
-        live, meta = ix.live_index(spark, index_path)
-        if meta is None:
-            meta = {
-                "kind": ix.BAND_KIND,
-                "id_col": id_col,
-                "id_type": dict(batch_df.dtypes)[id_col],
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
-                "rows": 0,  # running counter (r11) — bumped per batch
-            }
-            live = ix.init_index(spark, index_path, meta, lock_retries=60)
-        else:
-            if meta.get("kind") != ix.BAND_KIND:
-                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
-            ix._require_meta(
-                meta,
-                {"id_col": id_col, "num_hashes": num_hashes, "bands": bands},
-                index_path,
-            )
-            ix._check_id_type(batch_df, meta, index_path)
-        nb = meta["n_buckets"]
+        # the WHOLE batch body holds the (reentrant) writer slot
+        # (r11 review): recovery's debris reap, the data/seen appends
+        # and in-line maintenance all serialize against external
+        # maintenance ops instead of racing their generation swaps
+        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+            # UNCONDITIONAL (not gated on compact_every): a compaction crash
+            # mid-swap leaves no live index, and a restart that dropped the
+            # flag would otherwise read meta=None and silently bootstrap a
+            # fresh EMPTY index over the trash — then a later recovery call
+            # would see root+trash, declare the compaction "finished", and
+            # delete the old index permanently.  Two fs.exists calls per
+            # batch buys immunity to that whole class.
+            ix.recover_compaction(spark, index_path)
+            # resolve the pointer ONCE per batch — meta and data must come
+            # from the same generation (round-9 advice: a flip between
+            # separate meta/live reads pairs stale meta with new data)
+            live, meta = ix.live_index(spark, index_path)
+            if meta is None:
+                meta = {
+                    "kind": ix.BAND_KIND,
+                    "id_col": id_col,
+                    "id_type": dict(batch_df.dtypes)[id_col],
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count() * bands),
+                    "rows": 0,  # running counter (r11) — bumped per batch
+                }
+                live = ix.init_index(spark, index_path, meta, lock_retries=60)
+            else:
+                if meta.get("kind") != ix.BAND_KIND:
+                    raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+                ix._require_meta(
+                    meta,
+                    {"id_col": id_col, "num_hashes": num_hashes, "bands": bands},
+                    index_path,
+                )
+                ix._check_id_type(batch_df, meta, index_path)
+            nb = meta["n_buckets"]
 
-        # persist the seen-filtered batch AND its band rows: fresh
-        # feeds isEmpty, the banding, the accepted anti-join, and the
-        # seen append; banded feeds the touched-pfx probe, both dedup
-        # joins, and the index append.  Both freed before return — a
-        # long-running stream must not accumulate caches.
-        from pyspark.sql import functions as F
+            # persist the seen-filtered batch AND its band rows: fresh
+            # feeds isEmpty, the banding, the accepted anti-join, and the
+            # seen append; banded feeds the touched-pfx probe, both dedup
+            # joins, and the index append.  Both freed before return — a
+            # long-running stream must not accumulate caches.
+            from pyspark.sql import functions as F
 
-        tombs = ix._tombstone_list(spark, live)
-        fresh = _filter_fresh(batch_df, live, meta).persist()
-        if fresh.isEmpty():
-            fresh.unpersist()
-            return
-        banded = (
-            minhash_band_index(fresh, text_col, id_col, num_hashes, bands)
-            .withColumn("pfx", ix._band_pfx(nb))
-            .persist()
-        )
-        try:
-            touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
-            index = ix._minus_tombstones(
-                spark, live, meta,
-                ix.pruned_read(spark, live, ix._band_schema(meta), touched), tombs,
+            tombs = ix._tombstone_list(spark, live)
+            fresh = _filter_fresh(batch_df, live, meta).persist()
+            if fresh.isEmpty():
+                fresh.unpersist()
+                return
+            banded = (
+                minhash_band_index(fresh, text_col, id_col, num_hashes, bands)
+                .withColumn("pfx", ix._band_pfx(nb))
+                .persist()
             )
-            res = incremental_dedup(
-                fresh,
-                index.drop("pfx"),
-                text_col,
-                id_col,
-                num_hashes,
-                bands,
-                est_threshold,
-                index_meta=meta,
-                _banded=banded.drop("pfx"),
-            )
-            res.accepted.write.mode("append").parquet(accepted_path)
-            banded.write.mode("append").partitionBy("pfx").parquet(live)
-            # counter bump before the seen marker — same replay-
-            # undercount trade as the semantic sink (see that comment)
-            meta = ix._bump_rows(spark, live, meta, banded.count())
-            # re-ingested takedown ids become servable again — cleared
-            # BEFORE the seen marker so a crash between the two replays
-            # the batch (full-row dups) instead of stranding re-accepted
-            # content behind its own tombstone
-            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
-            if back:
-                ix.clear_tombstones(spark, live, back)
-            _append_seen(fresh, live, meta)  # commit marker
-            if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path, lock_retries=60)
-            if rebucket_when_due and ix.rebucket_due(
-                spark, index_path, target_rows_per_bucket=rebucket_target_rows
-            ):
-                # BETWEEN-triggers writer slot, like compact: the grown
-                # corpus gets auto_index_buckets-many buckets back
-                ix.rebucket_index(spark, index_path, lock_retries=60)
-        finally:
-            banded.unpersist()
-            fresh.unpersist()
+            try:
+                touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
+                index = ix._minus_tombstones(
+                    spark, live, meta,
+                    ix.pruned_read(spark, live, ix._band_schema(meta), touched), tombs,
+                )
+                res = incremental_dedup(
+                    fresh,
+                    index.drop("pfx"),
+                    text_col,
+                    id_col,
+                    num_hashes,
+                    bands,
+                    est_threshold,
+                    index_meta=meta,
+                    _banded=banded.drop("pfx"),
+                )
+                res.accepted.write.mode("append").parquet(accepted_path)
+                banded.write.mode("append").partitionBy("pfx").parquet(live)
+                # counter bump before the seen marker — same replay-
+                # undercount trade as the semantic sink (see that comment)
+                meta = ix._bump_rows(spark, live, meta, banded.count())
+                # re-ingested takedown ids become servable again — cleared
+                # BEFORE the seen marker so a crash between the two replays
+                # the batch (full-row dups) instead of stranding re-accepted
+                # content behind its own tombstone
+                back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+                if back:
+                    ix.clear_tombstones(spark, live, back)
+                _append_seen(fresh, live, meta)  # commit marker
+                if compact_every and (_batch_id + 1) % compact_every == 0:
+                    ix.compact_index(spark, index_path, lock_retries=60)
+                if rebucket_when_due and ix.rebucket_due(
+                    spark, index_path, target_rows_per_bucket=rebucket_target_rows
+                ):
+                    # BETWEEN-triggers writer slot, like compact: the grown
+                    # corpus gets auto_index_buckets-many buckets back
+                    ix.rebucket_index(spark, index_path, lock_retries=60)
+            finally:
+                banded.unpersist()
+                fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
         "checkpointLocation", checkpoint
@@ -303,108 +308,113 @@ def stream_incremental_semantic_dedup(
         from pyspark.sql import functions as F
 
         spark = batch_df.sparkSession
-        # UNCONDITIONAL — same crash-class immunity as the other sinks
-        ix.recover_compaction(spark, index_path)
-        # resolve the pointer ONCE per batch — meta and data must come
-        # from the same generation (round-9 advice: a flip between
-        # separate meta/live reads pairs stale meta with new data)
-        live, meta = ix.live_index(spark, index_path)
-        if meta is None:
-            n = batch_df.count()
-            kk = k if k is not None else auto_k(n, target_cell_size)
-            _, _, tree = kmeans_int8_tree(
-                batch_df, kk, iters, dims, id_col, vec_col, n_docs=n
-            )
-            if tree is None:  # no valid vectors — nothing to cluster on
-                batch_df.write.mode("append").parquet(accepted_path)
-                return
-            meta = {
-                "kind": ix.SEM_KIND,
-                "id_col": id_col,
-                "id_type": dict(batch_df.dtypes)[id_col],
-                "dims": dims,
-                "k": kk,
-                "iters": iters,
-                "n_buckets": n_buckets or ix.auto_index_buckets(n),
-                "target_cell_size": target_cell_size,
-                "bootstrap_rows": n,
-                "rows": 0,
-                "tree": tree_to_json(tree),
-            }
-            live = ix.init_index(spark, index_path, meta, lock_retries=60)
-        else:
-            if meta.get("kind") != ix.SEM_KIND:
-                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
-            expected = {"id_col": id_col, "dims": dims}
-            if k is not None:
-                expected["k"] = k
-            ix._require_meta(meta, expected, index_path)
-            ix._check_id_type(batch_df, meta, index_path)
-        nb = meta["n_buckets"]
-        tree = tree_from_json(meta["tree"])
+        # the WHOLE batch body holds the (reentrant) writer slot
+        # (r11 review): recovery's debris reap, the data/seen appends
+        # and in-line maintenance all serialize against external
+        # maintenance ops instead of racing their generation swaps
+        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+            # UNCONDITIONAL — same crash-class immunity as the other sinks
+            ix.recover_compaction(spark, index_path)
+            # resolve the pointer ONCE per batch — meta and data must come
+            # from the same generation (round-9 advice: a flip between
+            # separate meta/live reads pairs stale meta with new data)
+            live, meta = ix.live_index(spark, index_path)
+            if meta is None:
+                n = batch_df.count()
+                kk = k if k is not None else auto_k(n, target_cell_size)
+                _, _, tree = kmeans_int8_tree(
+                    batch_df, kk, iters, dims, id_col, vec_col, n_docs=n
+                )
+                if tree is None:  # no valid vectors — nothing to cluster on
+                    batch_df.write.mode("append").parquet(accepted_path)
+                    return
+                meta = {
+                    "kind": ix.SEM_KIND,
+                    "id_col": id_col,
+                    "id_type": dict(batch_df.dtypes)[id_col],
+                    "dims": dims,
+                    "k": kk,
+                    "iters": iters,
+                    "n_buckets": n_buckets or ix.auto_index_buckets(n),
+                    "target_cell_size": target_cell_size,
+                    "bootstrap_rows": n,
+                    "rows": 0,
+                    "tree": tree_to_json(tree),
+                }
+                live = ix.init_index(spark, index_path, meta, lock_retries=60)
+            else:
+                if meta.get("kind") != ix.SEM_KIND:
+                    raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+                expected = {"id_col": id_col, "dims": dims}
+                if k is not None:
+                    expected["k"] = k
+                ix._require_meta(meta, expected, index_path)
+                ix._check_id_type(batch_df, meta, index_path)
+            nb = meta["n_buckets"]
+            tree = tree_from_json(meta["tree"])
 
-        tombs = ix._tombstone_list(spark, live)
-        fresh = _filter_fresh(batch_df, live, meta).persist()
-        if fresh.isEmpty():
-            fresh.unpersist()
-            return
-        new_rows = (
-            semantic_cell_index(fresh, tree, meta["dims"], id_col, vec_col)
-            .withColumn("pfx", ix._cell_pfx(nb))
-            .persist()
-        )
-        try:
-            touched = [
-                r.pfx
-                for r in new_rows.select("pfx")
-                .where(F.col("pfx").isNotNull())
-                .distinct()
-                .collect()
-            ]
-            index = ix._minus_tombstones(
-                spark, live, meta,
-                ix.pruned_read(spark, live, ix._sem_schema(meta), touched), tombs,
+            tombs = ix._tombstone_list(spark, live)
+            fresh = _filter_fresh(batch_df, live, meta).persist()
+            if fresh.isEmpty():
+                fresh.unpersist()
+                return
+            new_rows = (
+                semantic_cell_index(fresh, tree, meta["dims"], id_col, vec_col)
+                .withColumn("pfx", ix._cell_pfx(nb))
+                .persist()
             )
-            res = incremental_semantic_near_dup(
-                fresh,
-                index.drop("pfx"),
-                tree,
-                threshold,
-                meta["dims"],
-                id_col,
-                vec_col,
-                index_meta=meta,
-                _new_rows=new_rows.drop("pfx"),
-            )
-            res.accepted.write.mode("append").parquet(accepted_path)
-            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
-            # counter bump BEFORE the seen marker: a crash in between
-            # replays the batch, physically re-appending rows while the
-            # counter was already bumped once, so meta['rows'] UNDER-
-            # counts physical rows until the next compact/recluster
-            # recount (round-10 advice) — acceptable for a drift
-            # heuristic: the dial fires LATE, never spuriously, and
-            # compact_every bounds the drift window.  (Bump-after-seen
-            # would overcount on the mirror-image crash — same class.)
-            meta = ix._bump_rows(spark, live, meta, new_rows.count())
-            # re-ingested takedown ids become servable again — cleared
-            # BEFORE the seen marker (see stream_incremental_dedup)
-            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
-            if back:
-                ix.clear_tombstones(spark, live, back)
-            _append_seen(fresh, live, meta)  # commit marker
-            if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path, lock_retries=60)
-            if recluster_when_due and ix.semantic_recluster_due(
-                spark, index_path, drift_factor
-            ):
-                # BETWEEN-triggers writer slot, same as compaction: the
-                # rebuild-and-swap runs with no appender live, and the
-                # next batch resolves the new generation's tree/meta
-                ix.recluster_semantic_index(spark, index_path, lock_retries=60)
-        finally:
-            new_rows.unpersist()
-            fresh.unpersist()
+            try:
+                touched = [
+                    r.pfx
+                    for r in new_rows.select("pfx")
+                    .where(F.col("pfx").isNotNull())
+                    .distinct()
+                    .collect()
+                ]
+                index = ix._minus_tombstones(
+                    spark, live, meta,
+                    ix.pruned_read(spark, live, ix._sem_schema(meta), touched), tombs,
+                )
+                res = incremental_semantic_near_dup(
+                    fresh,
+                    index.drop("pfx"),
+                    tree,
+                    threshold,
+                    meta["dims"],
+                    id_col,
+                    vec_col,
+                    index_meta=meta,
+                    _new_rows=new_rows.drop("pfx"),
+                )
+                res.accepted.write.mode("append").parquet(accepted_path)
+                new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+                # counter bump BEFORE the seen marker: a crash in between
+                # replays the batch, physically re-appending rows while the
+                # counter was already bumped once, so meta['rows'] UNDER-
+                # counts physical rows until the next compact/recluster
+                # recount (round-10 advice) — acceptable for a drift
+                # heuristic: the dial fires LATE, never spuriously, and
+                # compact_every bounds the drift window.  (Bump-after-seen
+                # would overcount on the mirror-image crash — same class.)
+                meta = ix._bump_rows(spark, live, meta, new_rows.count())
+                # re-ingested takedown ids become servable again — cleared
+                # BEFORE the seen marker (see stream_incremental_dedup)
+                back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+                if back:
+                    ix.clear_tombstones(spark, live, back)
+                _append_seen(fresh, live, meta)  # commit marker
+                if compact_every and (_batch_id + 1) % compact_every == 0:
+                    ix.compact_index(spark, index_path, lock_retries=60)
+                if recluster_when_due and ix.semantic_recluster_due(
+                    spark, index_path, drift_factor
+                ):
+                    # BETWEEN-triggers writer slot, same as compaction: the
+                    # rebuild-and-swap runs with no appender live, and the
+                    # next batch resolves the new generation's tree/meta
+                    ix.recluster_semantic_index(spark, index_path, lock_retries=60)
+            finally:
+                new_rows.unpersist()
+                fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
         "checkpointLocation", checkpoint
@@ -465,100 +475,105 @@ def stream_incremental_embed_near_dup(
         from ..operators.similarity import embedding_center
 
         spark = batch_df.sparkSession
-        # UNCONDITIONAL (not gated on compact_every): a compaction crash
-        # mid-swap leaves no live index, and a restart that dropped the
-        # flag would otherwise read meta=None and silently bootstrap a
-        # fresh EMPTY index over the trash — then a later recovery call
-        # would see root+trash, declare the compaction "finished", and
-        # delete the old index permanently.  Two fs.exists calls per
-        # batch buys immunity to that whole class.
-        ix.recover_compaction(spark, index_path)
-        # resolve the pointer ONCE per batch — meta and data must come
-        # from the same generation (round-9 advice: a flip between
-        # separate meta/live reads pairs stale meta with new data)
-        live, meta = ix.live_index(spark, index_path)
-        if meta is None:
-            c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
-            meta = {
-                "kind": ix.EMBED_KIND,
-                "id_col": id_col,
-                "id_type": dict(batch_df.dtypes)[id_col],
-                "dims": dims,
-                "n_planes": n_planes,
-                "center": c,
-                "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
-                "rows": 0,  # running counter (r11) — bumped per batch
-            }
-            live = ix.init_index(spark, index_path, meta, lock_retries=60)
-        else:
-            if meta.get("kind") != ix.EMBED_KIND:
-                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
-            # validate the CALLER's params against the sidecar — passing
-            # meta's own values into the builders below would compare the
-            # sidecar against itself and never fire (round-7 advice)
-            expected = {"id_col": id_col, "dims": dims, "n_planes": n_planes}
-            if center != "auto":
-                expected["center"] = center
-            ix._require_meta(meta, expected, index_path)
-            ix._check_id_type(batch_df, meta, index_path)
-        nb = meta["n_buckets"]
+        # the WHOLE batch body holds the (reentrant) writer slot
+        # (r11 review): recovery's debris reap, the data/seen appends
+        # and in-line maintenance all serialize against external
+        # maintenance ops instead of racing their generation swaps
+        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+            # UNCONDITIONAL (not gated on compact_every): a compaction crash
+            # mid-swap leaves no live index, and a restart that dropped the
+            # flag would otherwise read meta=None and silently bootstrap a
+            # fresh EMPTY index over the trash — then a later recovery call
+            # would see root+trash, declare the compaction "finished", and
+            # delete the old index permanently.  Two fs.exists calls per
+            # batch buys immunity to that whole class.
+            ix.recover_compaction(spark, index_path)
+            # resolve the pointer ONCE per batch — meta and data must come
+            # from the same generation (round-9 advice: a flip between
+            # separate meta/live reads pairs stale meta with new data)
+            live, meta = ix.live_index(spark, index_path)
+            if meta is None:
+                c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
+                meta = {
+                    "kind": ix.EMBED_KIND,
+                    "id_col": id_col,
+                    "id_type": dict(batch_df.dtypes)[id_col],
+                    "dims": dims,
+                    "n_planes": n_planes,
+                    "center": c,
+                    "n_buckets": n_buckets or ix.auto_index_buckets(batch_df.count()),
+                    "rows": 0,  # running counter (r11) — bumped per batch
+                }
+                live = ix.init_index(spark, index_path, meta, lock_retries=60)
+            else:
+                if meta.get("kind") != ix.EMBED_KIND:
+                    raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+                # validate the CALLER's params against the sidecar — passing
+                # meta's own values into the builders below would compare the
+                # sidecar against itself and never fire (round-7 advice)
+                expected = {"id_col": id_col, "dims": dims, "n_planes": n_planes}
+                if center != "auto":
+                    expected["center"] = center
+                ix._require_meta(meta, expected, index_path)
+                ix._check_id_type(batch_df, meta, index_path)
+            nb = meta["n_buckets"]
 
-        tombs = ix._tombstone_list(spark, live)
-        fresh = _filter_fresh(batch_df, live, meta).persist()
-        if fresh.isEmpty():
-            fresh.unpersist()
-            return
-        new_rows = (
-            embedding_bucket_index(
-                fresh, meta["dims"], meta["n_planes"], id_col, vec_col, meta["center"]
+            tombs = ix._tombstone_list(spark, live)
+            fresh = _filter_fresh(batch_df, live, meta).persist()
+            if fresh.isEmpty():
+                fresh.unpersist()
+                return
+            new_rows = (
+                embedding_bucket_index(
+                    fresh, meta["dims"], meta["n_planes"], id_col, vec_col, meta["center"]
+                )
+                .withColumn("pfx", ix._bucket_pfx(nb))
+                .persist()
             )
-            .withColumn("pfx", ix._bucket_pfx(nb))
-            .persist()
-        )
-        try:
-            touched = [
-                r.pfx
-                for r in new_rows.select("pfx")
-                .where(F.col("pfx").isNotNull())
-                .distinct()
-                .collect()
-            ]
-            index = ix._minus_tombstones(
-                spark, live, meta,
-                ix.pruned_read(spark, live, ix._embed_schema(meta), touched), tombs,
-            )
-            res = incremental_embed_near_dup(
-                fresh,
-                index.drop("pfx"),
-                threshold,
-                meta["dims"],
-                meta["n_planes"],
-                id_col,
-                vec_col,
-                meta["center"],
-                index_meta=meta,
-                _new_rows=new_rows.drop("pfx"),
-            )
-            res.accepted.write.mode("append").parquet(accepted_path)
-            new_rows.write.mode("append").partitionBy("pfx").parquet(live)
-            # counter bump before the seen marker — same replay-
-            # undercount trade as the semantic sink (see that comment)
-            meta = ix._bump_rows(spark, live, meta, new_rows.count())
-            # re-ingested takedown ids become servable again — cleared
-            # BEFORE the seen marker (see stream_incremental_dedup)
-            back = ix._reingested_tombstones(spark, meta, fresh, tombs)
-            if back:
-                ix.clear_tombstones(spark, live, back)
-            _append_seen(fresh, live, meta)  # commit marker
-            if compact_every and (_batch_id + 1) % compact_every == 0:
-                ix.compact_index(spark, index_path, lock_retries=60)
-            if rebucket_when_due and ix.rebucket_due(
-                spark, index_path, target_rows_per_bucket=rebucket_target_rows
-            ):
-                ix.rebucket_index(spark, index_path, lock_retries=60)
-        finally:
-            new_rows.unpersist()
-            fresh.unpersist()
+            try:
+                touched = [
+                    r.pfx
+                    for r in new_rows.select("pfx")
+                    .where(F.col("pfx").isNotNull())
+                    .distinct()
+                    .collect()
+                ]
+                index = ix._minus_tombstones(
+                    spark, live, meta,
+                    ix.pruned_read(spark, live, ix._embed_schema(meta), touched), tombs,
+                )
+                res = incremental_embed_near_dup(
+                    fresh,
+                    index.drop("pfx"),
+                    threshold,
+                    meta["dims"],
+                    meta["n_planes"],
+                    id_col,
+                    vec_col,
+                    meta["center"],
+                    index_meta=meta,
+                    _new_rows=new_rows.drop("pfx"),
+                )
+                res.accepted.write.mode("append").parquet(accepted_path)
+                new_rows.write.mode("append").partitionBy("pfx").parquet(live)
+                # counter bump before the seen marker — same replay-
+                # undercount trade as the semantic sink (see that comment)
+                meta = ix._bump_rows(spark, live, meta, new_rows.count())
+                # re-ingested takedown ids become servable again — cleared
+                # BEFORE the seen marker (see stream_incremental_dedup)
+                back = ix._reingested_tombstones(spark, meta, fresh, tombs)
+                if back:
+                    ix.clear_tombstones(spark, live, back)
+                _append_seen(fresh, live, meta)  # commit marker
+                if compact_every and (_batch_id + 1) % compact_every == 0:
+                    ix.compact_index(spark, index_path, lock_retries=60)
+                if rebucket_when_due and ix.rebucket_due(
+                    spark, index_path, target_rows_per_bucket=rebucket_target_rows
+                ):
+                    ix.rebucket_index(spark, index_path, lock_retries=60)
+            finally:
+                new_rows.unpersist()
+                fresh.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedupe_batch).option(
         "checkpointLocation", checkpoint
@@ -615,35 +630,45 @@ def stream_ivf_ingest(
 
     def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ix.recover_compaction(spark, index_path)
-        live, meta = ix.live_index(spark, index_path)
-        if meta is None:
-            if batch_df.isEmpty():
-                return  # nothing to bootstrap a codebook from yet
-            ix.create_ivf_index(
-                batch_df, index_path,
-                nlist=nlist, id_col=id_col, vec_col=vec_col,
-                codec=codec, m=m, ksub=ksub, n_buckets=n_buckets,
-                lock_retries=60,
-            )
-            # seen marker for the bootstrap batch, written LAST like the
-            # append path's — a crash in between replays batch 1 as
-            # full-row dups (see the at-least-once note above)
+        # the WHOLE batch body holds the (reentrant) writer slot
+        # (r11 review): recovery's debris reap, the data/seen appends
+        # and in-line maintenance all serialize against external
+        # maintenance ops instead of racing their generation swaps
+        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+            ix.recover_compaction(spark, index_path)
             live, meta = ix.live_index(spark, index_path)
-            ix.append_seen_ids(batch_df.select(id_col), live, meta)
-        else:
-            if meta.get("kind") != ix.IVF_KIND:
-                raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
-            expected = {"id_col": id_col, "vec_col": vec_col, "codec": codec}
-            if nlist is not None:
-                expected["nlist"] = nlist
-            ix._require_meta(meta, expected, index_path)
-            ix._check_id_type(batch_df, meta, index_path)
-            ix.append_ivf_vectors(batch_df, index_path, dedupe_redelivery=True)
-        if compact_every and (_batch_id + 1) % compact_every == 0:
-            ix.compact_index(spark, index_path, lock_retries=60)
-        if retrain_when_due and ix.ivf_retrain_due(spark, index_path, drift_factor):
-            ix.retrain_ivf_index(spark, index_path, lock_retries=60)
+            if meta is None:
+                if batch_df.isEmpty():
+                    return  # nothing to bootstrap a codebook from yet
+                ix.create_ivf_index(
+                    batch_df, index_path,
+                    nlist=nlist, id_col=id_col, vec_col=vec_col,
+                    codec=codec, m=m, ksub=ksub, n_buckets=n_buckets,
+                    lock_retries=60,
+                )
+                # seen marker for the bootstrap batch, written LAST like the
+                # append path's — a crash in between replays batch 1 as
+                # full-row dups (see the at-least-once note above)
+                live, meta = ix.live_index(spark, index_path)
+                ix.append_seen_ids(batch_df.select(id_col), live, meta)
+            else:
+                if meta.get("kind") != ix.IVF_KIND:
+                    raise ValueError(f"index at {index_path} is kind={meta.get('kind')!r}")
+                # nlist is deliberately NOT validated (r11 review): it is
+                # a create-time sizing dial, not index identity — retrain
+                # re-sizes it to the grown corpus, and a bootstrap batch
+                # with fewer valid vectors than requested stores fewer
+                # centroids; pinning it would kill the stream on the
+                # first retrain.  The codebook itself always comes from
+                # the sidecar.
+                expected = {"id_col": id_col, "vec_col": vec_col, "codec": codec}
+                ix._require_meta(meta, expected, index_path)
+                ix._check_id_type(batch_df, meta, index_path)
+                ix.append_ivf_vectors(batch_df, index_path, dedupe_redelivery=True)
+            if compact_every and (_batch_id + 1) % compact_every == 0:
+                ix.compact_index(spark, index_path, lock_retries=60)
+            if retrain_when_due and ix.ivf_retrain_due(spark, index_path, drift_factor):
+                ix.retrain_ivf_index(spark, index_path, lock_retries=60)
 
     writer = stream.writeStream.foreachBatch(ingest_batch).option(
         "checkpointLocation", checkpoint

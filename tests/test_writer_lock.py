@@ -36,12 +36,19 @@ def _lock_file(path: str) -> str:
 
 
 def test_second_writer_fails_fast_while_lock_held(spark, tmp_path):
-    """Without retries, an op that finds the slot taken raises IOError
-    naming the lock and the escape hatch — it must NOT proceed into a
-    second concurrent generation build."""
+    """Without retries, an op that finds the slot taken by a FOREIGN
+    holder raises IOError naming the lock and the escape hatch — it
+    must NOT proceed into a second concurrent generation build.  (The
+    holder is simulated by the marker file: the lock is reentrant
+    per-thread since the r11 review, so a same-thread ``with
+    writer_lock`` would legitimately re-enter.)"""
+    from meta_morph_etl_databricks_spark.sources.sinks import _hadoop_fs
+
     path = str(tmp_path / "bidx")
     _mk_band_index(spark, path)
-    with ix.writer_lock(spark, path, "test_holder"):
+    fs, path_cls, _ = _hadoop_fs(spark, path)
+    assert fs.createNewFile(path_cls(_lock_file(path)))  # foreign holder
+    try:
         gens_before = ix._gen_dir_names(spark, path)
         with pytest.raises(IOError, match="break_writer_lock"):
             ix.compact_index(spark, path)
@@ -51,8 +58,28 @@ def test_second_writer_fails_fast_while_lock_held(spark, tmp_path):
             ix.tombstone_ids(spark, path, [3])
         # the losers wrote nothing: no new generation, no debris
         assert ix._gen_dir_names(spark, path) == gens_before
+    finally:
+        fs.delete(path_cls(_lock_file(path)), False)
     # release → the same op now succeeds
     ix.compact_index(spark, path)
+
+
+def test_writer_lock_is_reentrant_per_thread(spark, tmp_path):
+    """A batch body that holds the slot can call locked ops in-line
+    (compact, tombstone) without deadlocking — re-entry is per thread,
+    so a second THREAD still serializes (the concurrent test above)."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    with ix.writer_lock(spark, path, "outer_batch"):
+        ix.tombstone_ids(spark, path, [1])  # re-enters, no deadlock
+        ix.compact_index(spark, path)
+        from meta_morph_etl_databricks_spark.sources.sinks import _hadoop_fs
+
+        fs, path_cls, _ = _hadoop_fs(spark, path)
+        assert fs.exists(path_cls(_lock_file(path)))  # outer still holds
+    assert not fs.exists(path_cls(_lock_file(path)))  # released once, at exit
+    df, _ = ix.open_band_index(spark, path)
+    assert df.where("doc_id = 1").isEmpty()  # the reap ran inside
 
 
 def test_concurrent_compact_and_retract_serialize(spark, tmp_path):
