@@ -22,10 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # weighted sum of the parts it replaced (the surviving name may itself
 # be one of the parts), so the regression gate stays comparable ACROSS
 # the merge.  Each entry records the ROUND the merge landed: once the
-# newest BENCH_r{N}.json artifact is from that round or later, its
-# recorded time already includes every arm and the expansion would
-# double-count (an ever-laxer gate) — so the entry lapses and the name
-# is compared directly.
+# baseline record (BENCH_SELF.json entry, or a driver artifact with
+# non-null parsed) is from that round or later, its recorded time
+# already includes every arm and the expansion would double-count (an
+# ever-laxer gate) — so the entry lapses and the name is compared
+# directly.
 _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     "q_anti_joins": (3, ["q_anti_join_parts", "q_anti_join_customers"]),
     "q_order_limit": (3, ["q_topk_orders", "q_orderby_expr_limit"]),
@@ -92,28 +93,110 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
 }
 
 
-def _newest_artifact() -> tuple[int, dict]:
-    """(round, parsed payload) of the newest BENCH_r{N}.json — ONE
-    discovery point so the gate's lapse round and its baseline timings
-    provably come from the same file.  Rounds parsed numerically (the
-    zero-padded names sort lexically today, but 3-digit rounds must not
-    silently reorder)."""
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# The bench's OWN per-round history.  The driver's BENCH_r{N}.json has
+# carried "parsed": null since round 5 and its "tail" is front-truncated
+# past reconstruction, so for seven rounds _baseline_timings() returned
+# {} and the 1.5x regression gate, the host-ratio normalization and
+# value_normalized were all no-ops (r11 verdict task 1).  Each run now
+# persists its full parsed payload here, keyed by round; the next run's
+# gate reads the newest round STRICTLY BEFORE its own, at the same sf.
+_SELF_FILE = "BENCH_SELF.json"
+
+
+def _driver_round(here: str | None = None) -> int:
+    """Round number of the newest driver BENCH_r{N}.json (0 when none).
+    The driver writes BENCH_r{N} at the END of round N, so a bench
+    running now is measuring round ``driver_round + 1``'s code.  Rounds
+    parsed numerically (the zero-padded names sort lexically today, but
+    3-digit rounds must not silently reorder)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best_round, best_file = 0, None
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    best = 0
+    for f in glob.glob(os.path.join(here or _HERE, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", f)
-        if m and int(m.group(1)) >= best_round:
-            best_round, best_file = int(m.group(1)), f
-    if best_file is None:
-        return 0, {}
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _baseline_artifact(here: str | None = None, sf: float | None = None) -> tuple[int, dict]:
+    """(round, payload) of the newest usable BASELINE — ONE discovery
+    point so the gate's lapse round and its baseline timings provably
+    come from the same record.  Preference order:
+
+    1. ``BENCH_SELF.json`` entries from rounds strictly BEFORE the
+       current one (an entry from THIS round — an earlier local run —
+       would gate the run against itself), at the same ``sf`` (timings
+       only compare at the same scale; local sf0.01 iteration runs must
+       not become the sf0.1 gate's floor);
+    2. the newest driver ``BENCH_r{N}.json`` whose ``parsed`` is
+       non-null — the pre-r12 source, kept as the fallback.
+
+    Returns ``(0, {})`` when neither exists (first round, or history
+    wiped): the gate then compares nothing, visibly (empty baseline)."""
+    here = here or _HERE
+    cur = _driver_round(here) + 1
     try:
-        with open(best_file) as f:
-            return best_round, dict(json.load(f).get("parsed") or {})
+        with open(os.path.join(here, _SELF_FILE)) as f:
+            rounds = json.load(f).get("rounds") or {}
     except Exception:
-        return best_round, {}
+        rounds = {}
+    best_round, best = 0, {}
+    for r, payload in rounds.items():
+        try:
+            r = int(r)
+        except ValueError:
+            continue
+        if r >= cur or r <= best_round or not isinstance(payload, dict):
+            continue
+        if sf is not None and payload.get("sf") != sf:
+            continue
+        best_round, best = r, dict(payload)
+    if best:
+        return best_round, best
+    # fallback: newest driver artifact with a non-null parsed payload
+    import glob
+    import re
+
+    for f in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
+        reverse=True,
+    ):
+        try:
+            with open(f) as fh:
+                parsed = json.load(fh).get("parsed")
+        except Exception:
+            continue
+        # same sf filter as the self history: a 0.1-sf driver record
+        # compared against a 0.001-sf local run flags nonsense (caught
+        # live on the r12 smoke run — q_embed 9.4x "regression")
+        if parsed and (sf is None or parsed.get("sf") == sf):
+            return int(re.search(r"BENCH_r(\d+)\.json$", f).group(1)), dict(parsed)
+    return 0, {}
+
+
+def _persist_self(payload: dict, here: str | None = None) -> None:
+    """Record this run's parsed payload under the current round in
+    ``BENCH_SELF.json`` (bounded history; last write in a round wins —
+    the driver's official run is the last one, so the NEXT round gates
+    against official numbers, not a mid-round local iteration)."""
+    here = here or _HERE
+    p = os.path.join(here, _SELF_FILE)
+    try:
+        with open(p) as f:
+            rounds = dict(json.load(f).get("rounds") or {})
+    except Exception:
+        rounds = {}
+    rounds[str(_driver_round(here) + 1)] = payload
+    keep = sorted(rounds, key=lambda r: int(r) if r.isdigit() else -1)[-8:]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"rounds": {k: rounds[k] for k in keep}}, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
 
 # tagged-union queries: (tag column, arm values).  Each arm is timed
 # separately (filter on the literal tag folds the other branch away) so
@@ -141,15 +224,9 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
 }
 
 
-def _baseline_timings() -> dict[str, float]:
-    """Per-query times from the newest BENCH_r*.json artifact (the
-    previous round's record) — the regression floor."""
-    return dict(_newest_artifact()[1].get("queries") or {})
-
-
-def _baseline_calibration() -> float | None:
-    """The previous round's calibration-probe seconds, if recorded."""
-    cal = _newest_artifact()[1].get("calibration_sec")
+def _baseline_calibration(base: dict) -> float | None:
+    """A baseline payload's calibration-probe seconds, if recorded."""
+    cal = base.get("calibration_sec")
     return float(cal) if cal and cal > 0 else None
 
 
@@ -175,7 +252,10 @@ def _calibrate(spark) -> float:
 
 
 def _regressions(
-    timings: dict[str, float], baseline: dict[str, float], host_speed_ratio: float = 1.0
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    host_speed_ratio: float = 1.0,
+    baseline_round: int = 0,
 ) -> dict[str, dict[str, float]]:
     """Queries >1.5x their previous-round time (with a 1 s absolute
     floor so sub-second scheduling jitter doesn't flag).  Baselines are
@@ -188,8 +268,13 @@ def _regressions(
     multi-second queries carry fixed costs (plan compile, stage launch,
     broadcast build) that don't shrink with a faster host — on an
     unusually fast round a 2x probe speedup would otherwise flag
-    queries that are absolutely FASTER than before."""
-    artifact_round = _newest_artifact()[0]
+    queries that are absolutely FASTER than before.
+
+    ``baseline_round`` is the round the baseline was recorded in —
+    drives the merged-baseline lapse logic (and is a parameter, not
+    re-discovered here, so the unit gate test can feed synthetic
+    histories)."""
+    artifact_round = baseline_round
     out: dict[str, dict[str, float]] = {}
     for name, t in timings.items():
         if t < 0:
@@ -330,30 +415,46 @@ def main() -> None:
     ok = [v for v in timings.values() if v >= 0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     calibration = round(min(cal_samples), 3)
-    prev_cal = _baseline_calibration()
+    base_round, base = _baseline_artifact(sf=sf)
+    prev_cal = _baseline_calibration(base)
     # >1 = this host is slower than last round's; scales the gate's baselines
     host_speed_ratio = round(calibration / prev_cal, 3) if prev_cal else 1.0
-    regressions = _regressions(timings, _baseline_timings(), host_speed_ratio)
+    regressions = _regressions(
+        timings, dict(base.get("queries") or {}), host_speed_ratio, base_round
+    )
     for name, r in regressions.items():
         print(f"# bench REGRESSION {name}: {r['now']}s vs {r['baseline']}s ({r['ratio']}x)", file=sys.stderr)
     total = round(sum(ok), 3)
-    print(
-        json.dumps(
+    result = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "variants": variants,
+        "sf": sf,
+        "regressions": regressions,
+        # which record the gate actually compared against (0/none =
+        # vacuous run — visible, not silent, r11 verdict task 1)
+        "baseline_round": base_round,
+        "baseline_queries_compared": len(base.get("queries") or {}),
+        "calibration_sec": calibration,
+        "calibration_samples": cal_samples,
+        "host_speed_ratio": host_speed_ratio,
+        "value_normalized": round(total / host_speed_ratio, 3) if host_speed_ratio > 0 else total,
+    }
+    try:  # the next round's gate reads this run's record
+        _persist_self(
             {
-                "metric": "total_wall_clock_all_queries",
-                "value": total,
-                "unit": "sec",
+                "sf": sf,
                 "queries": timings,
                 "variants": variants,
-                "sf": sf,
-                "regressions": regressions,
                 "calibration_sec": calibration,
-                "calibration_samples": cal_samples,
-                "host_speed_ratio": host_speed_ratio,
-                "value_normalized": round(total / host_speed_ratio, 3) if host_speed_ratio > 0 else total,
+                "value": total,
             }
         )
-    )
+    except Exception as e:  # never let history IO kill the bench output
+        print(f"# bench self-record write failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -149,8 +149,14 @@ def stream_incremental_dedup(
         # the WHOLE batch body holds the (reentrant) writer slot
         # (r11 review): recovery's debris reap, the data/seen appends
         # and in-line maintenance all serialize against external
-        # maintenance ops instead of racing their generation swaps
-        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+        # maintenance ops instead of racing their generation swaps.
+        # owner=checkpoint (r12 advice): a hard-killed incarnation of
+        # THIS stream strands the marker; the restart reclaims its own
+        # stale lock instead of polling out and dying (replay via
+        # recover_compaction is safe — see writer_lock's owner contract)
+        with ix.writer_lock(
+            spark, index_path, "stream_batch", retries=120, owner=checkpoint
+        ):
             # UNCONDITIONAL (not gated on compact_every): a compaction crash
             # mid-swap leaves no live index, and a restart that dropped the
             # flag would otherwise read meta=None and silently bootstrap a
@@ -238,8 +244,16 @@ def stream_incremental_dedup(
                     spark, index_path, target_rows_per_bucket=rebucket_target_rows
                 ):
                     # BETWEEN-triggers writer slot, like compact: the grown
-                    # corpus gets auto_index_buckets-many buckets back
-                    ix.rebucket_index(spark, index_path, lock_retries=60)
+                    # corpus gets auto_index_buckets-many buckets back.
+                    # SAME target as the dial (r12 advice: the fixed 500
+                    # default left a <125-rows/bucket dial re-firing a
+                    # full rewrite on every subsequent batch forever)
+                    ix.rebucket_index(
+                        spark,
+                        index_path,
+                        target_rows_per_bucket=rebucket_target_rows,
+                        lock_retries=60,
+                    )
             finally:
                 banded.unpersist()
                 fresh.unpersist()
@@ -311,8 +325,12 @@ def stream_incremental_semantic_dedup(
         # the WHOLE batch body holds the (reentrant) writer slot
         # (r11 review): recovery's debris reap, the data/seen appends
         # and in-line maintenance all serialize against external
-        # maintenance ops instead of racing their generation swaps
-        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+        # maintenance ops instead of racing their generation swaps.
+        # owner=checkpoint: restart reclaims its own hard-kill-stranded
+        # lock (see stream_incremental_dedup)
+        with ix.writer_lock(
+            spark, index_path, "stream_batch", retries=120, owner=checkpoint
+        ):
             # UNCONDITIONAL — same crash-class immunity as the other sinks
             ix.recover_compaction(spark, index_path)
             # resolve the pointer ONCE per batch — meta and data must come
@@ -478,8 +496,12 @@ def stream_incremental_embed_near_dup(
         # the WHOLE batch body holds the (reentrant) writer slot
         # (r11 review): recovery's debris reap, the data/seen appends
         # and in-line maintenance all serialize against external
-        # maintenance ops instead of racing their generation swaps
-        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+        # maintenance ops instead of racing their generation swaps.
+        # owner=checkpoint: restart reclaims its own hard-kill-stranded
+        # lock (see stream_incremental_dedup)
+        with ix.writer_lock(
+            spark, index_path, "stream_batch", retries=120, owner=checkpoint
+        ):
             # UNCONDITIONAL (not gated on compact_every): a compaction crash
             # mid-swap leaves no live index, and a restart that dropped the
             # flag would otherwise read meta=None and silently bootstrap a
@@ -570,7 +592,13 @@ def stream_incremental_embed_near_dup(
                 if rebucket_when_due and ix.rebucket_due(
                     spark, index_path, target_rows_per_bucket=rebucket_target_rows
                 ):
-                    ix.rebucket_index(spark, index_path, lock_retries=60)
+                    # SAME target as the dial (see stream_incremental_dedup)
+                    ix.rebucket_index(
+                        spark,
+                        index_path,
+                        target_rows_per_bucket=rebucket_target_rows,
+                        lock_retries=60,
+                    )
             finally:
                 new_rows.unpersist()
                 fresh.unpersist()
@@ -633,8 +661,12 @@ def stream_ivf_ingest(
         # the WHOLE batch body holds the (reentrant) writer slot
         # (r11 review): recovery's debris reap, the data/seen appends
         # and in-line maintenance all serialize against external
-        # maintenance ops instead of racing their generation swaps
-        with ix.writer_lock(spark, index_path, "stream_batch", retries=120):
+        # maintenance ops instead of racing their generation swaps.
+        # owner=checkpoint: restart reclaims its own hard-kill-stranded
+        # lock (see stream_incremental_dedup)
+        with ix.writer_lock(
+            spark, index_path, "stream_batch", retries=120, owner=checkpoint
+        ):
             ix.recover_compaction(spark, index_path)
             live, meta = ix.live_index(spark, index_path)
             if meta is None:

@@ -1,0 +1,135 @@
+"""The bench's cross-round regression self-gate (r11 verdict task 1).
+
+The driver's ``BENCH_r{N}.json`` artifacts have carried ``parsed: null``
+since round 5 and their ``tail`` is front-truncated, so for seven rounds
+the gate compared against ``{}`` — vacuously empty.  ``bench.py`` now
+persists its own parsed payload per round in ``BENCH_SELF.json`` and
+gates against the newest round strictly before its own at the same sf.
+These tests feed a synthetic history through the selection AND the
+comparison logic — no Spark, no disk beyond a tmpdir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+# ------------------------------------------------------------ gate math
+def test_regression_gate_thresholds():
+    base = {"q_a": 2.0, "q_b": 2.0, "q_c": 0.2}
+    # >1.5x AND >1s absolute: flags
+    out = bench._regressions({"q_a": 3.6}, base, baseline_round=11)
+    assert out == {"q_a": {"now": 3.6, "baseline": 2.0, "ratio": 1.8}}
+    # >1.5x but within the 1s absolute floor: sub-second jitter, no flag
+    assert bench._regressions({"q_c": 0.9}, base, baseline_round=11) == {}
+    # big but <=1.5x: no flag
+    assert bench._regressions({"q_b": 2.9}, base, baseline_round=11) == {}
+    # error sentinel and unknown names: skipped
+    assert bench._regressions({"q_a": -1.0, "q_new": 9.0}, base, baseline_round=11) == {}
+
+
+def test_host_ratio_is_one_sided():
+    base = {"q_a": 2.0}
+    # slower host (ratio 1.3) inflates the baseline: 3.6 < 1.5*2.6 → no flag
+    assert bench._regressions({"q_a": 3.6}, base, 1.3, 11) == {}
+    # ...but 4.2 > 1.5*2.6 still flags
+    assert bench._regressions({"q_a": 4.2}, base, 1.3, 11) != {}
+    # FASTER host (ratio < 1) must NOT shrink the baseline (fixed costs
+    # don't scale with the probe): raw-base comparison stands
+    assert bench._regressions({"q_a": 2.9}, base, 0.5, 11) == {}
+    assert bench._regressions({"q_a": 3.6}, base, 0.5, 11) != {}
+
+
+def test_merged_baseline_expansion_and_lapse():
+    name = "q_anti_joins"  # merged in round 3 from two parts
+    merge_round, parts = bench._MERGED_BASELINES[name]
+    assert merge_round == 3 and parts == ["q_anti_join_parts", "q_anti_join_customers"]
+    pre = {"q_anti_join_parts": 1.0, "q_anti_join_customers": 1.2}
+    # baseline predates the merge: parts sum (2.2) is the floor
+    assert bench._regressions({name: 3.0}, pre, baseline_round=2) == {}
+    got = bench._regressions({name: 4.5}, pre, baseline_round=2)
+    assert got[name]["baseline"] == 2.2
+    # baseline at/after the merge round: the merged name compares direct
+    post = {name: 1.0}
+    got = bench._regressions({name: 3.0}, post, baseline_round=3)
+    assert got[name]["baseline"] == 1.0
+
+
+# --------------------------------------------------- history selection
+def _driver_artifact(d, n, parsed=None):
+    with open(os.path.join(d, f"BENCH_r{n:02d}.json"), "w") as f:
+        json.dump({"n": n, "rc": 0, "tail": "...", "parsed": parsed}, f)
+
+
+def _self_history(d, rounds: dict):
+    with open(os.path.join(d, bench._SELF_FILE), "w") as f:
+        json.dump({"rounds": rounds}, f)
+
+
+def test_baseline_prefers_self_history_and_skips_current_round(tmp_path):
+    d = str(tmp_path)
+    _driver_artifact(d, 11)  # parsed: null — the real post-r5 shape
+    _self_history(
+        d,
+        {
+            "10": {"sf": 0.1, "queries": {"q_a": 1.0}, "calibration_sec": 0.4},
+            "11": {"sf": 0.1, "queries": {"q_a": 1.5}, "calibration_sec": 0.5},
+            # an entry for the CURRENT round (12) — an earlier local run
+            # this round — must never become its own baseline
+            "12": {"sf": 0.1, "queries": {"q_a": 9.9}, "calibration_sec": 9.9},
+        },
+    )
+    assert bench._driver_round(d) == 11
+    rnd, base = bench._baseline_artifact(d, sf=0.1)
+    assert rnd == 11 and base["queries"] == {"q_a": 1.5}
+
+
+def test_baseline_filters_by_sf_and_falls_back_to_driver_parsed(tmp_path):
+    d = str(tmp_path)
+    # self history exists but at the wrong sf (local sf0.01 iteration)
+    _self_history(d, {"11": {"sf": 0.01, "queries": {"q_a": 0.1}}})
+    _driver_artifact(d, 11)  # parsed null
+    _driver_artifact(
+        d, 4, parsed={"sf": 0.1, "queries": {"q_a": 7.0}, "calibration_sec": 0.6}
+    )
+    rnd, base = bench._baseline_artifact(d, sf=0.1)
+    assert rnd == 4 and base["queries"] == {"q_a": 7.0}  # pre-r5 driver fallback
+
+    # the driver fallback is sf-filtered too: a 0.1-sf record must not
+    # gate a 0.001-sf local run (caught live on the r12 smoke run)
+    assert bench._baseline_artifact(d, sf=0.001) == (0, {})
+
+    # nothing usable at all → visibly vacuous, not an error
+    empty = str(tmp_path / "empty")
+    os.mkdir(empty)
+    assert bench._baseline_artifact(empty, sf=0.1) == (0, {})
+
+
+def test_persist_self_merges_and_bounds_history(tmp_path):
+    d = str(tmp_path)
+    _driver_artifact(d, 11)  # current round = 12
+    _self_history(d, {str(r): {"sf": 0.1, "queries": {}} for r in range(1, 12)})
+    bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.0}, "calibration_sec": 0.4}, d)
+    hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
+    assert hist["12"]["queries"] == {"q_a": 2.0}
+    assert len(hist) == 8 and "4" not in hist  # bounded, oldest dropped
+    # a second run the same round overwrites (last wins — the driver's
+    # official run is last, so round 13 gates on official numbers)
+    bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.5}, "calibration_sec": 0.5}, d)
+    hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
+    assert hist["12"]["queries"] == {"q_a": 2.5}
+
+
+def test_live_repo_gate_is_armed():
+    """The repo's own BENCH_SELF.json must give the NEXT bench run a
+    non-empty baseline — the gate stays dead if this ever regresses."""
+    rnd, base = bench._baseline_artifact(sf=0.1)
+    assert rnd >= 11
+    assert len(base.get("queries") or {}) >= 40
+    assert bench._baseline_calibration(base) > 0

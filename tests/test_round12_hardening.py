@@ -1,0 +1,374 @@
+"""Round-12 hardening: the r11 verdict's latent-robustness nits and the
+r11 ADVICE items, each pinned by a test.
+
+- writer-lock reentrancy keys on the CANONICAL root, so one call chain
+  addressing the index through two spellings (`/x/idx` vs
+  `file:/x/idx`) re-enters instead of self-deadlocking;
+- cross-PROCESS contention: a second process holding the slot makes the
+  parent fail fast (or serialize behind with ``lock_retries``) — the
+  thread-level tests in test_writer_lock.py share a JVM, this one does
+  not share anything;
+- stranded-stream self-heal (ADVICE): a hard-killed stream's restart
+  reclaims its OWN lock via the breadcrumb owner token; a foreign
+  owner's lock is never reclaimed;
+- the >``_TOMBSTONE_ISIN_MAX`` backlog switches NOT-isin → broadcast
+  anti-join with serve parity across the boundary;
+- ``pruned_read`` chunks its brace-glob past ``_PRUNED_GLOB_MAX``
+  touched buckets, identical rows either side of the threshold;
+- ``rebucket_index`` re-sizes at the CALLER's target (ADVICE: the fixed
+  500-rows/bucket default left a smaller dial re-firing forever);
+- `_tombstone_list` survives a torn ``.tmp`` when the final name is
+  present, and raises (never silently under-reports) when both are
+  unreadable;
+- the old-Spark "Path does not exist" fallback actually fires (ADVICE:
+  it matched the error-class NAME, which pre-class engines never emit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from meta_morph_etl_databricks_spark.operators import index_store as ix
+
+DSCHEMA = "doc_id long, text string"
+ESCHEMA = "vec_id long, embedding array<double>"
+
+
+def _mk_band_index(spark, path, n_docs: int = 30):
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, DSCHEMA)
+    ix.create_band_index(docs, path, n_buckets=8)
+    return docs
+
+
+def _lock_file(path: str) -> str:
+    return f"{path.rstrip('/')}{ix.WRITER_LOCK_SUFFIX}"
+
+
+# --------------------------------------------------- lock key canonical
+def test_writer_lock_reentrant_across_path_spellings(spark, tmp_path):
+    """`/x/idx` and `file:/x/idx` spell the SAME slot (same marker
+    file): the inner acquire must re-enter, not see "exists" forever
+    and self-deadlock (r11 verdict nit — the held-set keyed on the raw
+    string)."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    entered = []
+    with ix.writer_lock(spark, path, "outer"):
+        with ix.writer_lock(spark, f"file:{path}", "inner_uri_spelling"):
+            entered.append("uri")
+        with ix.writer_lock(spark, path + "/", "inner_trailing_slash"):
+            entered.append("slash")
+        # a locked op addressed through the other spelling re-enters too
+        ix.tombstone_ids(spark, f"file:{path}", [1])
+    assert entered == ["uri", "slash"]
+    # released exactly once, at the outer exit
+    from meta_morph_etl_databricks_spark.sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, path)
+    assert not fs.exists(path_cls(_lock_file(path)))
+    # and the tombstone landed
+    assert ix.index_info(spark, path)["pending_tombstones"] == 1
+
+
+# ------------------------------------------------ cross-process contention
+_HOLDER_SCRIPT = """
+import os, sys, time
+lock, hold_sec = sys.argv[1], float(sys.argv[2])
+fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # atomic create
+os.write(fd, b'{"op": "external_process"}')
+os.close(fd)
+print("HELD", flush=True)
+time.sleep(hold_sec)
+os.unlink(lock)
+"""
+
+
+def test_multiprocess_writer_lock_contention(spark, tmp_path):
+    """The lock's real adversary is a second PROCESS (two jobs pointed
+    at one slot).  A subprocess takes the marker with the same
+    O_CREAT|O_EXCL primitive ``_try_acquire_lock`` uses on local disk;
+    the parent's compact fails fast while it is held, and with
+    ``lock_retries`` serializes behind the holder's release."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _HOLDER_SCRIPT, _lock_file(path), "6"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        # fail-fast: the foreign process holds the slot
+        with pytest.raises(IOError, match="break_writer_lock"):
+            ix.compact_index(spark, path)
+        # serialize-behind: poll past the holder's tenure, then win
+        t0 = time.time()
+        ix.compact_index(spark, path, lock_retries=120, lock_retry_interval_sec=0.25)
+        assert time.time() - t0 > 1.0  # it actually waited for the release
+    finally:
+        proc.wait(timeout=30)
+    live, meta = ix.live_index(spark, path)
+    assert meta is not None and meta["kind"] == ix.BAND_KIND
+    from meta_morph_etl_databricks_spark.sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, path)
+    assert not fs.exists(path_cls(_lock_file(path)))
+
+
+# -------------------------------------------------- owner-token reclaim
+def test_owner_reclaims_own_stranded_lock_only(spark, tmp_path):
+    """A marker whose breadcrumb names the SAME owner token is a dead
+    prior incarnation of this job (one-active-query-per-checkpoint) —
+    reclaimed without retries.  A foreign owner's marker, a crumbless
+    marker (holder mid-acquire), and a torn crumb never reclaim."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    lock = _lock_file(path)
+
+    def strand(body: str | None):
+        with open(lock, "x") as f:
+            if body is not None:
+                f.write(body)
+
+    # same owner → reclaimed, op proceeds with retries=0
+    strand(json.dumps({"op": "stream_batch", "owner": "ckpt-A"}))
+    with ix.writer_lock(spark, path, "restart", owner="ckpt-A"):
+        pass
+    assert not os.path.exists(lock)
+
+    # foreign owner → fail loudly, marker intact
+    strand(json.dumps({"op": "stream_batch", "owner": "ckpt-OTHER"}))
+    with pytest.raises(IOError, match="break_writer_lock"):
+        with ix.writer_lock(spark, path, "restart", owner="ckpt-A"):
+            pass
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+    # crumbless marker (holder mid-acquire) → never reclaimed
+    strand(None)
+    with pytest.raises(IOError):
+        with ix.writer_lock(spark, path, "restart", owner="ckpt-A"):
+            pass
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+    # torn crumb → never reclaimed
+    strand('{"op": "stream_ba')
+    with pytest.raises(IOError):
+        with ix.writer_lock(spark, path, "restart", owner="ckpt-A"):
+            pass
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
+def test_stream_restart_self_heals_stranded_lock(spark, tmp_path):
+    """The ADVICE scenario end-to-end: a hard-killed stream (kill -9 /
+    OOM) strands ``__writer_lock`` with its own checkpoint as owner; on
+    restart the first batch must reclaim it and process — not poll out
+    its retries and die — and dedup state is intact (replay via
+    recover_compaction is safe)."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, " ".join(f"s{i}w{j}" for j in range(30))) for i in range(6)], DSCHEMA
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(DSCHEMA).parquet(str(src) + "/*")
+    q = stream_incremental_dedup(stream, index_path, str(tmp_path / "acc"), ckpt)
+    q.awaitTermination(120)
+
+    # hard kill left the marker with this stream's own owner token
+    with open(_lock_file(index_path), "x") as f:
+        f.write(json.dumps({"op": "stream_batch", "owner": ckpt, "acquired_unix": 0}))
+
+    # redeliver batch 1 + one new doc; the restart must reclaim and run
+    spark.read.parquet(str(src / "b1")).write.parquet(str(src / "b2"))
+    spark.createDataFrame(
+        [(100, " ".join(f"n100w{j}" for j in range(30)))], DSCHEMA
+    ).write.parquet(str(src / "b3"))
+    stream = spark.readStream.schema(DSCHEMA).parquet(str(src) + "/*")
+    q = stream_incremental_dedup(stream, index_path, str(tmp_path / "acc"), ckpt)
+    q.awaitTermination(180)
+
+    assert not os.path.exists(_lock_file(index_path))  # released normally
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    # redelivered ids dropped by the seen filter, the new doc accepted
+    assert acc.count() == 7 and acc.where("doc_id = 100").count() == 1
+
+
+# ------------------------------------------- tombstone isin/anti boundary
+def test_tombstone_isin_boundary_parity(spark, tmp_path):
+    """Crossing ``_TOMBSTONE_ISIN_MAX`` flips the serve-side hide from a
+    pushed-down NOT-isin filter to a broadcast anti-join; both must hide
+    exactly the same ids.  The backlog is driven ACROSS the real 1024
+    boundary (1020 → 1030 pending) and the serve result is pinned equal
+    to the isin path's (obtained by lifting the threshold)."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)], ESCHEMA
+    )
+    path = str(tmp_path / "ivf")
+    ix.create_ivf_index(emb, path, nlist=4)
+
+    # 1020 pending: isin side of the boundary
+    dead = [1, 2, 3] + list(range(10_000, 10_000 + 1017))  # 3 real, rest unknown
+    assert ix.tombstone_ids(spark, path, dead) == 1020
+    below, _ = ix.open_ivf_index(spark, path)
+    below_ids = {r.vec_id for r in below.select("vec_id").collect()}
+    assert below_ids == set(range(60)) - {1, 2, 3}
+
+    # +10 more crosses to the anti-join side
+    more = [4, 5] + list(range(20_000, 20_008))
+    assert ix.tombstone_ids(spark, path, more) == 10
+    assert len(ix._tombstone_list(spark, ix.live_root(spark, path))) == 1030
+    assert 1030 > ix._TOMBSTONE_ISIN_MAX
+    above, meta = ix.open_ivf_index(spark, path)
+    above_ids = {r.vec_id for r in above.select("vec_id").collect()}
+    assert above_ids == set(range(60)) - {1, 2, 3, 4, 5}
+
+    # parity: the same 1030-id backlog through the isin path
+    import meta_morph_etl_databricks_spark.operators.index_store as mod
+
+    old = mod._TOMBSTONE_ISIN_MAX
+    try:
+        mod._TOMBSTONE_ISIN_MAX = 4096
+        isin_df, _ = ix.open_ivf_index(spark, path)
+        assert {r.vec_id for r in isin_df.select("vec_id").collect()} == above_ids
+    finally:
+        mod._TOMBSTONE_ISIN_MAX = old
+
+    # the big backlog serves through a top-k too (anti-join in the plan)
+    q = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(8)])], "query_id long, embedding array<double>"
+    )
+    got = ix.serve_ivf_topk(q, path, k=5)
+    assert got.count() == 5
+    assert {r.vec_id for r in got.collect()}.isdisjoint({1, 2, 3, 4, 5})
+
+
+# ------------------------------------------------- pruned_read chunking
+def test_pruned_read_chunks_past_glob_max(spark, tmp_path, monkeypatch):
+    """Past ``_PRUNED_GLOB_MAX`` touched values the read splits into
+    several globs and unions — same rows, missing buckets still
+    skipped, partition column preserved.  The threshold is lowered so
+    the chunked path runs at test scale; production behavior below the
+    threshold is the single-glob read every other test exercises."""
+    root = str(tmp_path / "pr")
+    df = spark.createDataFrame(
+        [(i, i % 20) for i in range(200)], "doc_id long, pfx int"
+    )
+    df.write.partitionBy("pfx").parquet(root)
+
+    schema = "doc_id long, pfx int"
+    touched = list(range(18)) + [97, 98, 99]  # 3 nonexistent buckets
+    expect = {(r.doc_id, r.pfx) for r in df.where(df.pfx < 18).collect()}
+
+    single = ix.pruned_read(spark, root, schema, touched)
+    assert {(r.doc_id, r.pfx) for r in single.collect()} == expect
+
+    monkeypatch.setattr(ix, "_PRUNED_GLOB_MAX", 5)  # force 5 chunks
+    chunked = ix.pruned_read(spark, root, schema, touched)
+    assert {(r.doc_id, r.pfx) for r in chunked.collect()} == expect
+
+    # an all-missing chunk contributes empty, not an error
+    monkeypatch.setattr(ix, "_PRUNED_GLOB_MAX", 2)
+    nothing = ix.pruned_read(spark, root, schema, [500, 501, 502, 503, 504])
+    assert nothing.count() == 0 and nothing.columns == ["doc_id", "pfx"]
+
+
+def test_path_missing_error_matcher_old_spark_spellings():
+    """The fallback must fire for pre-error-class engines (r11 ADVICE:
+    it only matched the class NAME 'PATH_NOT_FOUND', which those
+    engines never put in the message)."""
+
+    class OldStyle(Exception):  # no getCondition/getErrorClass at all
+        pass
+
+    assert ix._is_path_missing_error(OldStyle("Path does not exist: /x/pfx={1,2}"))
+    assert ix._is_path_missing_error(
+        OldStyle("java.io.FileNotFoundException: /x/pfx=1")
+    )
+    assert ix._is_path_missing_error(OldStyle("[PATH_NOT_FOUND] Path not found"))
+    assert not ix._is_path_missing_error(OldStyle("Permission denied: /x"))
+
+    class ClassedNotMissing(Exception):
+        def getCondition(self):
+            return "SCHEMA_MISMATCH"
+
+    # a classed error is judged by its CLASS — even if the message
+    # happens to contain a missing-path substring
+    assert not ix._is_path_missing_error(
+        ClassedNotMissing("schema drift near 'Path does not exist'")
+    )
+
+    class ClassedMissing(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    assert ix._is_path_missing_error(ClassedMissing("[PATH_NOT_FOUND] gone"))
+
+
+# -------------------------------------------------- rebucket target dial
+def test_rebucket_resizes_at_the_dial_target(spark, tmp_path):
+    """ADVICE fix: the rewrite must satisfy the dial that requested it.
+    With target_rows_per_bucket=40, an index at 200 rows/bucket is due;
+    after rebucketing AT THAT TARGET the dial reads not-due — before the
+    fix the rewrite re-sized at the fixed 500-rows/bucket default and
+    the dial re-fired a full rewrite on every poll forever."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(100)], DSCHEMA
+    )
+    path = str(tmp_path / "bidx")
+    # 100 docs x 4 bands = 400 band rows over 2 buckets = 200 rows/bucket
+    ix.create_band_index(docs, path, n_buckets=2)
+    assert ix.rebucket_due(spark, path, target_rows_per_bucket=40)
+
+    meta = ix.rebucket_index(spark, path, target_rows_per_bucket=40)
+    assert meta["n_buckets"] >= 400 // 40  # sized to the caller's target
+    assert not ix.rebucket_due(spark, path, target_rows_per_bucket=40)
+    # serves unchanged by the layout rewrite
+    df, _ = ix.open_band_index(spark, path)
+    assert df.select("doc_id").distinct().count() == 100
+
+
+# -------------------------------------------------- torn-tmp tombstones
+def test_tombstone_list_survives_torn_tmp_when_final_present(spark, tmp_path):
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    ix.tombstone_ids(spark, path, [1, 2])
+    live = ix.live_root(spark, path)
+    # a crashed update's torn tmp next to a healthy final list
+    with open(f"{live}/{ix.TOMBSTONES_FILE}.tmp", "w") as f:
+        f.write("[1, 2, 3")  # torn mid-write
+    assert set(ix._tombstone_list(spark, live)) == {1, 2}
+
+
+def test_tombstone_list_refuses_persistently_torn_sidecar(spark, tmp_path):
+    """When the final name is ABSENT and the tmp fallback is torn past
+    the retry budget, the read must RAISE — returning [] would
+    transiently serve taken-down rows (the one illegal outcome)."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    ix.tombstone_ids(spark, path, [1, 2])
+    live = ix.live_root(spark, path)
+    os.unlink(f"{live}/{ix.TOMBSTONES_FILE}")
+    with open(f"{live}/{ix.TOMBSTONES_FILE}.tmp", "w") as f:
+        f.write("[1, 2, 3")  # torn, and no final to fall back to
+    with pytest.raises(IOError, match="takedown"):
+        ix._tombstone_list(spark, live)

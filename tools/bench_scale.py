@@ -913,6 +913,73 @@ def bench_takedown(spark, sampler: _Sampler, label: str, d: str, n_ids: int = 16
     }
 
 
+def bench_tombstone_backlog(
+    spark, sampler: _Sampler, label: str, d: str, n_ids: int = 1500, passes: int = 2
+) -> dict:
+    """r12 (verdict task 5) — serve overhead of a LARGE pending-takedown
+    backlog.  Past ``_TOMBSTONE_ISIN_MAX`` (1024) the serve-side hide
+    flips from a pushed-down NOT-isin filter to a broadcast anti-join;
+    the small-backlog row in :func:`bench_takedown` measures only the
+    isin side.  Measured: the clean serve, a 16-id (isin) backlog, an
+    ``n_ids`` (anti-join) backlog, and the compact that drains it — the
+    tombstone docstring's operational advice ("compact before the
+    backlog grows") with a number attached.  The list mixes the index's
+    lowest 64 ids with synthetic absent ids: backlog COST is driven by
+    list size (driver read + broadcast build + join stage), not by how
+    many ids hit this index, and a legal takedown list routinely names
+    ids spread across many indexes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _embeddings
+
+    emb = _embeddings(spark, d)
+    n = emb.count()
+    low = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(80).collect()]
+    small = low[:16]
+    big = low[16:80] + list(range(10_000_000, 10_000_000 + n_ids - 64))
+    probe_cut = (
+        emb.orderBy(F.col("vec_id").desc()).limit(64).agg(F.min("vec_id")).first()[0]
+    )
+    probe = emb.where(F.col("vec_id") >= probe_cut)
+    idx_dir = tempfile.mkdtemp(prefix="tbacklog_")
+    try:
+        ix.create_embedding_index(emb.where(F.col("vec_id") < probe_cut), idx_dir)
+
+        def serve():
+            return ix.serve_incremental_embed_near_dup(
+                probe, idx_dir, threshold=0.9, append=False
+            ).accepted.count()
+
+        serve_clean = sampler.measure(serve, passes)
+        ix.tombstone_ids(spark, idx_dir, small)
+        serve_isin = sampler.measure(serve, passes)
+        ix.tombstone_ids(spark, idx_dir, big)
+        pending = len(ix._tombstone_list(spark, ix.live_root(spark, idx_dir)))
+        assert pending > ix._TOMBSTONE_ISIN_MAX  # the anti-join side
+        serve_anti = sampler.measure(serve, passes)
+        t0 = time.time()
+        ix.compact_index(spark, idx_dir)  # drains the backlog
+        compact_sec = round(time.time() - t0, 2)
+        serve_drained = sampler.measure(serve, passes)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "label": label,
+        "n": n,
+        "pending_large": pending,
+        "isin_max": ix._TOMBSTONE_ISIN_MAX,
+        "serve_clean": serve_clean,
+        "serve_small_isin": serve_isin,
+        "serve_large_anti_join": serve_anti,
+        "compact_drain_sec": compact_sec,
+        "serve_after_drain": serve_drained,
+    }
+
+
 def bench_ivf_retrain(spark, sampler: _Sampler, label: str, d: str, passes: int = 2, fixed_nprobe: int = 8) -> dict:
     """r11 — the IVF growth story the r10 verdict flagged ("no drift
     dial or retrain"): bootstrap on a 10% prefix (nlist = √(n/10)),
@@ -1165,7 +1232,46 @@ def bench_ivf_hot_skew(
     }
 
 
+def _backlog_line(p: dict) -> str:
+    return (
+        f"tombstone_backlog[{p['label']}]: n={p['n']} pending={p['pending_large']} "
+        f"(isin_max={p['isin_max']}) serve clean {p['serve_clean']['sec_norm']}s, "
+        f"16-id isin {p['serve_small_isin']['sec_norm']}s, "
+        f"{p['pending_large']}-id anti-join {p['serve_large_anti_join']['sec_norm']}s, "
+        f"drained {p['serve_after_drain']['sec_norm']}s "
+        f"(compact {p['compact_drain_sec']}s)"
+    )
+
+
+def _run_tombstone_backlog_only(out_json: str = "BENCH_SCALE.json") -> None:
+    """Focused re-run of just the r12 backlog rows, merged into the
+    existing artifact — the full main() suite takes hours and nothing
+    else changed."""
+    from meta_morph_etl_databricks_spark.session import get_spark
+
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    sampler = _Sampler(spark)
+    recs = [bench_tombstone_backlog(spark, sampler, "sf0.1", "/root/testdata/sf0.1")]
+    if os.path.isdir(".scale10"):
+        recs.append(bench_tombstone_backlog(spark, sampler, "scale10", ".scale10"))
+    sampler.finish()
+    for p in recs:
+        print(_backlog_line(p))
+    try:
+        with open(out_json) as f:
+            payload = json.load(f)
+    except Exception:
+        payload = {}
+    payload["tombstone_backlog"] = recs
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"merged tombstone_backlog into {out_json}")
+
+
 def main() -> None:
+    if "--tombstone-backlog" in sys.argv:
+        return _run_tombstone_backlog_only()
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
     scale100_dir = sys.argv[3] if len(sys.argv) > 3 else None
@@ -1290,6 +1396,10 @@ def main() -> None:
         bench_takedown(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_takedown(spark, sampler, "scale10", scale_dir, passes=2),
     ]
+    backlog_recs = [  # r12: the >isin-max anti-join side of the backlog
+        bench_tombstone_backlog(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_tombstone_backlog(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
     ivf_retrain_recs = [
         bench_ivf_retrain(spark, sampler, "sf0.1", base_dir, passes=2),
         bench_ivf_retrain(spark, sampler, "scale10", scale_dir, passes=2),
@@ -1390,6 +1500,8 @@ def main() -> None:
             f"tombstone={p['tombstone_sec']}s retract={p['retract_sec']}s "
             f"serve {p['serve_clean']['sec_norm']}s->{p['serve_tombstoned']['sec_norm']}s w/ pending"
         )
+    for p in backlog_recs:
+        print(_backlog_line(p))
     for p in ivf_retrain_recs:
         print(
             f"ivf_retrain[{p['label']}]: n={p['n']} nlist {p['nlist_frozen']}->{p['nlist_retrained']} "
@@ -1458,6 +1570,7 @@ def main() -> None:
         "recluster_recovery": recluster_recs,
         "ivf_store": ivf_store_recs,
         "takedown": takedown_recs,
+        "tombstone_backlog": backlog_recs,
         "ivf_retrain": ivf_retrain_recs,
         "ivf_hot_skew": ivf_hot_recs,
         "rebucket": rebucket_recs,
