@@ -306,9 +306,9 @@ def merge_upsert_transactional(
     source rows insert, unmatched target rows survive.
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
-    and 6), 2026-08-15 (rounds 7 through 10) and 2026-08-16 (round
-    11): ``pip download delta-spark`` → "No matching distribution
-    found" (the index host is unreachable / returns no versions — no
+    and 6), 2026-08-15 (rounds 7 through 10) and 2026-08-16 (rounds
+    11 and 12): ``pip download delta-spark`` → DNS resolution of the
+    package index fails outright ("Name or service not known" — no
     package network); ``import delta`` → ModuleNotFoundError;
     filesystem-wide search for
     ``delta-{spark,core,storage}*.jar`` / a vendored wheel / an ivy
