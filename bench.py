@@ -122,7 +122,11 @@ def _driver_round(here: str | None = None) -> int:
     return best
 
 
-def _baseline_artifact(here: str | None = None, sf: float | None = None) -> tuple[int, dict]:
+def _baseline_artifact(
+    here: str | None = None,
+    sf: float | None = None,
+    current_round: int | None = None,
+) -> tuple[int, dict]:
     """(round, payload) of the newest usable BASELINE — ONE discovery
     point so the gate's lapse round and its baseline timings provably
     come from the same record.  Preference order:
@@ -136,9 +140,14 @@ def _baseline_artifact(here: str | None = None, sf: float | None = None) -> tupl
        non-null — the pre-r12 source, kept as the fallback.
 
     Returns ``(0, {})`` when neither exists (first round, or history
-    wiped): the gate then compares nothing, visibly (empty baseline)."""
+    wiped): the gate then compares nothing, visibly (empty baseline).
+
+    ``current_round``: main() resolves the round ONCE and threads it
+    here and into :func:`_persist_self` — a driver artifact landing on
+    disk mid-run must not make the gate and the self-record disagree
+    about which round this run belongs to."""
     here = here or _HERE
-    cur = _driver_round(here) + 1
+    cur = current_round if current_round is not None else _driver_round(here) + 1
     try:
         with open(os.path.join(here, _SELF_FILE)) as f:
             rounds = json.load(f).get("rounds") or {}
@@ -161,11 +170,12 @@ def _baseline_artifact(here: str | None = None, sf: float | None = None) -> tupl
     import glob
     import re
 
-    for f in sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
-        reverse=True,
-    ):
+    numbered = []  # (round, path) — stray BENCH_r*.json names are skipped
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            numbered.append((int(m.group(1)), f))
+    for rnd, f in sorted(numbered, reverse=True):
         try:
             with open(f) as fh:
                 parsed = json.load(fh).get("parsed")
@@ -175,15 +185,19 @@ def _baseline_artifact(here: str | None = None, sf: float | None = None) -> tupl
         # compared against a 0.001-sf local run flags nonsense (caught
         # live on the r12 smoke run — q_embed 9.4x "regression")
         if parsed and (sf is None or parsed.get("sf") == sf):
-            return int(re.search(r"BENCH_r(\d+)\.json$", f).group(1)), dict(parsed)
+            return rnd, dict(parsed)
     return 0, {}
 
 
-def _persist_self(payload: dict, here: str | None = None) -> None:
+def _persist_self(
+    payload: dict, here: str | None = None, current_round: int | None = None
+) -> None:
     """Record this run's parsed payload under the current round in
     ``BENCH_SELF.json`` (bounded history; last write in a round wins —
     the driver's official run is the last one, so the NEXT round gates
-    against official numbers, not a mid-round local iteration)."""
+    against official numbers, not a mid-round local iteration).
+    ``current_round``: see :func:`_baseline_artifact` — one resolution
+    per run, shared with the gate."""
     here = here or _HERE
     p = os.path.join(here, _SELF_FILE)
     try:
@@ -191,7 +205,8 @@ def _persist_self(payload: dict, here: str | None = None) -> None:
             rounds = dict(json.load(f).get("rounds") or {})
     except Exception:
         rounds = {}
-    rounds[str(_driver_round(here) + 1)] = payload
+    cur = current_round if current_round is not None else _driver_round(here) + 1
+    rounds[str(cur)] = payload
     keep = sorted(rounds, key=lambda r: int(r) if r.isdigit() else -1)[-8:]
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
@@ -415,7 +430,8 @@ def main() -> None:
     ok = [v for v in timings.values() if v >= 0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     calibration = round(min(cal_samples), 3)
-    base_round, base = _baseline_artifact(sf=sf)
+    cur_round = _driver_round() + 1  # resolved ONCE — gate + self-record agree
+    base_round, base = _baseline_artifact(sf=sf, current_round=cur_round)
     prev_cal = _baseline_calibration(base)
     # >1 = this host is slower than last round's; scales the gate's baselines
     host_speed_ratio = round(calibration / prev_cal, 3) if prev_cal else 1.0
@@ -450,7 +466,8 @@ def main() -> None:
                 "variants": variants,
                 "calibration_sec": calibration,
                 "value": total,
-            }
+            },
+            current_round=cur_round,
         )
     except Exception as e:  # never let history IO kill the bench output
         print(f"# bench self-record write failed: {e}", file=sys.stderr)

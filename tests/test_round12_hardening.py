@@ -169,6 +169,39 @@ def test_owner_reclaims_own_stranded_lock_only(spark, tmp_path):
     os.unlink(lock)
 
 
+def test_reclaim_restores_foreign_replacement(spark, tmp_path, monkeypatch):
+    """The capture protocol's TOCTOU defense: if the marker CHANGES
+    between the owner peek and the rename (a manual break racing the
+    reclaim), the re-verify against the CAPTURED file sees the truth
+    and restores the innocent writer's marker instead of deleting it.
+    Simulated by faking only the peek read."""
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    lock = _lock_file(path)
+    with open(lock, "x") as f:
+        f.write(json.dumps({"op": "compact_index", "owner": "OTHER"}))
+
+    real = ix._read_small_file
+    calls = {"n": 0}
+
+    def fake_peek(spark_, p):
+        calls["n"] += 1
+        if calls["n"] == 1 and p == lock:  # the peek: claims our owner
+            return json.dumps({"op": "stream_batch", "owner": "MINE"})
+        return real(spark_, p)  # the captured-file re-verify reads truth
+
+    monkeypatch.setattr(ix, "_read_small_file", fake_peek)
+    from meta_morph_etl_databricks_spark.sources.sinks import _hadoop_fs
+
+    fs, path_cls, _ = _hadoop_fs(spark, path)
+    got = ix._reclaim_own_lock(spark, fs, path_cls, path_cls(lock), lock, "MINE")
+    assert got is False
+    assert os.path.exists(lock)  # restored, not deleted
+    assert not os.path.exists(lock + ".reclaim")
+    assert json.load(open(lock))["owner"] == "OTHER"  # content intact
+    os.unlink(lock)
+
+
 def test_stream_restart_self_heals_stranded_lock(spark, tmp_path):
     """The ADVICE scenario end-to-end: a hard-killed stream (kill -9 /
     OOM) strands ``__writer_lock`` with its own checkpoint as owner; on
