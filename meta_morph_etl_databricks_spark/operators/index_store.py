@@ -506,11 +506,15 @@ def break_writer_lock(spark: SparkSession, path: str) -> bool:
     Returns whether a lock existed.  ONLY safe after confirming the
     previous holder is dead — the half-built generation it left behind
     is reaped by the next writer's :func:`recover_compaction`, so no
-    further cleanup is needed."""
+    further cleanup is needed.  Also drops a ``.reclaim`` capture
+    sidecar a crashed :func:`_reclaim_own_lock` may have orphaned
+    (harmless debris — it locks nothing — but this is the tidy-up
+    point)."""
     from ..sources.sinks import _hadoop_fs
 
     root = path.rstrip("/")
     fs, path_cls, _ = _hadoop_fs(spark, root)
+    fs.delete(path_cls(f"{root}{WRITER_LOCK_SUFFIX}.reclaim"), False)
     return bool(fs.delete(path_cls(f"{root}{WRITER_LOCK_SUFFIX}"), False))
 
 
