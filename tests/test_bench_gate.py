@@ -144,6 +144,61 @@ def test_baseline_skips_stray_artifact_names(tmp_path):
     assert bench._baseline_artifact(d, sf=0.1) == (0, {})
 
 
+# ------------------------------------------------------- gate properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.floats(0.01, 100, allow_nan=False),
+    t1=st.floats(0.0, 200, allow_nan=False),
+    bump=st.floats(0.0, 50, allow_nan=False),
+    ratio=st.floats(0.1, 5, allow_nan=False),
+)
+def test_gate_monotone_in_measured_time(base, t1, bump, ratio):
+    """If a time flags, any LARGER time (same baseline, same host
+    ratio) must also flag — the gate can never be escaped by getting
+    slower."""
+    name = "q_prop"  # not in _MERGED_BASELINES — direct comparison
+    b = {name: base}
+    r1 = name in bench._regressions({name: t1}, b, ratio, 11)
+    r2 = name in bench._regressions({name: t1 + bump}, b, ratio, 11)
+    assert not (r1 and not r2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.floats(0.01, 100, allow_nan=False),
+    t=st.floats(0.0, 200, allow_nan=False),
+    fast=st.floats(0.1, 1.0, allow_nan=False),
+)
+def test_gate_fast_host_never_tightens(base, t, fast):
+    """A host ratio < 1 (faster host than the baseline's) must gate
+    exactly like ratio = 1 — fixed costs don't scale with the probe, so
+    a fast round must not flag queries that are absolutely no slower."""
+    name = "q_prop"
+    b = {name: base}
+    assert bench._regressions({name: t}, b, fast, 11) == bench._regressions(
+        {name: t}, b, 1.0, 11
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.floats(0.01, 100, allow_nan=False),
+    t=st.floats(0.0, 200, allow_nan=False),
+    slow=st.floats(1.0, 5, allow_nan=False),
+)
+def test_gate_never_flags_absolutely_faster_runs(base, t, slow):
+    """A raw time at or below the raw baseline never flags, whatever
+    the host ratio claims — and error sentinels never flag."""
+    name = "q_prop"
+    if t <= base:
+        assert bench._regressions({name: t}, {name: base}, slow, 11) == {}
+    assert bench._regressions({name: -1.0}, {name: base}, slow, 11) == {}
+
+
 def test_live_repo_gate_is_armed():
     """The repo's own BENCH_SELF.json must give the NEXT bench run a
     non-empty baseline — the gate stays dead if this ever regresses."""
