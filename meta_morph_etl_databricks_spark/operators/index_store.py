@@ -521,7 +521,11 @@ def break_writer_lock(spark: SparkSession, path: str) -> bool:
 def _reject_legacy_for_write(spark: SparkSession, root: str) -> None:
     """create_* over a LEGACY flat index must not interleave generation
     dirs with the flat data (the stale root sidecar would hijack the
-    pointer-loss fallback later) — migrate or pick a fresh path."""
+    pointer-loss fallback later) — migrate or pick a fresh path.  Also
+    the shared create-path spot for the glob-literal root guard (r12 —
+    see :func:`_reject_glob_root`): every builder calls here before
+    writing anything."""
+    _reject_glob_root(root)
     if _read_small_file(spark, f"{root}/{CURRENT_FILE}") is None and _read_small_file(
         spark, f"{root}/{META_FILE}"
     ) is not None:
@@ -539,6 +543,7 @@ def init_index(spark: SparkSession, path: str, meta: dict) -> str:
     sinks use this on their first batch; batch ``create_*`` builders
     write data first and call :func:`_finish_generation` instead.)"""
     root = path.rstrip("/")
+    _reject_glob_root(root)
     gen = _new_generation(spark, root)
     write_index_meta(spark, f"{root}/{gen}", meta)
     _install_pointer(spark, root, gen)
@@ -569,6 +574,7 @@ def migrate_index(spark: SparkSession, path: str) -> str:
     from ..sources.sinks import _hadoop_fs
 
     root = path.rstrip("/")
+    _reject_glob_root(root)  # the migrated index must be pruned-servable
     fs, path_cls, _ = _hadoop_fs(spark, root)
     if _read_small_file(spark, f"{root}/{CURRENT_FILE}") is not None:
         return live_root(spark, root)  # already pointer layout
@@ -937,7 +943,10 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
             "first to get the reader-atomic pointer swap"
         )
     cur = set(_tombstone_list(spark, live))
-    fresh = [i for i in ids if i not in cur]
+    # set-dedupe the request too (r12 review): [5, 5] previously
+    # returned 2 "newly tombstoned" for one id — an audit reconciling
+    # takedown-request counts against the return saw phantom extras
+    fresh = sorted(set(ids) - cur)
     if fresh:
         _replace_small_file(
             spark,
@@ -1021,6 +1030,28 @@ def _reingested_tombstones(
 # read chunks into several globs and unions.
 _PRUNED_GLOB_MAX = 1000
 
+_GLOB_CHARS = frozenset("*?[]{}")
+
+
+def _reject_glob_root(root: str) -> None:
+    """Index roots must be glob-LITERAL (r12 review): every pruned
+    serve hands ``root/pfx={..}`` to Hadoop's glob resolver, where a
+    metacharacter in the root (``corpus[2024]``, a braced tenant dir)
+    makes the whole pattern match nothing — the PATH_NOT_FOUND maps to
+    an empty index read, and an empty index ADMITS every duplicate,
+    the module's documented worst failure class.  Writers don't glob,
+    so the index would CREATE fine and fail only silently at serve
+    time; rejected loudly at create/init/migrate AND at every pruned
+    read (covering indexes created before this guard)."""
+    bad = _GLOB_CHARS.intersection(root)
+    if bad:
+        raise ValueError(
+            f"index path {root!r} contains glob metacharacter(s) "
+            f"{' '.join(sorted(bad))} — pruned serves glob-expand the "
+            "root and would silently read an EMPTY index; use a "
+            "glob-literal path"
+        )
+
 
 def _is_path_missing_error(e: Exception) -> bool:
     """Whether an AnalysisException means "the glob matched no path":
@@ -1087,6 +1118,7 @@ def pruned_read(
     from pyspark.errors import AnalysisException
 
     root = path.rstrip("/")
+    _reject_glob_root(root)
     vals = sorted({int(t) for t in touched if t is not None})
     if not vals:
         return spark.createDataFrame([], schema)
@@ -1486,6 +1518,7 @@ def rebucket_due(
     path: str,
     drift_factor: float = 4.0,
     target_rows_per_bucket: int = 500,
+    resolved: tuple[str, dict | None] | None = None,
 ) -> bool:
     """Growth dial for the PARTITION layout itself (r11) — the sibling
     of :func:`semantic_recluster_due` / :func:`ivf_retrain_due` for the
@@ -1501,14 +1534,32 @@ def rebucket_due(
     normally re-size buckets through their own rebuilds
     (:func:`recluster_semantic_index` / :func:`retrain_ivf_index`);
     :func:`rebucket_index` is the cheap rewrite that fixes layout alone
-    (no Lloyd, no codebook retrain)."""
-    live, meta = live_index(spark, path)
+    (no Lloyd, no codebook retrain).
+
+    Fires only when the rewrite can actually GROW the layout (r12
+    review): occupancy alone used to fire even when
+    :func:`rebucket_index` would re-pick the same ``n_buckets`` — an
+    IVF index whose bucket count is nlist-capped, or a band/embed
+    index at the ``auto_index_buckets`` directory cap — so a
+    fire-and-rewrite loop re-ran a full-index rewrite on every poll
+    forever without ever satisfying the dial.  An over-occupancy,
+    nlist-bound IVF layout is :func:`ivf_retrain_due`'s problem (the
+    retrain grows nlist AND buckets), not this dial's.
+
+    ``resolved``: optionally the ``live_index`` pair the caller already
+    holds — :func:`index_info` passes it so its one console snapshot is
+    not torn across a concurrent pointer flip."""
+    live, meta = resolved if resolved is not None else live_index(spark, path)
     if meta is None:
         raise ValueError(f"no index at {path}")
     rows = meta.get("rows")
     if rows is None:  # pre-r11 sidecar — footer-only count, O(files)
         rows = spark.read.schema(_kind_schema(meta)).parquet(live).count()
-    return rows / max(meta["n_buckets"], 1) > drift_factor * target_rows_per_bucket
+    target = auto_index_buckets(rows, target_rows_per_bucket)
+    if meta.get("kind") == IVF_KIND:  # same cap rule as rebucket_index
+        target = min(target, max(meta.get("nlist", 1), 1))
+    over = rows / max(meta["n_buckets"], 1) > drift_factor * target_rows_per_bucket
+    return over and target > meta["n_buckets"]
 
 
 def _kind_pfx(meta: dict) -> Column:
@@ -1890,12 +1941,26 @@ def create_semantic_index(
 
 
 def append_sem_rows(rows: DataFrame, path: str, meta: dict) -> None:
+    """Append coded semantic rows into the live generation and bump the
+    growth counter, exactly like :func:`append_band_rows` /
+    :func:`append_embed_rows` (r12 review: this was the one append
+    helper that skipped the bump, so a batch caller growing the corpus
+    through it froze ``semantic_recluster_due`` at the bootstrap count
+    and the drift dial never fired).  Materialized once when the
+    counter needs a count — same double-evaluation guard as the band
+    helper."""
+    spark = rows.sparkSession
+    live = live_root(spark, path)
+    if "rows" in meta:
+        rows = rows.localCheckpoint()
     (
         rows.withColumn("pfx", _cell_pfx(meta["n_buckets"]))
         .write.mode("append")
         .partitionBy("pfx")
-        .parquet(live_root(rows.sparkSession, path))
+        .parquet(live)
     )
+    if "rows" in meta:
+        _bump_rows(spark, live, meta, rows.count())
 
 
 def open_semantic_index(
@@ -1989,7 +2054,12 @@ def serve_incremental_semantic_dedup(
         new_rows.unpersist()
 
 
-def semantic_recluster_due(spark: SparkSession, path: str, drift_factor: float = 4.0) -> bool:
+def semantic_recluster_due(
+    spark: SparkSession,
+    path: str,
+    drift_factor: float = 4.0,
+    resolved: tuple[str, dict | None] | None = None,
+) -> bool:
     """Occupancy drift dial: True when the mean cell population has
     grown past ``drift_factor × target_cell_size`` — the signal that
     the bootstrap partition no longer fits the corpus and the
@@ -1999,8 +2069,9 @@ def semantic_recluster_due(spark: SparkSession, path: str, drift_factor: float =
     every committed append/compact/retract/recluster — round-9 verdict
     task 5; pre-r10 sidecars without it fall back to one
     parquet-footer count).  Rebuild-and-swap:
-    :func:`recluster_semantic_index`."""
-    live, meta = live_index(spark, path)
+    :func:`recluster_semantic_index`.  ``resolved``: see
+    :func:`rebucket_due` (the console's no-torn-snapshot hook)."""
+    live, meta = resolved if resolved is not None else live_index(spark, path)
     if meta is None or meta.get("kind") != SEM_KIND:
         raise ValueError(f"no semantic index at {path}")
     rows = meta.get("rows")
@@ -2547,22 +2618,28 @@ def _pq_decode_sql(codebooks: list[list[list[int]]], code_col: str = "pq_code") 
     as the quantize kernels: nested Column trees cost thousands of
     py4j round-trips at m·ksub scale, the parser takes the string in
     one."""
+    # the encode side's renderer, not a local copy (r12 review: a
+    # byte-identical duplicate here could silently diverge from
+    # pq_encode's rendering under a future change)
+    from .quantize import _int_array_sql
+
     parts = []
     for s, book in enumerate(codebooks):
         arr = (
             "array("
-            + ", ".join(_int_array_sql_local(c) for c in book)
+            + ", ".join(_int_array_sql(c) for c in book)
             + ")"
         )
         parts.append(f"element_at({arr}, cast({code_col}[{s}] AS int) + 1)")
     return "transform(concat(" + ", ".join(parts) + "), t -> cast(t AS double))"
 
 
-def _int_array_sql_local(vals: list[int]) -> str:
-    return "array(" + ", ".join(str(int(v)) for v in vals) + ")"
-
-
-def ivf_retrain_due(spark: SparkSession, path: str, drift_factor: float = 2.0) -> bool:
+def ivf_retrain_due(
+    spark: SparkSession,
+    path: str,
+    drift_factor: float = 2.0,
+    resolved: tuple[str, dict | None] | None = None,
+) -> bool:
     """Growth drift dial for the IVF kind — the sibling of
     :func:`semantic_recluster_due`, closing the round-10 verdict note
     ("the IVF kind has no drift dial or retrain").  Appends assign to
@@ -2579,8 +2656,9 @@ def ivf_retrain_due(spark: SparkSession, path: str, drift_factor: float = 2.0) -
     every committed append/compact/retract/retrain (pre-r11 sidecars
     fall back to one parquet-footer count).  An EMPTY bootstrap
     codebook (zero-row create) reports due as soon as any rows exist —
-    the first retrain is what gives it lists at all."""
-    live, meta = live_index(spark, path)
+    the first retrain is what gives it lists at all.  ``resolved``:
+    see :func:`rebucket_due` (the console's no-torn-snapshot hook)."""
+    live, meta = resolved if resolved is not None else live_index(spark, path)
     if meta is None or meta.get("kind") != IVF_KIND:
         raise ValueError(f"no IVF index at {path}")
     rows = meta.get("rows")
@@ -2758,10 +2836,18 @@ def index_info(spark: SparkSession, path: str) -> dict:
         "writer_lock": None,
     }
     if meta is not None:
+        # the dials receive THIS resolution (r12 review): re-resolving
+        # inside them could race a concurrent rebuild's pointer flip and
+        # pair gen-N meta/rows with a gen-N+1 dial reading — the exact
+        # torn-snapshot class live_index's docstring forbids
         if meta.get("kind") == SEM_KIND:
-            info["maintenance_due"] = semantic_recluster_due(spark, root)
+            info["maintenance_due"] = semantic_recluster_due(
+                spark, root, resolved=(live, meta)
+            )
         elif meta.get("kind") == IVF_KIND:
-            info["maintenance_due"] = ivf_retrain_due(spark, root)
+            info["maintenance_due"] = ivf_retrain_due(
+                spark, root, resolved=(live, meta)
+            )
     lock_text = _read_small_file(spark, f"{root}{WRITER_LOCK_SUFFIX}")
     if lock_text is not None:  # "" = marker exists, breadcrumb not yet/lost
         try:

@@ -508,7 +508,17 @@ def _assign_numpy(
     cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
     cn = np.sqrt((C * C).sum(axis=1))  # (L,)
     dim = C.shape[1]
-    schema = f"{id_col} long, {vec_col} array<double>, centroid_id long, _n double"
+    # id/vec types MIRROR the input frame (r12 review): a hardcoded
+    # `long` id silently widened non-bigint ids once nlist > 64 flipped
+    # method='auto' here, and the index sidecar's recorded id_type then
+    # disagreed with the stored parquet — every later schema'd read of
+    # the index failed.  _assign_scored passes the columns through
+    # untouched; this kernel must declare the same types it passes.
+    dtypes = dict(embeddings.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
+        "centroid_id long, _n double"
+    )
 
     def assign(batches):
         for pdf in batches:

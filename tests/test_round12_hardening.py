@@ -33,6 +33,7 @@ import sys
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from meta_morph_etl_databricks_spark.operators import index_store as ix
 
@@ -381,6 +382,124 @@ def test_rebucket_resizes_at_the_dial_target(spark, tmp_path):
 
 
 # -------------------------------------------------- torn-tmp tombstones
+# ------------------------------------------- module-review (r12) fixes
+def test_append_sem_rows_bumps_counter(spark, tmp_path):
+    """The SEM kind's public append helper must feed the drift dial
+    like its band/embed siblings (review: it was the one append that
+    skipped the bump, freezing semantic_recluster_due at the bootstrap
+    count forever)."""
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        semantic_cell_index,
+    )
+    from meta_morph_etl_databricks_spark.operators.semantic import tree_from_json
+
+    rng = random.Random(5)
+
+    def emb(lo, n):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(lo, lo + n)],
+            ESCHEMA,
+        )
+
+    path = str(tmp_path / "semidx")
+    meta = ix.create_semantic_index(emb(0, 40), path, k=4, iters=1, dims=8)
+    assert ix.live_index(spark, path)[1]["rows"] == 40
+    coded = semantic_cell_index(emb(100, 25), tree_from_json(meta["tree"]), 8)
+    ix.append_sem_rows(coded, path, meta)
+    live, meta2 = ix.live_index(spark, path)
+    assert meta2["rows"] == 65  # counter grew with the append
+    # the dial reads the grown count — and the resolved= hook matches
+    # the self-resolved reading (index_info's no-torn-snapshot path)
+    assert ix.semantic_recluster_due(spark, path, drift_factor=0.01) is True
+    assert ix.semantic_recluster_due(
+        spark, path, drift_factor=0.01, resolved=(live, meta2)
+    ) is True
+
+
+def test_ivf_assignment_preserves_non_bigint_id_type(spark, tmp_path):
+    """The numpy assignment kernel (method='auto' flips to it past 64
+    lists) must emit the INPUT id type — it hardcoded `long`, so an
+    int-id index built with a wide codebook stored int64 parquet under
+    an `int` sidecar schema and every later open failed at scan time
+    (review finding)."""
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.similarity import _assign_numpy
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(300)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(6)]) for c in range(70)]
+    out = _assign_numpy(emb, cents, "vec_id", "embedding")
+    assert dict(out.dtypes)["vec_id"] == "int"
+
+    # end-to-end: 70 lists > the auto-switch threshold, int ids — the
+    # store round-trips (create writes through the numpy kernel, open
+    # reads with the sidecar's id_type schema)
+    path = str(tmp_path / "ivf_int")
+    meta = ix.create_ivf_index(emb, path, nlist=70)
+    assert meta["id_type"] == "int" and len(meta["centroids"]) > 64
+    df, _ = ix.open_ivf_index(spark, path)
+    assert df.count() == 300  # the schema'd read works
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert ix.serve_ivf_topk(q, path, k=3).count() == 6
+
+
+def test_glob_metacharacter_roots_rejected(spark, tmp_path):
+    """A glob metacharacter in the index ROOT makes every pruned serve
+    silently read an EMPTY index (admitting every duplicate) — create,
+    init, migrate and pruned_read all refuse loudly instead."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"g{i}w{j}" for j in range(30))) for i in range(5)], DSCHEMA
+    )
+    for bad in ("bid[2024]x", "bid{a,b}", "bid*", "bid?"):
+        with pytest.raises(ValueError, match="glob"):
+            ix.create_band_index(docs, str(tmp_path / bad), n_buckets=4)
+        with pytest.raises(ValueError, match="glob"):
+            ix.init_index(spark, str(tmp_path / bad), {"kind": ix.BAND_KIND})
+        with pytest.raises(ValueError, match="glob"):
+            ix.pruned_read(spark, str(tmp_path / bad), "doc_id long, pfx int", [1])
+    # literal paths unaffected
+    ok = str(tmp_path / "plain")
+    ix.create_band_index(docs, ok, n_buckets=4)
+    assert ix.open_band_index(spark, ok)[0].count() > 0
+
+
+def test_rebucket_due_converges_when_layout_cannot_grow(spark, tmp_path):
+    """An IVF layout capped at nlist must NOT report rebucket-due on
+    occupancy alone — the rewrite would re-pick the same n_buckets and
+    a rebucket_when_due-style loop would re-run a full rewrite on every
+    poll forever (review finding).  The correct signal for that state
+    is the retrain dial, which grows nlist AND buckets."""
+    import random
+
+    rng = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)], ESCHEMA
+    )
+    path = str(tmp_path / "ivf_cap")
+    meta = ix.create_ivf_index(emb, path, nlist=4)
+    assert meta["n_buckets"] == 4  # nlist-capped layout
+    live = ix.live_root(spark, path)
+    with open(f"{live}/{ix.ROWS_FILE}", "w") as f:
+        f.write("1000000")  # simulate heavy growth since bootstrap
+    # occupancy is massively over, but the rewrite cannot grow buckets
+    assert ix.rebucket_due(spark, path, target_rows_per_bucket=500) is False
+    assert ix.ivf_retrain_due(spark, path) is True  # the right dial fires
+
+
+def test_tombstone_ids_return_dedupes_request(spark, tmp_path):
+    path = str(tmp_path / "bidx")
+    _mk_band_index(spark, path)
+    assert ix.tombstone_ids(spark, path, [5, 5, 6]) == 2  # not 3
+    assert ix.tombstone_ids(spark, path, [6, 7, 7]) == 1
+    assert ix.index_info(spark, path)["pending_tombstones"] == 3
+
+
 def test_tombstone_list_survives_torn_tmp_when_final_present(spark, tmp_path):
     path = str(tmp_path / "bidx")
     _mk_band_index(spark, path)
