@@ -160,6 +160,12 @@ def incremental_dedup(
     (index_store.serve_incremental_dedup) hand in the increment's band
     rows it already computed for pfx pruning — MUST equal
     ``minhash_band_index(new_docs, ...)``.
+
+    Multi-action note: without ``_banded``, consuming BOTH returned
+    frames as separate actions re-evaluates the minhash chain per
+    action (measured ~45 s per evaluation at 490k docs) — persist or
+    localCheckpoint the increment's band rows first and pass them in,
+    exactly what the serve/sink paths do.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -283,10 +289,18 @@ def embedding_bucket_index(
 
     planes = random_hyperplanes(dims, n_planes)
     coded = quantize_int8(embeddings, vec_col)
+    # interior-NULL elements (r12 review): a right-LENGTH vector with a
+    # NULL element passes both prior guards (array_max skips NULLs, so
+    # q_vec stays non-NULL) but its dot is NULL, every sign bit falls
+    # to otherwise(0), and all such rows would pile into bucket 0 —
+    # the exact hot-bucket poison the guard exists to contain.  The
+    # exists() probe sends them to the NULL bucket with the rest.
     return coded.select(
         F.col(id_col),
         F.when(
-            F.col("q_vec").isNotNull() & (F.size(vec_col) == dims),
+            F.col("q_vec").isNotNull()
+            & (F.size(vec_col) == dims)
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull()),
             lsh_bucket(F.col(vec_col), planes, center),
         ).alias("bucket"),
         F.col("q_vec"),
@@ -438,8 +452,30 @@ def incremental_semantic_near_dup(
     by a hash prefix of ``cell`` so a fixed increment touches a bounded
     set of buckets (index_store pruned read), and assignment is
     O(d·64·⌈log₆₄ k⌉) per increment row — serve cost is flat in the
-    corpus up to the log factor."""
+    corpus up to the log factor.
+
+    Multi-action note: when ``_new_rows`` is not supplied, consuming
+    BOTH returned frames as separate actions re-evaluates the coding
+    chain per action — persist/materialize first (the index_store
+    serve and streaming sinks do exactly that)."""
     _validate_sem_params(dims, None, index_meta)
+    # the ASSIGNER itself is validated, not just its dials (r12
+    # review): a caller holding yesterday's tree while the sink's
+    # recluster_when_due rebuilt the index overnight passes the
+    # dims/k check, re-cells the increment against the new index's
+    # cell ids, empties every cell equi-join, and silently ACCEPTS
+    # every duplicate — the exact class the error below names.  The
+    # sidecar stores the tree JSON, so the compare is driver-side free.
+    if index_meta is not None and "tree" in index_meta:
+        from .semantic import tree_to_json
+
+        if tree_to_json(tree) != index_meta["tree"]:
+            raise ValueError(
+                "semantic index metadata mismatch (assigner tree differs "
+                "from the sidecar's) — a mismatched assigner re-cells the "
+                "increment and silently empties every cell join; rehydrate "
+                "the tree from the index meta (semantic.tree_from_json)"
+            )
     new_rows = (
         _new_rows
         if _new_rows is not None
@@ -513,7 +549,10 @@ def incremental_embed_near_dup(
     contract with ``index_meta``, a weaker data probe without); the
     persisted path (index_store.serve_incremental_embed_near_dup)
     always passes the sidecar.  ``_new_rows`` lets that path hand in
-    the increment's index rows it already computed for pfx pruning."""
+    the increment's index rows it already computed for pfx pruning.
+    Multi-action note: without ``_new_rows``, consuming both returned
+    frames as separate actions re-codes the increment per action —
+    persist first (see incremental_dedup)."""
     _validate_embed_params(index, dims, n_planes, center, index_meta)
     new_rows = (
         _new_rows

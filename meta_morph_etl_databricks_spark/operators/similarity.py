@@ -663,10 +663,26 @@ def lsh_bucketed_pairs(
             embeddings.count() if n_docs is None else n_docs, target_bucket_size
         )
     planes = random_hyperplanes(dims, n_planes)
+    # corrupt rows get a NULL bucket (r12 review): NULL / wrong-length /
+    # NULL-element / non-finite vectors NULL (or NaN) the dot, every
+    # sign bit falls to otherwise(0), and at corpus scale they all pile
+    # into bucket 0 and cross-join against its honest residents.  Their
+    # cosine is NULL/NaN so they never produced PAIRS even before —
+    # this guard removes the join-cost poison, not any result row
+    # (same containment embedding_bucket_index applies for the
+    # persisted-index path).
+    _amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    _valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dims)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & ~F.isnan(_amax)
+        & (_amax != F.lit(float("inf")))
+    )
     bucketed = embeddings.select(
         id_col,
         vec_col,
-        lsh_bucket(F.col(vec_col), planes, center).alias("bucket"),
+        F.when(_valid, lsh_bucket(F.col(vec_col), planes, center)).alias("bucket"),
         norm(F.col(vec_col)).alias("_n"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")

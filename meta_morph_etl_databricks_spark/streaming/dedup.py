@@ -170,6 +170,12 @@ def stream_incremental_dedup(
             # separate meta/live reads pairs stale meta with new data)
             live, meta = ix.live_index(spark, index_path)
             if meta is None:
+                if batch_df.isEmpty():
+                    # nothing to size the index from (Kafka latest-offsets
+                    # fires an empty batch 0): bootstrapping here would pin
+                    # n_buckets at the 32-bucket floor FOREVER (r12 review)
+                    # — retry on the next batch instead
+                    return
                 meta = {
                     "kind": ix.BAND_KIND,
                     "id_col": id_col,
@@ -209,7 +215,17 @@ def stream_incremental_dedup(
                 .persist()
             )
             try:
-                touched = [r.pfx for r in banded.select("pfx").distinct().collect()]
+                # NULL-pfx filter for uniformity with the embed/sem
+                # bodies (band pfx is never NULL today — xxhash64 over
+                # non-null band cols — but the sibling shape must not
+                # silently diverge, r12 review)
+                touched = [
+                    r.pfx
+                    for r in banded.select("pfx")
+                    .where(F.col("pfx").isNotNull())
+                    .distinct()
+                    .collect()
+                ]
                 index = ix._minus_tombstones(
                     spark, live, meta,
                     ix.pruned_read(spark, live, ix._band_schema(meta), touched), tombs,
@@ -515,6 +531,26 @@ def stream_incremental_embed_near_dup(
             # separate meta/live reads pairs stale meta with new data)
             live, meta = ix.live_index(spark, index_path)
             if meta is None:
+                if batch_df.isEmpty():
+                    return  # size/center next batch (see the band sink)
+                # the bootstrap batch must hold at least one VALID vector
+                # (r12 review): an all-corrupt batch 0 under center="auto"
+                # would pin center=[0.0]*dims in the sidecar FOREVER —
+                # reintroducing the anisotropic bucket collapse the
+                # auto-center exists to prevent — and its row count is a
+                # junk n_buckets sizing either way.  Mirror the semantic
+                # sink's no-valid-vectors path: pass the batch through
+                # accepted as-is and retry bootstrap on the next batch.
+                amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+                valid = (
+                    F.col(vec_col).isNotNull()
+                    & (F.size(vec_col) == dims)
+                    & ~F.isnan(amax)
+                    & (amax != F.lit(float("inf")))
+                )
+                if batch_df.where(valid).isEmpty():
+                    batch_df.write.mode("append").parquet(accepted_path)
+                    return
                 c = embedding_center(batch_df, dims, vec_col) if center == "auto" else center
                 meta = {
                     "kind": ix.EMBED_KIND,

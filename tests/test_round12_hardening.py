@@ -500,6 +500,138 @@ def test_tombstone_ids_return_dedupes_request(spark, tmp_path):
     assert ix.index_info(spark, path)["pending_tombstones"] == 3
 
 
+def test_interior_null_element_vectors_get_null_bucket(spark):
+    """A right-length vector with a NULL ELEMENT passed both old guards
+    (array_max skips NULLs so q_vec stays non-NULL) and landed in
+    bucket 0 — at corpus scale every such row piles into one hot bucket
+    and cross-joins its honest residents (review finding).  It must get
+    the NULL bucket like every other corrupt shape."""
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, None, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # interior NULL
+            (1, [1.0] * 8),
+            (2, [1.0] * 8),
+        ],
+        ESCHEMA,
+    )
+    rows = {r.vec_id: r.bucket for r in embedding_bucket_index(emb, dims=8).collect()}
+    assert rows[0] is None and rows[1] is not None and rows[1] == rows[2]
+    # the one-shot pair path contains it too — and loses no result pair
+    got = lsh_bucketed_pairs(emb, n_planes=4, dims=8, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 2)}
+
+
+def test_stale_assigner_tree_raises_against_sidecar(spark, tmp_path):
+    """A caller holding yesterday's tree while the index was reclustered
+    passed the dims check, re-celled the increment against the new cell
+    ids, emptied every cell join and silently ACCEPTED every duplicate
+    (review finding) — the assigner itself is now validated against the
+    sidecar."""
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        incremental_semantic_near_dup,
+    )
+    from meta_morph_etl_databricks_spark.operators.semantic import (
+        kmeans_int8_tree,
+        tree_from_json,
+    )
+
+    rng = random.Random(21)
+
+    def emb(lo, n):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(lo, lo + n)],
+            ESCHEMA,
+        )
+
+    path = str(tmp_path / "semidx")
+    meta = ix.create_semantic_index(emb(0, 40), path, k=4, iters=1, dims=8)
+    index_df, _ = ix.open_semantic_index(spark, path)
+    # a DIFFERENT bootstrap's tree — the stale-assigner hazard
+    _, _, stale_tree = kmeans_int8_tree(emb(500, 40), 4, 1, 8, n_docs=40)
+    with pytest.raises(ValueError, match="assigner tree"):
+        incremental_semantic_near_dup(
+            emb(100, 10), index_df, stale_tree, dims=8, index_meta=meta
+        )
+    # the sidecar's own tree passes (round-trip equality)
+    res = incremental_semantic_near_dup(
+        emb(100, 10), index_df, tree_from_json(meta["tree"]), dims=8, index_meta=meta
+    )
+    assert res.accepted.count() <= 10
+
+
+def test_sinks_do_not_bootstrap_from_empty_or_corrupt_batch(spark, tmp_path):
+    """Kafka-style latest-offsets init fires an empty batch 0: the band
+    and embed sinks previously pinned n_buckets (and under
+    center='auto' a zero center) from it FOREVER (review finding).
+    Now: empty batch → no index, retry; all-corrupt embed batch →
+    pass-through accepted, retry; first valid batch bootstraps."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import (
+        stream_incremental_dedup,
+        stream_incremental_embed_near_dup,
+    )
+
+    # --- band sink: empty batch 0 must not init the index
+    bsrc = tmp_path / "bsrc"
+    bsrc.mkdir()
+    bidx = str(tmp_path / "bidx")
+    spark.createDataFrame([], DSCHEMA).write.parquet(str(bsrc / "b0"))
+    stream = spark.readStream.schema(DSCHEMA).parquet(str(bsrc) + "/*")
+    q = stream_incremental_dedup(
+        stream, bidx, str(tmp_path / "bacc"), str(tmp_path / "bckpt")
+    )
+    q.awaitTermination(120)
+    assert ix.live_index(spark, bidx)[1] is None  # no premature bootstrap
+    spark.createDataFrame(
+        [(i, " ".join(f"b{i}w{j}" for j in range(30))) for i in range(5)], DSCHEMA
+    ).write.parquet(str(bsrc / "b1"))
+    stream = spark.readStream.schema(DSCHEMA).parquet(str(bsrc) + "/*")
+    q = stream_incremental_dedup(
+        stream, bidx, str(tmp_path / "bacc"), str(tmp_path / "bckpt")
+    )
+    q.awaitTermination(120)
+    assert ix.live_index(spark, bidx)[1] is not None  # sized from real data
+    assert spark.read.parquet(str(tmp_path / "bacc")).count() == 5
+
+    # --- embed sink: empty then all-corrupt then valid
+    esrc = tmp_path / "esrc"
+    esrc.mkdir()
+    eidx = str(tmp_path / "eidx")
+    eacc, eckpt = str(tmp_path / "eacc"), str(tmp_path / "eckpt")
+    spark.createDataFrame([], ESCHEMA).write.parquet(str(esrc / "b0"))
+    stream = spark.readStream.schema(ESCHEMA).parquet(str(esrc) + "/*")
+    stream_incremental_embed_near_dup(stream, eidx, eacc, eckpt, dims=8).awaitTermination(120)
+    assert ix.live_index(spark, eidx)[1] is None
+
+    corrupt = [(0, None), (1, [float("nan")] * 8), (2, [1.0, 2.0])]
+    spark.createDataFrame(corrupt, ESCHEMA).write.parquet(str(esrc / "b1"))
+    stream = spark.readStream.schema(ESCHEMA).parquet(str(esrc) + "/*")
+    stream_incremental_embed_near_dup(stream, eidx, eacc, eckpt, dims=8).awaitTermination(120)
+    assert ix.live_index(spark, eidx)[1] is None  # still no index...
+    assert spark.read.parquet(eacc).count() == 3  # ...corrupt passed through
+
+    import random
+
+    rng = random.Random(31)
+    spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10, 16)], ESCHEMA
+    ).write.parquet(str(esrc / "b2"))
+    stream = spark.readStream.schema(ESCHEMA).parquet(str(esrc) + "/*")
+    stream_incremental_embed_near_dup(stream, eidx, eacc, eckpt, dims=8).awaitTermination(180)
+    meta = ix.live_index(spark, eidx)[1]
+    assert meta is not None
+    assert any(abs(c) > 0 for c in meta["center"])  # centered on REAL data
+    assert spark.read.parquet(eacc).count() == 9
+
+
 def test_tombstone_list_survives_torn_tmp_when_final_present(spark, tmp_path):
     path = str(tmp_path / "bidx")
     _mk_band_index(spark, path)
