@@ -67,8 +67,27 @@ def quantize_int8(
     round(x / s) per element either way."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    finite = v.isNotNull() & ~F.isnan(amax) & (amax != F.lit(float("inf")))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # interior-NULL elements join the corrupt class at the ROOT (r12
+    # review): array_max skips NULL elements, so [0.5, NULL, ...]
+    # previously coded non-NULL with a NULL element — which then seeded
+    # int(None) crashes in pq_codebooks_from_codes and fabricated
+    # centroid-0 PQ codes in pq_encode (its subspace distances all
+    # aggregate NULL and the tie-break picks c=0).  One exists() probe
+    # here contains the whole class for every consumer.
+    finite = (
+        v.isNotNull()
+        & ~F.exists(v, lambda x: x.isNull())
+        & ~F.isnan(amax)
+        & (amax != F.lit(float("inf")))
+    )
+    # denormal floor (r12 review): amax in (0, ~1e-300] makes the scale
+    # itself underflow (amax/127 rounds to 0.0 or a denormal with huge
+    # relative error), and round(x/scale) then exceeds ±127 or hits
+    # Infinity — the exact ANSI CAST_OVERFLOW job-death the finite
+    # probe exists to prevent.  Such vectors are zero at int8
+    # resolution, so they take the zero-vector arm (scale 1.0,
+    # all-zero code) like amax == 0.
+    scale = F.when(amax > F.lit(1e-300), amax / F.lit(127.0)).otherwise(F.lit(1.0))
     out = df.withColumn(scale_col, F.when(finite, scale).cast("double"))
     return out.withColumn(
         out_col,
@@ -242,7 +261,14 @@ def pq_codebooks_from_codes(
         raise ValueError(f"ksub must be in [2, 128] (tinyint codes), got {ksub}")
     rows = (
         codes.select(id_col, code_col)
-        .where(F.col(code_col).isNotNull())
+        # NULL-element codes cannot seed (int(None) would kill the
+        # driver).  quantize_int8 no longer emits them (r12), but this
+        # trainer accepts arbitrary stored code frames — pre-fix
+        # indexes may still carry the shape.
+        .where(
+            F.col(code_col).isNotNull()
+            & ~F.exists(F.col(code_col), lambda x: x.isNull())
+        )
         .orderBy(id_col)
         .limit(ksub)
         .collect()
@@ -280,7 +306,11 @@ def pq_codebooks_kmeans(
 
     if not 2 <= ksub <= 128:
         raise ValueError(f"ksub must be in [2, 128] (tinyint codes), got {ksub}")
-    q = quantize_int8(embeddings, vec_col).filter(F.col("q_vec").isNotNull())
+    q = quantize_int8(embeddings, vec_col).filter(
+        # NULL-element containment: see pq_codebooks_from_codes
+        F.col("q_vec").isNotNull()
+        & ~F.exists(F.col("q_vec"), lambda x: x.isNull())
+    )
     first = q.select(F.size("q_vec").alias("n")).first()
     if first is None:
         raise ValueError("pq_codebooks_kmeans: empty corpus (or all-NULL vectors)")
@@ -366,8 +396,15 @@ def pq_encode(
     encoded = with_subs.select(
         id_col,
         *carry,
+        # NULL-element codes encode NULL, not a fabricated centroid-0
+        # (r12 review: a NULL element NULLed every subspace distance and
+        # the argmin tie-break picked c=0 with a positive pq_norm_sq —
+        # a garbage-but-finite ADC cosine that could displace true
+        # top-k neighbors).  quantize_int8 no longer emits the shape;
+        # this guards stored pre-fix codes.
         F.when(
-            F.col(code_col).isNotNull(),
+            F.col(code_col).isNotNull()
+            & ~F.exists(F.col(code_col), lambda x: x.isNull()),
             F.array(*[F.expr(argmin_sql(s)).cast("tinyint") for s in range(m)]),
         ).alias("pq_code"),
     )

@@ -119,8 +119,14 @@ def _shifted_codes(
 # (Arrow-batched: pandas input is ~2× faster at 43k rows and ~30× at
 # millions) and reused for the life of the session.  Lloyd-loop
 # callers also pass through here with per-iteration centroids: each
-# iteration is a fresh key, used once — harmless, bounded by eviction.
-_FRAME_CACHE: dict[tuple, DataFrame] = {}
+# iteration is a fresh key, used once — harmless, bounded by LRU
+# eviction (r12 review: the old clear-everything overflow policy let
+# one 32-iteration Lloyd rebuild evict the HOT persisted-tree frames
+# the serve path exists to keep — the next serve batch then re-paid
+# the ~1 s/pass frame build the cache was measured to save).
+from collections import OrderedDict as _OrderedDict
+
+_FRAME_CACHE: "_OrderedDict[tuple, DataFrame]" = _OrderedDict()
 
 
 def _cached_frame(spark, content, columns: list[str], schema: str) -> DataFrame:
@@ -133,11 +139,13 @@ def _cached_frame(spark, content, columns: list[str], schema: str) -> DataFrame:
         hashlib.md5(_json.dumps(content, sort_keys=True).encode()).hexdigest(),
     )
     df = _FRAME_CACHE.get(key)
-    if df is None:
+    if df is not None:
+        _FRAME_CACHE.move_to_end(key)  # LRU: a reuse marks the frame hot
+    else:
         import pandas as pd
 
-        if len(_FRAME_CACHE) > 64:  # crude bound; trees are few per session
-            _FRAME_CACHE.clear()
+        while len(_FRAME_CACHE) > 64:  # LRU bound — evict COLD keys only
+            _FRAME_CACHE.popitem(last=False)
         if any(x is None for row in content for x in row):
             # missing (cell, cid) slots: keep None as None — a numeric
             # pandas column would coerce it to NaN, which the NON-Arrow
@@ -609,6 +617,30 @@ def semantic_cell_assign(
     return assign_cells(codes, tree, id_col).withColumnRenamed("_cl", "cell")
 
 
+def _raise_if_dims_mismatch(embeddings: DataFrame, dims: int, vec_col: str) -> None:
+    """Diagnose an EMPTY assignment (r12 review): legitimate for an
+    empty or all-corrupt corpus (corrupt rows survive with NULL
+    cluster — the documented containment), but a corpus whose vectors
+    are uniformly a DIFFERENT length than ``dims`` previously turned
+    the whole dedup into an error-free no-op — every near-duplicate
+    sailed through with NULL clusters and no signal.  One aggregate,
+    paid only on the empty-assignment path (never on a healthy run)."""
+    probe = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .agg(
+            F.max(F.size(vec_col)).alias("mx"),
+            F.max((F.size(vec_col) == dims).cast("int")).alias("any_match"),
+        )
+        .first()
+    )
+    if probe is not None and probe["mx"] is not None and not probe["any_match"]:
+        raise ValueError(
+            f"no vectors of length dims={dims} in the corpus (observed sizes "
+            f"up to {probe['mx']}) — semantic dedup would silently accept "
+            "everything; pass the corpus's actual dims"
+        )
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     k: int | None = 16,
@@ -637,6 +669,8 @@ def semantic_dedup_pairs(
         assign = kmeans_int8(
             embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max
         )[0].localCheckpoint(eager=True)
+        if assign.isEmpty():  # cheap on the checkpointed frame
+            _raise_if_dims_mismatch(embeddings, dims, vec_col)
     else:
         assign = _assign
     memb = embeddings.join(assign, id_col).select(
@@ -684,6 +718,8 @@ def semantic_dedup(
     assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[
         0
     ].localCheckpoint(eager=True)
+    if assign.isEmpty():  # see _raise_if_dims_mismatch — no-op diagnosis
+        _raise_if_dims_mismatch(embeddings, dims, vec_col)
     pairs = semantic_dedup_pairs(
         embeddings, k, iters, threshold, dims, id_col, vec_col, n_docs, _assign=assign
     )

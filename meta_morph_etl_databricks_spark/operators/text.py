@@ -11,6 +11,8 @@ where possible, one shuffle only when grouping.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,7 +110,9 @@ def lang_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> 
         F.struct(stopword_hits(text, words).alias("hits"), F.lit(lang).alias("lang"))
         for lang, words in markers.items()
     ]
-    best = F.greatest(*candidates)
+    # greatest() needs >= 2 columns — a one-language marker dict (a
+    # caller restricting detection) is its own argmax (r12 review)
+    best = candidates[0] if len(candidates) == 1 else F.greatest(*candidates)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
 
 
@@ -154,7 +158,10 @@ def profile_documents(
     id_col: str = "doc_id",
     markers: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Distributed text profile (same values as the Column forms):
+    """Distributed text profile (same values as the Column forms, with
+    ONE deliberate divergence: NULL-text rows profile as zeros, not
+    NULL — every metric stays non-NULL and bounded so downstream
+    ORDER BY/filters are total, the adversarial-text contract):
     explode tokens ONCE, count language-marker hits with a plain
     codegen'd aggregate (isin over literal lists — no interpreted HOFs),
     join doc-level regex stats back on id.
@@ -183,9 +190,12 @@ def profile_documents(
     )
     joined = base.join(hits, id_col)
 
-    best = F.greatest(
-        *[F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang")) for lang in markers]
-    )
+    lang_structs = [
+        F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        for lang in markers
+    ]
+    # single-language markers: see lang_id (greatest needs >= 2 cols)
+    best = lang_structs[0] if len(lang_structs) == 1 else F.greatest(*lang_structs)
     detected = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None).cast("string"))
     n_tok = F.col("_n_tokens")
     n_chars_d = F.col("_n_chars").cast("double")
@@ -198,7 +208,14 @@ def profile_documents(
     return joined.select(
         *docs.columns,
         n_tok.alias("n_tokens"),
-        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+        # NULL text profiles as ZEROS across the board (r12 review made
+        # the row self-consistent: n_tokens was 0 but n_bpe_tokens NULL).
+        # Zeros — not the Column forms' NULL — are deliberate here: the
+        # adversarial contract pins every profile metric non-NULL and
+        # bounded so downstream ORDER BY/filters stay total.
+        F.coalesce(
+            bpe_ish_token_count(text_col).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n_bpe_tokens"),
         detected.alias("detected_lang"),
         quality.alias("quality"),
         fingerprint(text_col).alias("doc_fingerprint"),
@@ -337,11 +354,30 @@ def redact_pii(
     column expressions: map-only, JVM-side, whole-stage-codegen'd — at
     100 TB this is a projection, not a job.  Spark's regexp_replace is
     global by default (DuckDB needs the explicit 'g' flag — see the
-    parity test)."""
+    parity test).
+
+    ``kinds=[]`` redacts nothing (r12 review: the old falsy-list
+    fallback silently redacted ALL kinds for an explicit empty
+    selection); ``kinds=None`` means every kind.  The rendered ``token``
+    must not itself MATCH any PII pattern — the no-new-matches
+    invariant the precedence chain depends on is enforced here, not
+    just documented (checked against the patterns themselves, not a
+    crude no-digits rule: the default token legitimately renders
+    ``<PII:ipv6>``)."""
     out = F.col(text) if isinstance(text, str) else text
-    for kind in kinds or list(PII_PATTERNS):
+    selected = list(PII_PATTERNS) if kinds is None else list(kinds)
+    for kind in selected:
+        rendered = token.format(kind=kind)
+        for pat_kind, pat in PII_PATTERNS.items():
+            if _re.search(pat, rendered):
+                raise ValueError(
+                    f"replacement token {rendered!r} itself matches the "
+                    f"{pat_kind!r} PII pattern — an earlier kind's replacement "
+                    "would CREATE later matches (nested redaction, counts "
+                    "diverging from the redacted output)"
+                )
         out = F.regexp_replace(
-            out, PII_PATTERNS[kind], _quote_replacement(token.format(kind=kind))
+            out, PII_PATTERNS[kind], _quote_replacement(rendered)
         )
     return out
 
@@ -358,10 +394,10 @@ def pii_counts(text: Column | str, kinds: list[str] | None = None) -> Column:
     phone the redaction never touches, and the totals would disagree
     with the redacted output (round-8 review finding).  The placeholder
     token contains no digits/@, so a replacement never CREATES a later
-    match."""
+    match.  ``kinds=[]`` counts nothing (see redact_pii)."""
     cur = F.col(text) if isinstance(text, str) else text
     counts = []
-    for k in kinds or list(PII_PATTERNS):
+    for k in list(PII_PATTERNS) if kinds is None else list(kinds):
         counts.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).alias(f"n_{k}"))
         cur = F.regexp_replace(cur, PII_PATTERNS[k], _PII_TOKEN.format(kind=k))
     return F.struct(*counts)
@@ -375,8 +411,9 @@ def pii_profile(
 ) -> DataFrame:
     """(id, redacted text, per-kind counts, total) — one map-only
     projection over the corpus.  NULL text stays NULL with NULL counts
-    (regexp functions propagate NULL; no crash, no phantom zero row)."""
-    ks = kinds or list(PII_PATTERNS)
+    (regexp functions propagate NULL; no crash, no phantom zero row).
+    ``kinds=[]`` selects nothing (see redact_pii)."""
+    ks = list(PII_PATTERNS) if kinds is None else list(kinds)
     staged = docs.select(
         id_col,
         redact_pii(text_col, ks).alias("redacted"),
