@@ -154,16 +154,23 @@ def _baseline_artifact(
     except Exception:
         rounds = {}
     best_round, best = 0, {}
-    for r, payload in rounds.items():
+    for r, slot in rounds.items():
         try:
             r = int(r)
         except ValueError:
             continue
-        if r >= cur or r <= best_round or not isinstance(payload, dict):
+        if r >= cur or r <= best_round or not isinstance(slot, dict):
             continue
-        if sf is not None and payload.get("sf") != sf:
-            continue
-        best_round, best = r, dict(payload)
+        # r13 schema: {sf_str: payload}; legacy (≤r12): the payload
+        # itself (detected by its own "sf" field)
+        candidates = [slot] if "sf" in slot else [
+            v for v in slot.values() if isinstance(v, dict)
+        ]
+        for payload in candidates:
+            if sf is not None and payload.get("sf") != sf:
+                continue
+            best_round, best = r, dict(payload)
+            break
     if best:
         return best_round, best
     # fallback: newest driver artifact with a non-null parsed payload
@@ -192,10 +199,14 @@ def _baseline_artifact(
 def _persist_self(
     payload: dict, here: str | None = None, current_round: int | None = None
 ) -> None:
-    """Record this run's parsed payload under the current round in
-    ``BENCH_SELF.json`` (bounded history; last write in a round wins —
-    the driver's official run is the last one, so the NEXT round gates
-    against official numbers, not a mid-round local iteration).
+    """Record this run's parsed payload under ``(round, sf)`` in
+    ``BENCH_SELF.json``.  Keying by round ALONE clobbered (r12 advice):
+    a local sf0.01 iteration run executed AFTER the round's official
+    sf0.1 bench overwrote the official record, so the next round's sf0.1
+    gate found no matching-sf entry and went vacuous — the exact failure
+    the self-history exists to prevent.  Last-write-wins only within the
+    same (round, sf), where it is correct (the driver's official run at
+    a given sf is the last one at that sf).
     ``current_round``: see :func:`_baseline_artifact` — one resolution
     per run, shared with the gate."""
     here = here or _HERE
@@ -206,7 +217,12 @@ def _persist_self(
     except Exception:
         rounds = {}
     cur = current_round if current_round is not None else _driver_round(here) + 1
-    rounds[str(cur)] = payload
+    slot = rounds.get(str(cur))
+    if not isinstance(slot, dict) or "sf" in slot:
+        # legacy flat payload (pre-r13 schema): re-nest it under its own sf
+        slot = {str(slot.get("sf")): slot} if isinstance(slot, dict) else {}
+    slot[str(payload.get("sf"))] = payload
+    rounds[str(cur)] = slot
     keep = sorted(rounds, key=lambda r: int(r) if r.isdigit() else -1)[-8:]
     tmp = p + ".tmp"
     with open(tmp, "w") as f:

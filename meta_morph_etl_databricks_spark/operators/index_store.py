@@ -942,16 +942,21 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
             f"index at {path} uses the legacy flat layout — run migrate_index "
             "first to get the reader-atomic pointer swap"
         )
-    cur = set(_tombstone_list(spark, live))
-    # set-dedupe the request too (r12 review): [5, 5] previously
-    # returned 2 "newly tombstoned" for one id — an audit reconciling
-    # takedown-request counts against the return saw phantom extras
-    fresh = sorted(set(ids) - cur)
+    stored = _tombstone_list(spark, live)
+    cur = set(stored)
+    # dedupe the request (r12 review: [5, 5] returned 2 "newly
+    # tombstoned" for one id) but preserve INPUT order rather than
+    # sorting — a takedown list mixing id types (int + str) is valid
+    # for the set membership tests yet unorderable, so sorted() would
+    # raise TypeError on an otherwise-fine request (r12 advice).  The
+    # sidecar keeps file order + appended arrivals; nothing downstream
+    # relies on it being sorted (readers treat it as a set).
+    fresh = [i for i in dict.fromkeys(ids) if i not in cur]
     if fresh:
         _replace_small_file(
             spark,
             f"{live}/{TOMBSTONES_FILE}",
-            json.dumps(sorted(cur.union(fresh))),
+            json.dumps(stored + fresh),
         )
     return len(fresh)
 

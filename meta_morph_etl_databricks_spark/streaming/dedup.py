@@ -545,6 +545,11 @@ def stream_incremental_embed_near_dup(
                 valid = (
                     F.col(vec_col).isNotNull()
                     & (F.size(vec_col) == dims)
+                    # interior NULL elements too (r12 advice): array_max
+                    # SKIPS nulls, so a right-length all-NULL-element
+                    # vector passes the amax tests yet lands in the NULL
+                    # bucket — it must not size n_buckets or seed center
+                    & ~F.exists(F.col(vec_col), lambda x: x.isNull())
                     & ~F.isnan(amax)
                     & (amax != F.lit(float("inf")))
                 )

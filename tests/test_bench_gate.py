@@ -117,23 +117,69 @@ def test_persist_self_merges_and_bounds_history(tmp_path):
     _self_history(d, {str(r): {"sf": 0.1, "queries": {}} for r in range(1, 12)})
     bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.0}, "calibration_sec": 0.4}, d)
     hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
-    assert hist["12"]["queries"] == {"q_a": 2.0}
+    assert hist["12"]["0.1"]["queries"] == {"q_a": 2.0}
     assert len(hist) == 8 and "4" not in hist  # bounded, oldest dropped
-    # a second run the same round overwrites (last wins — the driver's
-    # official run is last, so round 13 gates on official numbers)
+    # a second run at the SAME (round, sf) overwrites (last wins — the
+    # driver's official run is last, so round 13 gates on official numbers)
     bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.5}, "calibration_sec": 0.5}, d)
     hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
-    assert hist["12"]["queries"] == {"q_a": 2.5}
+    assert hist["12"]["0.1"]["queries"] == {"q_a": 2.5}
     # main() resolves the round once and threads it — a driver artifact
     # landing mid-run must not shift the record to the wrong round
     bench._persist_self({"sf": 0.1, "queries": {}}, d, current_round=12)
     _driver_artifact(d, 12)  # lands "mid-run"
     bench._persist_self({"sf": 0.1, "queries": {"q_a": 3.0}}, d, current_round=12)
     hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
-    assert hist["12"]["queries"] == {"q_a": 3.0} and "13" not in hist
+    assert hist["12"]["0.1"]["queries"] == {"q_a": 3.0} and "13" not in hist
     # ...and the gate skips the current round even when threaded
     rnd, _ = bench._baseline_artifact(d, sf=0.1, current_round=12)
     assert rnd < 12
+
+
+def test_persist_self_keys_by_sf_no_cross_sf_clobber(tmp_path):
+    """r12 advice (medium): a local sf0.01 iteration run executed AFTER
+    the round's official sf0.1 bench must NOT overwrite the official
+    record — with round-only keying the next round's sf0.1 gate found no
+    matching-sf entry and went vacuous."""
+    d = str(tmp_path)
+    _driver_artifact(d, 12)  # current round = 13
+    # official sf0.1 run, then a later local sf0.01 iteration run
+    bench._persist_self({"sf": 0.1, "queries": {"q_a": 2.0}, "calibration_sec": 0.4}, d)
+    bench._persist_self({"sf": 0.01, "queries": {"q_a": 0.1}}, d)
+    hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
+    assert hist["13"]["0.1"]["queries"] == {"q_a": 2.0}  # survived
+    assert hist["13"]["0.01"]["queries"] == {"q_a": 0.1}
+    # round 14's sf0.1 gate still finds the official record
+    rnd, base = bench._baseline_artifact(d, sf=0.1, current_round=14)
+    assert rnd == 13 and base["queries"] == {"q_a": 2.0}
+    # ...and an sf0.01 local run next round gates against its own sf
+    rnd, base = bench._baseline_artifact(d, sf=0.01, current_round=14)
+    assert rnd == 13 and base["queries"] == {"q_a": 0.1}
+
+
+def test_persist_self_renests_legacy_flat_round_entry(tmp_path):
+    """A pre-r13 flat entry for the current round (payload directly under
+    the round key) is re-nested under its own sf instead of being merged
+    into as if it were an sf map."""
+    d = str(tmp_path)
+    _driver_artifact(d, 12)
+    _self_history(d, {"13": {"sf": 0.1, "queries": {"q_a": 5.0}}})
+    bench._persist_self({"sf": 0.01, "queries": {"q_a": 0.2}}, d)
+    hist = json.load(open(os.path.join(d, bench._SELF_FILE)))["rounds"]
+    assert hist["13"]["0.1"]["queries"] == {"q_a": 5.0}
+    assert hist["13"]["0.01"]["queries"] == {"q_a": 0.2}
+    # and the read side understands BOTH shapes (legacy rounds untouched)
+    _self_history(
+        d,
+        {
+            "11": {"sf": 0.1, "queries": {"q_old": 1.0}},  # legacy flat
+            "12": {"0.1": {"sf": 0.1, "queries": {"q_new": 2.0}}},  # nested
+        },
+    )
+    rnd, base = bench._baseline_artifact(d, sf=0.1, current_round=13)
+    assert rnd == 12 and base["queries"] == {"q_new": 2.0}
+    rnd, base = bench._baseline_artifact(d, sf=0.1, current_round=12)
+    assert rnd == 11 and base["queries"] == {"q_old": 1.0}
 
 
 def test_baseline_skips_stray_artifact_names(tmp_path):
