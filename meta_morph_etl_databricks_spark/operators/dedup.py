@@ -100,14 +100,21 @@ def minhash_signatures(
     """
     sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh"))
     based = sh.select(id_col, _shingle_base_hash(F.col("_sh")).alias("_hv"))
-    hashed = based.select(
+    # ONE selectExpr, not k unrolled Column chains: per-Column ops are
+    # py4j round-trips and the k·3-op affine family cost ~0.3 s of pure
+    # driver plan-assembly per call site (r13 serve-floor profiler).
+    # The parsed tree — and so executor codegen — is identical; all
+    # operands < 2^30 so a·h < 2^60 never overflows BIGINT (ANSI-safe).
+    hashed = based.selectExpr(
         id_col,
         *[
-            ((F.col("_hv") * a + b) % MINHASH_P).alias(f"h{i}")
+            f"(_hv * {a} + {b}) % {MINHASH_P} AS h{i}"
             for i, (a, b) in enumerate(minhash_params(num_hashes))
         ],
     )
-    return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    return hashed.groupBy(id_col).agg(
+        *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_hashes)]
+    )
 
 
 def band_key_array(num_hashes: int, bands: int) -> Column:
@@ -121,20 +128,19 @@ def band_key_array(num_hashes: int, bands: int) -> Column:
     (operators/incremental.py) — both sides of an incremental join must
     derive keys identically or no candidate ever matches."""
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
+    # one expr string (same parsed tree) — the unrolled
+    # xxhash64/concat_ws/cast Column chains were ~0.2 s of driver
+    # plan-assembly per call site (r13 serve-floor profiler)
+    keys = ", ".join(
+        "xxhash64(concat_ws('|', {}))".format(
+            ", ".join(
+                f"CAST(h{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
             )
-            for b in range(bands)
-        ]
+        )
+        for b in range(bands)
     )
+    return F.expr(f"array({keys})")
 
 
 def minhash_lsh_candidates(
@@ -192,15 +198,17 @@ def minhash_lsh_candidates(
         return joined.select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         ).distinct()
-    agree = sum(
-        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(num_hashes)
+    # one expr string, not k unrolled ==/cast Column chains (driver
+    # plan-assembly py4j cost — r13 serve-floor profiler); same tree
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
     )
     # est is a pure function of the pair, so distinct over the triple
     # dedups exactly like the pair form
     return joined.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (agree.cast("double") / num_hashes).alias("est_jaccard"),
+        F.expr(f"CAST(({agree}) AS DOUBLE) / {num_hashes}").alias("est_jaccard"),
     ).distinct()
 
 
@@ -419,19 +427,25 @@ def simhash_codes(
     tok = docs.select(F.col(id_col), F.explode(base).alias("_t"))
     hv = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("bigint")
     hashed = tok.select(id_col, hv.alias("_hv"))
+    # expr strings, not per-bit Column chains: the unrolled
+    # sum-when/shiftright aggregations plus the code-reconstruction loop
+    # were ~200 py4j round-trips of driver plan-assembly at bits=16
+    # (r13 serve-floor profiler); parsed trees are identical
     sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("_hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.expr(
+                f"SUM(CASE WHEN (SHIFTRIGHT(_hv, {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS s{b}"
+            )
             for b in range(bits)
         ]
     )
-    code = None
-    for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        code = bit if code is None else code + bit
-    coded = sums.select(id_col, code.alias("simhash"))
+    code = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    coded = sums.select(id_col, F.expr(code).alias("simhash"))
     return (
         docs.select(id_col)
         .join(coded, id_col, "left")

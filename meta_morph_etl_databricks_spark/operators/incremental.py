@@ -73,7 +73,11 @@ def minhash_band_index(
     return sig.select(
         F.col(id_col),
         F.posexplode(band_key_array(num_hashes, bands)).alias("band_idx", "band_key"),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        # one expr, not k unrolled F.col calls (driver plan-assembly
+        # cost — r13 serve-floor profiler)
+        F.expr("array({})".format(", ".join(f"h{i}" for i in range(num_hashes)))).alias(
+            "sig"
+        ),
     )
 
 
@@ -82,15 +86,24 @@ class IncrementalDedupResult(NamedTuple):
     index_rows: DataFrame  # band rows for ALL new docs — append to the index
 
 
-def _est(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
-    """MinHash Jaccard estimate between two signature arrays as a
-    codegen'd sum of element-equality casts (GetArrayItem stays in
-    whole-stage codegen; zip_with/aggregate would run interpreted per
-    RAW joined row — the trap documented in minhash_lsh_candidates)."""
-    agree = sum(
-        (sig_a.getItem(i) == sig_b.getItem(i)).cast("int") for i in range(num_hashes)
+def _est(sig_a: str, sig_b: str, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate between two signature arrays (named by
+    qualified column REFERENCE, e.g. ``"n.sig"``) as a codegen'd sum of
+    element-equality casts (GetArrayItem stays in whole-stage codegen;
+    zip_with/aggregate would run interpreted per RAW joined row — the
+    trap documented in minhash_lsh_candidates).
+
+    Built as ONE ``F.expr`` string, not per-term Column ops: each
+    Column operation is a py4j round-trip, and at 16 hashes the unrolled
+    ``getItem/==/cast`` chain cost ~265 ms of pure DRIVER plan-assembly
+    time per join site — over half the persisted-serve latency floor for
+    a small increment (r13 profiler, tools/profile_serve.py).  The
+    parsed tree is identical (same GetArrayItem equality sum, same NULL
+    propagation), so executor-side codegen is unchanged."""
+    terms = " + ".join(
+        f"CAST({sig_a}[{i}] = {sig_b}[{i}] AS INT)" for i in range(num_hashes)
     )
-    return agree.cast("double") / num_hashes
+    return F.expr(f"CAST(({terms}) AS DOUBLE) / {num_hashes}")
 
 
 def _validate_band_params(
@@ -186,7 +199,7 @@ def incremental_dedup(
             (F.col("n.band_idx") == F.col("x.band_idx"))
             & (F.col("n.band_key") == F.col("x.band_key")),
         )
-        .where(_est(F.col("n.sig"), F.col("x.sig"), num_hashes) >= est_threshold)
+        .where(_est("n.sig", "x.sig", num_hashes) >= est_threshold)
         .select(F.col(f"n.{id_col}"))
     )
     # within the increment: the higher id of every matching pair drops
@@ -198,7 +211,7 @@ def incremental_dedup(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .where(_est(F.col("a.sig"), F.col("b.sig"), num_hashes) >= est_threshold)
+        .where(_est("a.sig", "b.sig", num_hashes) >= est_threshold)
         .select(F.col(f"b.{id_col}"))
     )
     rejected = vs_index.union(within).distinct()

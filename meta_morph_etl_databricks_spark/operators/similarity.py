@@ -156,9 +156,15 @@ def embedding_center(
     never per increment."""
     amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     finite = ~F.isnan(amax) & (amax != F.lit(float("inf")))
+    # ONE selectExpr, not dims unrolled avg(getItem) Column chains —
+    # at dims=64 the per-Column py4j round-trips were ~0.3 s of pure
+    # driver plan-assembly per build/bootstrap (r13 serve-floor
+    # profiler); the parsed aggregate tree is identical
     row = embeddings.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dims) & finite
-    ).select(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dims)]).first()
+    ).selectExpr(
+        *[f"avg(`{vec_col}`[{i}]) AS m{i}" for i in range(dims)]
+    ).first()
     if row is None or row["m0"] is None:
         return [0.0] * dims
     return [float(row[f"m{i}"]) for i in range(dims)]
