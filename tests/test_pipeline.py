@@ -64,3 +64,146 @@ def test_publish_layer_holds_single_day_slice(spark, pipeline_run):
     rep = spark.read.parquet(f"{base}/reporting/supplier_performance")
     assert rep.count() == stats["published.supplier_performance"]
     assert rep.filter(F.col("day_dt") != F.to_date(F.lit("2001-08-02"))).count() == 0
+
+
+# --------------------------- multi-day backfill (r12 verdict task 4)
+# The reference's 5-day sequential backfill
+# (adhoc_reload_metamorph_pipeline.py:20-24,41-62) re-runs the whole
+# DAG per day against that day's feed.  This is the engine-side
+# equivalent over three consecutive SYNTHETIC day feeds whose contents
+# differ, pinning the three composite behaviors the single-feed tests
+# above cannot see: matched-row MERGE updates, unmatched-target
+# survival, and a deliberate double-load exploding in the dup gate.
+NEW_OFFSET = 10_000_000
+
+
+@pytest.fixture(scope="module")
+def backfill(spark, sf_dir, tmp_path_factory):
+    """Three day feeds derived from sf0.001 + a corrupted one:
+
+    - day1: the base snapshot verbatim;
+    - day2: +3 brand-new (orderless) customers; customer 19 (the
+      heaviest orderer) loses ALL orders → its mart metrics zero out;
+    - day3: customer 19 vanishes from the feed entirely (orders still
+      absent) — its current-table row must SURVIVE with day-2 values;
+    - dup:  day1 with one duplicated customer PK row.
+    """
+    from meta_morph_etl_databricks_spark.plans.pipeline import INGEST_TABLES
+
+    root = tmp_path_factory.mktemp("backfill")
+    feeds = {n: str(root / n) for n in ("day1", "day2", "day3", "dup")}
+    src = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in INGEST_TABLES}
+
+    clones = (
+        src["customer"]
+        .orderBy("c_custkey")
+        .limit(3)
+        .withColumn("c_custkey", F.col("c_custkey") + NEW_OFFSET)
+    )
+    variants = {
+        "day1": dict(src),
+        "day2": {
+            **src,
+            "customer": src["customer"].unionByName(clones),
+            "orders": src["orders"].where("o_custkey <> 19"),
+        },
+        "day3": {
+            **src,
+            "customer": src["customer"].where("c_custkey <> 19").unionByName(clones),
+            "orders": src["orders"].where("o_custkey <> 19"),
+        },
+        "dup": {
+            **src,
+            "customer": src["customer"].unionByName(src["customer"].limit(1)),
+        },
+    }
+    for feed, tables in variants.items():
+        for t, df in tables.items():
+            df.write.parquet(f"{feeds[feed]}/{t}.parquet")
+
+    base = str(root / "warehouse")
+    days = {"day1": "2001-08-02", "day2": "2001-08-03", "day3": "2001-08-04"}
+    stats = {
+        feed: run_daily(spark, feeds[feed], base, day=days[feed])
+        for feed in ("day1", "day2", "day3")
+    }
+    return base, feeds, days, stats
+
+
+def _current(spark, base):
+    return spark.read.parquet(f"{base}/current/customer_metrics")
+
+
+def test_backfill_merge_inserts_updates_and_survival(spark, backfill):
+    base, _, _, stats = backfill
+    n_base = stats["day1"]["current.customer_metrics"]
+    assert n_base == 150  # pinned: sf0.001 customer count
+    # day2 inserted exactly the 3 new customers
+    assert stats["day2"]["current.customer_metrics"] == n_base + 3
+    # day3 dropped customer 19 from the FEED but not from the table
+    assert stats["day3"]["current.customer_metrics"] == n_base + 3
+    cur = _current(spark, base)
+    # new customers landed, orderless → zero metrics
+    clones = cur.where(F.col("customer_id") >= NEW_OFFSET)
+    assert clones.count() == 3
+    assert clones.where(F.col("total_orders") != 0).count() == 0
+    # customer 19: day-1 run saw its orders, day-2 zeroed them
+    # (matched-row update), day-3 feed lost the customer but the row
+    # SURVIVES with day-2 values (unmatched-target survival)
+    c19 = cur.where(F.col("customer_id") == 19).collect()
+    assert len(c19) == 1
+    assert c19[0].total_orders == 0.0 and float(c19[0].expenditure) == 0.0
+
+
+def test_backfill_history_and_reporting_hold_all_days(spark, backfill):
+    base, _, days, stats = backfill
+    for layer in ("history/orders", "reporting/customer_metrics"):
+        got = {
+            r[0].isoformat()
+            for r in spark.read.parquet(f"{base}/{layer}")
+            .select("day_dt").distinct().collect()
+        }
+        assert got == set(days.values()), layer
+    # per-day mart partitions carry per-day results: day2's slice
+    # already reflects the zeroed customer 19, day1's does not
+    mart = spark.read.parquet(f"{base}/marts/customer_metrics")
+    by_day = {
+        d: mart.where(
+            (F.col("day_dt") == F.to_date(F.lit(days[d])))
+            & (F.col("customer_id") == 19)
+        ).collect()
+        for d in days
+    }
+    assert by_day["day1"][0].total_orders > 0
+    assert by_day["day2"][0].total_orders == 0.0
+    assert by_day["day3"] == []  # customer gone from day-3 feed/mart
+    # pinned row counts: day feeds were full snapshots
+    assert stats["day1"]["orders"] == 1500
+    assert stats["day2"]["orders"] == stats["day1"]["orders"] - 18  # cust 19
+    assert stats["day2"]["customer"] == 153 and stats["day3"]["customer"] == 152
+
+
+def test_backfill_converges_on_identical_refeed(spark, backfill):
+    base, feeds, _, stats = backfill
+    before = {
+        (r.customer_id): (r.total_orders, str(r.expenditure))
+        for r in _current(spark, base).collect()
+    }
+    again = run_daily(spark, feeds["day3"], base, day="2001-08-05")
+    assert again["current.customer_metrics"] == stats["day3"]["current.customer_metrics"]
+    after = {
+        (r.customer_id): (r.total_orders, str(r.expenditure))
+        for r in _current(spark, base).collect()
+    }
+    assert after == before  # MERGE convergence: identical feed, no drift
+
+
+def test_backfill_double_load_explodes_in_dup_gate(spark, backfill):
+    from meta_morph_etl_databricks_spark.quality.dup_gate import DuplicateException
+
+    base, feeds, _, _ = backfill
+    n_before = _current(spark, base).count()
+    with pytest.raises(DuplicateException, match=r"c_custkey"):
+        run_daily(spark, feeds["dup"], base, day="2001-08-06")
+    # the gate fired during INGEST: the current table was never touched
+    assert _current(spark, base).count() == n_before
