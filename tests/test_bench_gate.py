@@ -252,3 +252,31 @@ def test_live_repo_gate_is_armed():
     assert rnd >= 11
     assert len(base.get("queries") or {}) >= 40
     assert bench._baseline_calibration(base) > 0
+
+
+def test_scale10_rows_feed_the_same_regression_gate(tmp_path):
+    """r12 verdict task 5: the HOT-set scale rows ride in the payload's
+    ``scale10`` key and run through the SAME _regressions math as the
+    sf0.1 queries — a 10× plan-shape regression (r11's hyperplane bug
+    class) flags the round instead of waiting for a BENCH_SCALE refresh."""
+    base_scale = {"scale10:embed_lsh_pairs": 10.0, "scale10:serve_incremental": 2.0}
+    # a 10x blow-up (the r11 bug shape) flags...
+    out = bench._regressions(
+        {"scale10:embed_lsh_pairs": 100.0}, base_scale, baseline_round=12
+    )
+    assert out["scale10:embed_lsh_pairs"]["ratio"] == 10.0
+    # ...ordinary jitter does not
+    assert bench._regressions(
+        {"scale10:embed_lsh_pairs": 11.0, "scale10:serve_incremental": 2.4},
+        base_scale,
+        baseline_round=12,
+    ) == {}
+    # the (round, sf) self-history carries the scale rows so the next
+    # round's gate has a baseline for them
+    d = str(tmp_path)
+    _driver_artifact(d, 12)
+    bench._persist_self(
+        {"sf": 0.1, "queries": {"q_a": 1.0}, "scale10": base_scale}, d
+    )
+    _, base = bench._baseline_artifact(d, sf=0.1, current_round=14)
+    assert base["scale10"] == base_scale
