@@ -331,7 +331,11 @@ def pq_codebooks_kmeans(
 
 
 def _lit_ints(vals: list[int]) -> Column:
-    return F.array(*[F.lit(int(v)) for v in vals])
+    # one expr, not len(vals) F.lit round-trips (see the SQL-string
+    # note below — same driver plan-assembly economics)
+    if not vals:
+        return F.array()
+    return F.expr("array({})".format(", ".join(str(int(v)) for v in vals)))
 
 
 # The m·ksub distance/dot kernels below are generated as ONE SQL string

@@ -175,22 +175,26 @@ def _assign_int(codes: DataFrame, cents: list[tuple[int, list[int]]], id_col: st
     )
     mm = {cid: sum(y * y for y in mv) for cid, mv in cents}
     ex = codes.select(id_col, F.posexplode("_u").alias("_pos", "_x"))
+    # expr strings, not per-cid Column chains: each Column op is a py4j
+    # round-trip and this kernel runs once per Lloyd ITERATION, so at
+    # k=64 the unrolled agg+struct lists cost seconds of pure driver
+    # plan-assembly per training run (r13 serve-floor profiler).  The
+    # parsed trees are identical: CASE-without-ELSE is NULL like
+    # when-without-otherwise, int·long promotes to long either way.
     per = ex.join(flat_df, "_pos").groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.col("cid") == cid, F.col("_x") * F.col("_y"))).alias(f"_d{cid}")
+            F.expr(f"SUM(CASE WHEN cid = {cid} THEN _x * _y END) AS _d{cid}")
             for cid, _ in cents
         ]
     )
     # surrogate distance ‖m‖² − 2·scale·⟨u,m⟩ — monotone in the true
     # squared distance per vector; argmin ties to the smallest cid
-    structs = [
-        F.struct(
-            (F.lit(mm[cid]).cast("long") - F.lit(2 * _SCALE) * F.col(f"_d{cid}")).alias("o"),
-            F.lit(cid).alias("cid"),
-        )
+    arr = ", ".join(
+        f"named_struct('o', CAST({mm[cid]} AS BIGINT) - {2 * _SCALE} * _d{cid}, "
+        f"'cid', {cid})"
         for cid, _ in cents
-    ]
-    return per.select(id_col, F.array_min(F.array(*structs)).getField("cid").alias("_cl"))
+    )
+    return per.select(id_col, F.expr(f"array_min(array({arr})).cid").alias("_cl"))
 
 
 # ----------------------------------------------------------- assigner
@@ -354,29 +358,25 @@ def _grouped_assign(
         )
     )
     ex = codes2.select(id_col, "_c1", F.posexplode("_u").alias("_pos", "_x"))
+    # expr strings for the same reason as _assign_int (see there)
     per = (
         ex.join(flat_df, ["_c1", "_pos"])
         .groupBy(id_col, "_c1")
         .agg(
             *[
-                F.sum(F.when(F.col("cid") == cid, F.col("_x") * F.col("_y"))).alias(f"_d{cid}")
+                F.expr(f"SUM(CASE WHEN cid = {cid} THEN _x * _y END) AS _d{cid}")
                 for cid in range(k2)
             ]
         )
         .join(mm_df, "_c1")
     )
-    sentinel = F.lit(1 << 62).cast("long")
-    structs = [
-        F.struct(
-            F.coalesce(
-                F.col(f"_mm{cid}") - F.lit(2 * _SCALE) * F.col(f"_d{cid}"), sentinel
-            ).alias("o"),
-            F.lit(cid).alias("cid"),
-        )
+    arr = ", ".join(
+        f"named_struct('o', COALESCE(_mm{cid} - {2 * _SCALE} * _d{cid}, "
+        f"CAST({1 << 62} AS BIGINT)), 'cid', {cid})"
         for cid in range(k2)
-    ]
+    )
     return per.select(
-        id_col, "_c1", F.array_min(F.array(*structs)).getField("cid").alias("_cl2")
+        id_col, "_c1", F.expr(f"array_min(array({arr})).cid").alias("_cl2")
     )
 
 

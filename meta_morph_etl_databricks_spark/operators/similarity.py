@@ -134,7 +134,15 @@ def lsh_bucket(
         offsets = [sum(c * p for c, p in zip(center, plane)) for plane in planes]
     code = None
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
+        # ONE expr per plane, not dims unrolled F.lit calls: at
+        # n_planes=8 × dims=64 the literal arrays alone were ~512 py4j
+        # round-trips of driver plan-assembly per bucketing site (r13
+        # serve-floor profiler).  repr() round-trips doubles exactly
+        # and the D suffix keeps them DOUBLE (bare decimals parse as
+        # DECIMAL in Spark SQL), so the parsed literals are bit-equal.
+        p = F.expr(
+            "array({})".format(", ".join(f"{float(v)!r}D" for v in plane))
+        )
         bit = F.when(dot(vec, p) > F.lit(float(offsets[i])), F.lit(2**i)).otherwise(F.lit(0))
         code = bit if code is None else code + bit
     return code.cast("bigint")
@@ -319,16 +327,22 @@ def _assign_scored(
     first_cid = centroids[0][0]
     norms = {cid: _seq_norm(vec) for cid, vec in centroids}
     ex = embeddings.select(id_col, F.posexplode_outer(vec_col).alias("_pos", "_x"))
-    xy = F.col("_x") * F.col("_y")
+    # expr strings, not per-cid Column chains — py4j plan-assembly cost
+    # grows with k otherwise (r13 serve-floor profiler); parsed trees
+    # are identical (CASE-without-ELSE ≡ when-without-otherwise, and
+    # float literals carry the D suffix so they stay DOUBLE, not the
+    # DECIMAL Spark SQL defaults bare decimals to)
     per = (
         ex.join(flat.drop("_cn"), "_pos", "left")
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(F.when(F.col("cid") == cid, xy)).alias(f"_d{cid}")
+                F.expr(f"SUM(CASE WHEN cid = {cid} THEN _x * _y END) AS _d{cid}")
                 for cid, _ in centroids
             ],
-            F.sum(F.when(F.col("cid") == first_cid, F.col("_x") * F.col("_x"))).alias("_sq"),
+            F.expr(
+                f"SUM(CASE WHEN cid = {first_cid} THEN _x * _x END) AS _sq"
+            ),
         )
         .join(embeddings.select(id_col, vec_col), id_col, "left")
     )
@@ -338,20 +352,15 @@ def _assign_scored(
     # the corrupt vector lands in an arbitrary hot list — score it 0.0
     # like the other degenerate vectors instead (same contract as
     # cosine_with_norms)
-    sims = F.array(
-        *[
-            F.struct(
-                F.nanvl(
-                    F.when(
-                        (vn > 0) & (F.lit(norms[cid]) > 0),
-                        F.round(F.col(f"_d{cid}") / (vn * F.lit(norms[cid])), 6),
-                    ).otherwise(F.lit(0.0)),
-                    F.lit(0.0),
-                ).alias("sim"),
-                F.lit(cid).cast("long").alias("cid"),
+    sims = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('sim', nanvl(CASE WHEN SQRT(_sq) > 0D AND {n!r}D > 0D "
+                "THEN ROUND(_d{cid} / (SQRT(_sq) * {n!r}D), 6) ELSE 0.0D END, 0.0D), "
+                "'cid', CAST({cid} AS BIGINT))".format(cid=cid, n=norms[cid])
+                for cid, _ in centroids
             )
-            for cid, _ in centroids
-        ]
+        )
     )
     return per.select(
         id_col,
