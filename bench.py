@@ -336,9 +336,17 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
         lsh_bucketed_pairs,
     )
     from meta_morph_etl_databricks_spark.plans import marts
+    from meta_morph_etl_databricks_spark.plans.ml_queries import (
+        _documents,
+        _embeddings,
+    )
 
-    docs = spark.read.parquet(f"{d}/documents.parquet")
-    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    # the same parallelism-aware readers the declared queries use — a
+    # single-file scale dir must not serialize the hash-heavy map work
+    # onto one core (r13: the raw read measured single-core hashing,
+    # 95 s for a build the split corpus does in 9 s)
+    docs = _documents(spark, d)
+    emb = _embeddings(spark, d)
     n_vecs = emb.count()
 
     sample(

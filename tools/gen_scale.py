@@ -38,7 +38,16 @@ EVENT_SPAN = 10_000_000
 
 
 def _explode_copies(df: DataFrame, copies: int) -> DataFrame:
-    return df.withColumn("copy", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+    ex = df.withColumn("copy", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+    # The sf0.1 source tables are single parquet files, so without a
+    # shuffle the whole replicated output funnels through ONE task and
+    # lands as ONE file — and every downstream hash-heavy scan then runs
+    # single-core (the exact trap read_parquet_table(min_partitions=)
+    # exists for; measured r13: the 10× band-index build dropped
+    # 95 s → 9 s once the corpus arrived split).  Repartition to the
+    # session's parallelism so the write is distributed and the files
+    # split on read.
+    return ex.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def scale_tables(spark: SparkSession, out_dir: str, copies: int = 10, tables: str = "all") -> None:
