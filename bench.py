@@ -259,15 +259,31 @@ def _scale10_dir(here: str | None = None) -> str:
     return os.path.join(here or _HERE, ".scale10")
 
 
+# bump when the generator's OUTPUT changes in a timing-relevant way —
+# a stale layout must rebuild, not silently feed the gate numbers from
+# a different data shape (r13 review: a pre-repartition single-file
+# build reused under a distributed-layout baseline reads as a phantom
+# >10x regression)
+_SCALE10_LAYOUT = "v2-repartitioned"
+
+
 def _ensure_scale10(spark) -> str | None:
     """Build (or reuse) the 10× replication of sf0.1 (tools/gen_scale.py)
     that backs the HOT-set scale gate.  The replication is deterministic
     over static testdata, so a completed build is reused across rounds;
-    the marker file is written only after every table landed."""
+    the marker file is written only after every table landed and records
+    the generator LAYOUT version — a mismatch rebuilds."""
     d = _scale10_dir()
     marker = os.path.join(d, "_scale10_complete")
-    if os.path.exists(marker):
-        return d
+    try:
+        with open(marker) as f:
+            if _SCALE10_LAYOUT in f.read():
+                return d
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)  # stale layout: rebuild
+    except FileNotFoundError:
+        pass
     try:
         import importlib.util
 
@@ -279,7 +295,10 @@ def _ensure_scale10(spark) -> str | None:
         t0 = time.time()
         gs.scale_tables(spark, d, copies=10, tables="all")
         with open(marker, "w") as f:
-            f.write(f"10x of {gs.SRC}, built in {round(time.time() - t0, 1)}s")
+            f.write(
+                f"{_SCALE10_LAYOUT}: 10x of {gs.SRC}, "
+                f"built in {round(time.time() - t0, 1)}s"
+            )
         return d
     except Exception as e:
         print(f"# scale10 build failed: {e}", file=sys.stderr)
@@ -344,10 +363,17 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
     # the same parallelism-aware readers the declared queries use — a
     # single-file scale dir must not serialize the hash-heavy map work
     # onto one core (r13: the raw read measured single-core hashing,
-    # 95 s for a build the split corpus does in 9 s)
-    docs = _documents(spark, d)
-    emb = _embeddings(spark, d)
-    n_vecs = emb.count()
+    # 95 s for a build the split corpus does in 9 s).  Setup reads are
+    # guarded like everything else in the gate: a torn scale-dir table
+    # degrades this pass to missing rows, never kills the headline
+    # bench (r13 review).
+    try:
+        docs = _documents(spark, d)
+        emb = _embeddings(spark, d)
+        n_vecs = emb.count()
+    except Exception as e:
+        print(f"# scale10 setup read failed: {e}", file=sys.stderr)
+        return timings
 
     sample(
         "scale10:mart_customer_sales_report",
@@ -366,12 +392,16 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
         ).count(),
     )
 
-    cut = (
-        docs.orderBy(F.col("doc_id").desc())
-        .limit(32)
-        .agg(F.min("doc_id"))
-        .first()[0]
-    )
+    try:
+        cut = (
+            docs.orderBy(F.col("doc_id").desc())
+            .limit(32)
+            .agg(F.min("doc_id"))
+            .first()[0]
+        )
+    except Exception as e:
+        print(f"# scale10 serve setup failed: {e}", file=sys.stderr)
+        return timings
     corpus = docs.where(F.col("doc_id") < cut)
     increment = docs.where(F.col("doc_id") >= cut)
     idx_dir = os.path.join(_HERE, ".scale10_idx")

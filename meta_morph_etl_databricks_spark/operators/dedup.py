@@ -106,7 +106,8 @@ def minhash_signatures(
     # The parsed tree — and so executor codegen — is identical; all
     # operands < 2^30 so a·h < 2^60 never overflows BIGINT (ANSI-safe).
     hashed = based.selectExpr(
-        id_col,
+        f"`{id_col}`",  # backticked: selectExpr PARSES names ('doc-id',
+        #                 'order' would break where F.col handled them)
         *[
             f"(_hv * {a} + {b}) % {MINHASH_P} AS h{i}"
             for i, (a, b) in enumerate(minhash_params(num_hashes))

@@ -885,6 +885,44 @@ def _ids_df(spark: SparkSession, meta: dict, ids: list) -> DataFrame:
     )
 
 
+# id classes a takedown/retraction request may carry, per sidecar id
+# type.  bool is excluded from the integer class deliberately: True
+# would silently tombstone id 1.
+_ID_PYTYPES: dict[str, tuple[type, ...]] = {
+    "bigint": (int,),
+    "long": (int,),
+    "int": (int,),
+    "integer": (int,),
+    "smallint": (int,),
+    "tinyint": (int,),
+    "string": (str,),
+}
+
+
+def _check_request_ids(meta: dict, ids: list, path: str) -> None:
+    """Reject takedown/retraction ids whose PYTHON type cannot be a key
+    of this index (r13 review): a wrong-type id written to the
+    tombstone sidecar poisons every later serve — ``_ids_df`` raises
+    ``LongType can not accept object 'x'`` on each append/seen-thinning
+    batch until the sidecar is hand-edited.  Fail the REQUEST instead,
+    before anything persists.  Unknown sidecar types skip the check
+    (forward compatibility beats a false reject)."""
+    allowed = _ID_PYTYPES.get(_id_type(meta).lower())
+    if allowed is None:
+        return
+    bad = [
+        i for i in ids
+        if not isinstance(i, allowed) or isinstance(i, bool)
+    ]
+    if bad:
+        raise TypeError(
+            f"index at {path} keys {meta.get('id_col')!r} as "
+            f"{_id_type(meta)}; request contains incompatible id(s) "
+            f"{bad[:5]!r} — a persisted wrong-type id would crash every "
+            "subsequent serve"
+        )
+
+
 _TOMBSTONE_ISIN_MAX = 1024
 
 
@@ -942,15 +980,15 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
             f"index at {path} uses the legacy flat layout — run migrate_index "
             "first to get the reader-atomic pointer swap"
         )
+    _check_request_ids(meta, ids, path)  # r13 review: fail BEFORE persisting
     stored = _tombstone_list(spark, live)
     cur = set(stored)
     # dedupe the request (r12 review: [5, 5] returned 2 "newly
     # tombstoned" for one id) but preserve INPUT order rather than
-    # sorting — a takedown list mixing id types (int + str) is valid
-    # for the set membership tests yet unorderable, so sorted() would
-    # raise TypeError on an otherwise-fine request (r12 advice).  The
-    # sidecar keeps file order + appended arrivals; nothing downstream
-    # relies on it being sorted (readers treat it as a set).
+    # sorting (r12 advice: sorted() raised TypeError where the write
+    # itself was fine).  The sidecar keeps file order + appended
+    # arrivals; nothing downstream relies on it being sorted (readers
+    # treat it as a set).
     fresh = [i for i in dict.fromkeys(ids) if i not in cur]
     if fresh:
         _replace_small_file(
@@ -2292,6 +2330,7 @@ def retract_ids(spark: SparkSession, path: str, ids: list) -> int:
             f"index at {path} uses the legacy flat layout — run migrate_index "
             "first to get the reader-atomic pointer swap"
         )
+    _check_request_ids(meta, list(ids), path)  # r13 review: same hazard
     id_col = meta["id_col"]
     ids_df = F.broadcast(_ids_df(spark, meta, list(ids)))
     # fold pending tombstones into the purge: any generational rewrite

@@ -14,6 +14,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dlit(v: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal.  repr() round-trips
+    finite doubles exactly and the D suffix keeps them DOUBLE (bare
+    decimals parse as DECIMAL); non-finite values have no literal form
+    — 'nanD'/'infD' is a ParseException (r13 review) — so they render
+    as the CAST forms F.lit() would have produced."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -137,12 +153,9 @@ def lsh_bucket(
         # ONE expr per plane, not dims unrolled F.lit calls: at
         # n_planes=8 × dims=64 the literal arrays alone were ~512 py4j
         # round-trips of driver plan-assembly per bucketing site (r13
-        # serve-floor profiler).  repr() round-trips doubles exactly
-        # and the D suffix keeps them DOUBLE (bare decimals parse as
-        # DECIMAL in Spark SQL), so the parsed literals are bit-equal.
-        p = F.expr(
-            "array({})".format(", ".join(f"{float(v)!r}D" for v in plane))
-        )
+        # serve-floor profiler).  _dlit round-trips every double —
+        # including non-finite caller-supplied planes — bit-exactly.
+        p = F.expr("array({})".format(", ".join(_dlit(v) for v in plane)))
         bit = F.when(dot(vec, p) > F.lit(float(offsets[i])), F.lit(2**i)).otherwise(F.lit(0))
         code = bit if code is None else code + bit
     return code.cast("bigint")
@@ -355,9 +368,9 @@ def _assign_scored(
     sims = F.expr(
         "array({})".format(
             ", ".join(
-                "named_struct('sim', nanvl(CASE WHEN SQRT(_sq) > 0D AND {n!r}D > 0D "
-                "THEN ROUND(_d{cid} / (SQRT(_sq) * {n!r}D), 6) ELSE 0.0D END, 0.0D), "
-                "'cid', CAST({cid} AS BIGINT))".format(cid=cid, n=norms[cid])
+                "named_struct('sim', nanvl(CASE WHEN SQRT(_sq) > 0D AND {n} > 0D "
+                "THEN ROUND(_d{cid} / (SQRT(_sq) * {n}), 6) ELSE 0.0D END, 0.0D), "
+                "'cid', CAST({cid} AS BIGINT))".format(cid=cid, n=_dlit(norms[cid]))
                 for cid, _ in centroids
             )
         )

@@ -2,9 +2,10 @@
 schema change, pinned in test_bench_gate.py) plus round-13 verdict
 tasks.
 
-- ``tombstone_ids`` accepts an unorderable (mixed-type) takedown list:
-  dedupe preserves input order instead of sorting, so int+str id mixes
-  succeed where sorted() raised TypeError (r12 advice, low);
+- ``tombstone_ids``/``retract_ids`` validate request ids against the
+  sidecar's id type and fail BEFORE persisting (r13 review: a
+  wrong-type id written to the sidecar crashed every later serve);
+  dedupe preserves input order instead of sorting (r12 advice);
 - the embed sink's BOOTSTRAP validity predicate rejects right-length
   vectors whose elements are NULL — array_max skips NULLs so they
   passed the r12 guard, letting an interior-NULL-only batch 0 size
@@ -27,24 +28,30 @@ def _mk_band_index(spark, path, n_docs: int = 30):
     return docs
 
 
-# -------------------------------------------------- tombstone id mixes
-def test_tombstone_ids_accepts_mixed_type_unorderable_ids(spark, tmp_path):
-    """A takedown list mixing id types is valid for set membership yet
-    unorderable — sorted() raised TypeError where the sidecar write
-    itself is fine.  Dedupe now preserves input order (r12 advice)."""
+# -------------------------------------------------- tombstone id types
+def test_tombstone_ids_rejects_wrong_type_before_persisting(spark, tmp_path):
+    """r12 advice removed the accidental sorted() type-guard; the r13
+    review showed the real hazard was never orderability — a wrong-type
+    id WRITTEN to the sidecar crashes every later append-mode serve
+    (``_ids_df``: 'LongType can not accept object x').  The request now
+    fails fast against the sidecar's id type and nothing persists."""
+    import pytest
+
     path = str(tmp_path / "bidx")
-    _mk_band_index(spark, path)
-    # ints first, then strs alongside more ints — previously raised on
-    # the second call when the union {1, 2, "x"} hit sorted()
+    _mk_band_index(spark, path)  # doc_id bigint
+    with pytest.raises(TypeError, match="incompatible id"):
+        ix.tombstone_ids(spark, path, [2, "x"])
+    with pytest.raises(TypeError, match="incompatible id"):
+        ix.tombstone_ids(spark, path, [True])  # bool is not an id
+    assert ix.index_info(spark, path)["pending_tombstones"] == 0  # nothing wrote
+    with pytest.raises(TypeError, match="incompatible id"):
+        ix.retract_ids(spark, path, ["x"])
+    # valid ints still land, and the index stays servable afterwards
     assert ix.tombstone_ids(spark, path, [2, 1, 2]) == 2
-    assert ix.tombstone_ids(spark, path, ["x", 3, "x"]) == 2
-    live, _ = ix.live_index(spark, path)
-    tombs = ix._tombstone_list(spark, live)
-    # file order: first request's order, then the second's appended
-    assert tombs == [2, 1, "x", 3]
-    # idempotent re-request across both types
-    assert ix.tombstone_ids(spark, path, [1, "x"]) == 0
-    assert ix.index_info(spark, path)["pending_tombstones"] == 4
+    docs = spark.createDataFrame(
+        [(100, " ".join(f"n{j}" for j in range(30)))], DSCHEMA
+    )
+    assert ix.serve_incremental_dedup(docs, path).accepted.count() == 1
 
 
 def test_tombstone_ids_preserves_request_order_same_type(spark, tmp_path):
@@ -53,6 +60,9 @@ def test_tombstone_ids_preserves_request_order_same_type(spark, tmp_path):
     assert ix.tombstone_ids(spark, path, [9, 3, 7, 3]) == 3
     live, _ = ix.live_index(spark, path)
     assert ix._tombstone_list(spark, live) == [9, 3, 7]
+    # idempotent re-request
+    assert ix.tombstone_ids(spark, path, [3, 9]) == 0
+    assert ix.index_info(spark, path)["pending_tombstones"] == 3
 
 
 # ------------------------------------- embed-sink bootstrap validity
