@@ -282,8 +282,8 @@ def _ensure_scale10(spark) -> str | None:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)  # stale layout: rebuild
-    except FileNotFoundError:
-        pass
+    except OSError:
+        pass  # missing OR unreadable marker → rebuild, never abort
     try:
         import importlib.util
 
@@ -406,15 +406,33 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
     increment = docs.where(F.col("doc_id") >= cut)
     idx_dir = os.path.join(_HERE, ".scale10_idx")
     idx_marker = os.path.join(idx_dir, "_scale10_idx_complete")
-    if not os.path.exists(idx_marker):
-        shutil.rmtree(idx_dir, ignore_errors=True)  # torn prior build
+    # The idx marker records the CORPUS layout version it was built from
+    # (r13 advice): a _SCALE10_LAYOUT bump rebuilds the .scale10 corpus,
+    # so an index carrying an older (or no) version tag was built from a
+    # previous corpus generation and must rebuild too — otherwise
+    # serve_incremental silently measures against stale data.
+    idx_fresh = False
+    try:
+        with open(idx_marker) as f:
+            idx_fresh = _SCALE10_LAYOUT in f.read()
+    except OSError:
+        pass
+    if not idx_fresh:
+        shutil.rmtree(idx_dir, ignore_errors=True)  # torn/stale prior build
         sample(
             "scale10:serve_build", lambda: ix.create_band_index(corpus, idx_dir), n=1
         )
         if timings.get("scale10:serve_build", -1.0) >= 0:
-            with open(idx_marker, "w") as f:
-                f.write("band index over .scale10 documents minus top-32 ids")
-    if os.path.exists(idx_marker):
+            try:
+                with open(idx_marker, "w") as f:
+                    f.write(
+                        f"{_SCALE10_LAYOUT}: band index over .scale10 "
+                        "documents minus top-32 ids"
+                    )
+                idx_fresh = True
+            except OSError as e:
+                print(f"# scale10 idx marker write failed: {e}", file=sys.stderr)
+    if idx_fresh:
         sample(
             "scale10:serve_incremental",
             lambda: ix.serve_incremental_dedup(
@@ -622,7 +640,12 @@ def main() -> None:
     # across rounds; the rows ride in their own payload key.
     scale10: dict[str, float] = {}
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SKIP_SCALE10") != "1":
-        scale10 = _scale10_hot(spark)
+        try:
+            scale10 = _scale10_hot(spark)
+        except Exception as e:  # contract: degrade to missing rows,
+            # never kill the headline bench (r13 advice — an unexpected
+            # OSError from marker IO must not abort the official run)
+            print(f"# scale10 pass failed: {e}", file=sys.stderr)
 
     calibration = round(min(cal_samples), 3)
     cur_round = _driver_round() + 1  # resolved ONCE — gate + self-record agree

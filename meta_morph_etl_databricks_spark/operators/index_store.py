@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import math
+import numbers
 import time
 from contextlib import contextmanager
 
@@ -887,29 +888,37 @@ def _ids_df(spark: SparkSession, meta: dict, ids: list) -> DataFrame:
 
 # id classes a takedown/retraction request may carry, per sidecar id
 # type.  bool is excluded from the integer class deliberately: True
-# would silently tombstone id 1.
+# would silently tombstone id 1.  Integer classes use numbers.Integral
+# (r13 advice): pandas-sourced pipelines hand over numpy.int64 ids,
+# which createDataFrame accepts — exact `int` isinstance would reject
+# previously-working callers.
 _ID_PYTYPES: dict[str, tuple[type, ...]] = {
-    "bigint": (int,),
-    "long": (int,),
-    "int": (int,),
-    "integer": (int,),
-    "smallint": (int,),
-    "tinyint": (int,),
+    "bigint": (numbers.Integral,),
+    "long": (numbers.Integral,),
+    "int": (numbers.Integral,),
+    "integer": (numbers.Integral,),
+    "smallint": (numbers.Integral,),
+    "tinyint": (numbers.Integral,),
     "string": (str,),
 }
 
 
-def _check_request_ids(meta: dict, ids: list, path: str) -> None:
+def _check_request_ids(meta: dict, ids: list, path: str) -> list:
     """Reject takedown/retraction ids whose PYTHON type cannot be a key
     of this index (r13 review): a wrong-type id written to the
     tombstone sidecar poisons every later serve — ``_ids_df`` raises
     ``LongType can not accept object 'x'`` on each append/seen-thinning
     batch until the sidecar is hand-edited.  Fail the REQUEST instead,
     before anything persists.  Unknown sidecar types skip the check
-    (forward compatibility beats a false reject)."""
+    (forward compatibility beats a false reject).
+
+    Returns the CANONICALIZED id list: integral ids are coerced to
+    plain ``int`` (r13 advice — numpy.int64 from pandas-sourced
+    pipelines is a valid key but json.dumps rejects it when the
+    tombstone sidecar persists)."""
     allowed = _ID_PYTYPES.get(_id_type(meta).lower())
     if allowed is None:
-        return
+        return list(ids)
     bad = [
         i for i in ids
         if not isinstance(i, allowed) or isinstance(i, bool)
@@ -921,6 +930,9 @@ def _check_request_ids(meta: dict, ids: list, path: str) -> None:
             f"{bad[:5]!r} — a persisted wrong-type id would crash every "
             "subsequent serve"
         )
+    if allowed == (numbers.Integral,):
+        return [int(i) for i in ids]
+    return list(ids)
 
 
 _TOMBSTONE_ISIN_MAX = 1024
@@ -980,7 +992,7 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
             f"index at {path} uses the legacy flat layout — run migrate_index "
             "first to get the reader-atomic pointer swap"
         )
-    _check_request_ids(meta, ids, path)  # r13 review: fail BEFORE persisting
+    ids = _check_request_ids(meta, ids, path)  # fail BEFORE persisting
     stored = _tombstone_list(spark, live)
     cur = set(stored)
     # dedupe the request (r12 review: [5, 5] returned 2 "newly
@@ -2330,13 +2342,17 @@ def retract_ids(spark: SparkSession, path: str, ids: list) -> int:
             f"index at {path} uses the legacy flat layout — run migrate_index "
             "first to get the reader-atomic pointer swap"
         )
-    _check_request_ids(meta, list(ids), path)  # r13 review: same hazard
+    ids = _check_request_ids(meta, list(ids), path)  # r13 review: same hazard
     id_col = meta["id_col"]
-    ids_df = F.broadcast(_ids_df(spark, meta, list(ids)))
+    ids_df = F.broadcast(_ids_df(spark, meta, ids))
     # fold pending tombstones into the purge: any generational rewrite
     # reaps them (same rule as compaction/recluster), so the new
-    # generation starts with an empty takedown backlog
-    purge = sorted(set(ids).union(_tombstone_list(spark, live)))
+    # generation starts with an empty takedown backlog.  Order-preserving
+    # dedup, NOT sorted() (r13 advice): a legacy sidecar written before
+    # the type guard can hold mixed-type ids, and sorted() would raise
+    # TypeError and block retraction of perfectly valid ids — same
+    # reason tombstone_ids moved off sorted().
+    purge = list(dict.fromkeys(list(ids) + _tombstone_list(spark, live)))
     purge_df = F.broadcast(_ids_df(spark, meta, purge))
     schema = _kind_schema(meta)
     stored = spark.read.schema(schema).parquet(live)

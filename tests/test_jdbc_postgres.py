@@ -97,15 +97,25 @@ def pg(tmp_path_factory):
         )
         if r.returncode != 0:
             pytest.skip(f"initdb failed: {r.stderr[-300:]}")
-        r = subprocess.run(
-            _as_pg_user(
-                f"{pg_ctl} -D {data} -l {base}/log -w "
-                f"-o '-p {port} -k {base} -h 127.0.0.1' start"
-            ),
-            capture_output=True, text=True, timeout=120,
-        )
-        if r.returncode != 0:
-            pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+        # Retry with a fresh port on start failure (r13 advice): picking
+        # a free port then closing the probe socket is a TOCTOU window —
+        # another process can claim it before pg_ctl binds, and a
+        # one-shot skip makes the suite's coverage silently disappear
+        # instead of flaking loudly.
+        r = None
+        for attempt in range(3):
+            r = subprocess.run(
+                _as_pg_user(
+                    f"{pg_ctl} -D {data} -l {base}/log -w "
+                    f"-o '-p {port} -k {base} -h 127.0.0.1' start"
+                ),
+                capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode == 0:
+                break
+            port = _free_port()
+        if r is None or r.returncode != 0:
+            pytest.skip(f"pg_ctl start failed after 3 ports: {r.stderr[-300:]}")
         yield {
             "url": f"jdbc:postgresql://127.0.0.1:{port}/postgres",
             "jar": jar,
