@@ -297,17 +297,35 @@ def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist,
            LAG(c_acctbal) OVER w AS prev_bal,
-           LEAD(c_acctbal) OVER w AS next_bal
+           LEAD(c_acctbal) OVER w AS next_bal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal ASC
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS near_bal_sum
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
     """,
 )
 def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 extension: the full ranking/analytic family (the reference
-    only uses row_number W1–W3; the SQL lab implies ranking semantics)."""
+    only uses row_number W1–W3; the SQL lab implies ranking semantics).
+    r14 (verdict task 5): percent_rank + cume_dist close out the
+    ranking set, and ``near_bal_sum`` exercises a VALUE-RANGE frame
+    (``Window.rangeBetween`` — peers by balance within 100, not by row
+    position).  The range-framed sum runs in DECIMAL so the windowed
+    accumulation is associative — double summation order differs
+    between Spark's running-frame evaluator and DuckDB's segment tree,
+    and the driver's value hash is bit-exact."""
     cust = read_parquet_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wr = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.asc("c_acctbal"))
+        .rangeBetween(-100, Window.currentRow)
+    )
     return cust.select(
         "c_custkey",
         "c_nationkey",
@@ -316,8 +334,11 @@ def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.lag("c_acctbal").over(w).alias("prev_bal"),
         F.lead("c_acctbal").over(w).alias("next_bal"),
+        F.round(F.sum(dec("c_acctbal")).over(wr), 2).cast("double").alias("near_bal_sum"),
     )
 
 
