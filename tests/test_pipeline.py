@@ -207,3 +207,65 @@ def test_backfill_double_load_explodes_in_dup_gate(spark, backfill):
         run_daily(spark, feeds["dup"], base, day="2001-08-06")
     # the gate fired during INGEST: the current table was never touched
     assert _current(spark, base).count() == n_before
+
+
+# ------------------- backfill × reconcile composition (r14 verdict task 4)
+def test_backfill_then_reconcile_pins_planted_drift(spark, sf_dir, tmp_path):
+    """The reference's operational loop — backfill, then Raptor-diff
+    prod vs dev (raptor_task.py:18-34 compares ``legacy`` vs
+    ``dev_legacy`` on DAY_DT,SUPPLIER_ID) — composed end to end: two
+    2-day backfills into separate base dirs, dev's day-2 feed
+    deliberately perturbed, then reconcile the two
+    supplier_performance HISTORIES on (day_dt, supplier_id).
+
+    Planted drift: supplier A loses every lineitem in dev's day-2 feed
+    (its mart row zeroes out → per-column cells), supplier B vanishes
+    from dev's supplier feed (its mart row disappears → a source-side
+    extra).  Day 1 must reconcile clean.
+    """
+    from meta_morph_etl_databricks_spark.plans.pipeline import INGEST_TABLES
+    from meta_morph_etl_databricks_spark.quality.reconcile import reconcile
+
+    src = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in INGEST_TABLES}
+    supps = sorted(r[0] for r in src["supplier"].select("s_suppkey").collect())
+    hollowed, dropped = supps[0], supps[1]
+
+    base_feed = str(tmp_path / "feed_base")
+    dev2_feed = str(tmp_path / "feed_dev2")
+    perturbed = {
+        **src,
+        "lineitem": src["lineitem"].where(F.col("l_suppkey") != hollowed),
+        "supplier": src["supplier"].where(F.col("s_suppkey") != dropped),
+    }
+    for t, df in src.items():
+        df.write.parquet(f"{base_feed}/{t}.parquet")
+    for t, df in perturbed.items():
+        df.write.parquet(f"{dev2_feed}/{t}.parquet")
+
+    prod, dev = str(tmp_path / "prod"), str(tmp_path / "dev")
+    d1, d2 = "2001-08-02", "2001-08-03"
+    run_daily(spark, base_feed, prod, day=d1, publish=False)
+    run_daily(spark, base_feed, prod, day=d2, publish=False)
+    run_daily(spark, base_feed, dev, day=d1, publish=False)
+    run_daily(spark, dev2_feed, dev, day=d2, publish=False)
+
+    hist = lambda b: spark.read.parquet(f"{b}/marts/supplier_performance")  # noqa: E731
+    res = reconcile(hist(prod), hist(dev), keys=["day_dt", "supplier_id"])
+
+    cells = res.cells.collect()
+    # every mismatched cell sits on (day2, hollowed): metrics zeroed,
+    # top product gone; day 1 and every other supplier reconcile clean
+    assert {(r.day_dt.isoformat(), r.supplier_id) for r in cells} == {(d2, hollowed)}
+    assert {r.column_name for r in cells} == {
+        "total_revenue", "total_products_sold", "total_stock_sold", "top_product",
+    }
+    zeroed = {r.column_name: r.target_value for r in cells}
+    assert zeroed["total_products_sold"] == "0"
+    assert zeroed["top_product"] == ""  # NULL normalizes to the sentinel
+
+    extra_src = res.extra_source.collect()
+    assert [(r.day_dt.isoformat(), r.supplier_id) for r in extra_src] == [(d2, dropped)]
+    assert res.extra_target.count() == 0
+
+    summary = {r.column_name: r.mismatch_count for r in res.summary.collect()}
+    assert summary == {c: 1 for c in zeroed}
