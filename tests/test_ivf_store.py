@@ -403,3 +403,82 @@ def test_stream_ivf_ingest_lifecycle(spark, tmp_path):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     assert ix.serve_ivf_topk(qs, path, k=5, nprobe=3).count() == 20
+
+
+def test_stream_ivf_crash_between_meta_and_pointer_flip(spark, tmp_path, monkeypatch):
+    """r14 verdict task 3: the streaming ingest's torn-commit window.
+    Kill the foreachBatch INSIDE compaction, after the new generation's
+    data + meta sidecar landed but before the pointer flip — the exact
+    'complete but unpointed' state `_finish_generation` can strand.
+
+    Contract under test: (1) the crashed stream leaves the pointer on
+    the pre-crash generation and the index still SERVES it; (2) the
+    restarted stream reaps the orphan generation, replays the
+    uncommitted batch through the seen-id redelivery dedup without
+    duplicating rows, and converges to the clean-run state."""
+    from meta_morph_etl_databricks_spark.streaming.dedup import stream_ivf_ingest
+
+    rng = random.Random(21)
+
+    def vecs(ids):
+        return [(i, [rng.uniform(-1, 1) for _ in range(DIMS)]) for i in ids]
+
+    src = tmp_path / "crsrc"
+    src.mkdir()
+    path = str(tmp_path / "cridx")
+    ckpt = str(tmp_path / "crckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+        q = stream_ivf_ingest(stream, path, ckpt, compact_every=1)
+        q.awaitTermination(120)
+        return q
+
+    # batch 0: bootstrap + first compaction, clean
+    spark.createDataFrame(vecs(range(40)), SCHEMA).write.parquet(str(src / "b1"))
+    run_once()
+    live_before, meta = ix.live_index(spark, path)
+    assert meta["kind"] == ix.IVF_KIND
+
+    # batch 1: the append lands (data + seen marker), then compaction
+    # builds gen N+1 fully (meta included) and dies ON the pointer flip
+    real_flip = ix._install_pointer
+
+    def torn_flip(spark_, root, gen):
+        raise RuntimeError("injected crash: power loss before pointer flip")
+
+    spark.createDataFrame(vecs(range(40, 80)), SCHEMA).write.parquet(str(src / "b2"))
+    monkeypatch.setattr(ix, "_install_pointer", torn_flip)
+    with pytest.raises(Exception, match="injected crash"):
+        run_once()
+    monkeypatch.setattr(ix, "_install_pointer", real_flip)
+
+    # (1) pre-crash generation still live and SERVING; the half-committed
+    # generation is complete on disk but not pointed at
+    live_after, meta_after = ix.live_index(spark, path)
+    assert live_after == live_before
+    orphans = [
+        g for g in ix._complete_gens(spark, path)
+        if f"{path.rstrip('/')}/{g}" != live_after
+    ]
+    assert orphans, "compaction should have left a complete unpointed gen"
+    qs = (
+        spark.createDataFrame(vecs(range(90, 94)), SCHEMA)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assert ix.serve_ivf_topk(qs, path, k=5, nprobe=3).count() == 20
+
+    # (2) restart: batch 1 replays (foreachBatch never committed), the
+    # seen-id sidecar drops the redelivered rows, recovery reaps the
+    # orphan, compaction re-runs and flips
+    run_once()
+    live_final, meta_final = ix.live_index(spark, path)
+    assert live_final != live_before  # the re-run compaction flipped
+    stored = spark.read.schema(ix._ivf_schema(meta_final)).parquet(live_final)
+    assert stored.count() == 80  # no duplicate rows from the replay
+    assert stored.select("vec_id").distinct().count() == 80
+    # the orphaned mid-crash generation is gone (live + one predecessor
+    # retained per the MVCC grace rule; nothing newer than live remains)
+    gens = ix._complete_gens(spark, path)
+    assert all(f"{path.rstrip('/')}/{g}" <= live_final for g in gens)
+    assert ix.serve_ivf_topk(qs, path, k=5, nprobe=3).count() == 20
