@@ -439,6 +439,69 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
                 increment, idx_dir, append=False
             ).accepted.count(),
         )
+
+    # r14 (verdict task 1): the compacted-serve case.  A SECOND persisted
+    # index is built once per corpus layout through the production
+    # grow→compact cycle — bootstrap from corpus minus the top 160 ids,
+    # grow with four 32-doc appends (each adds one small file per touched
+    # bucket: the daily-serve listing bloat), then compact_index collapses
+    # them.  Every round serves the SAME top-32 probe against it, so a
+    # regression in compaction's output layout or the pruned read over it
+    # fails the gate like any other row.  BENCH_SCALE.compact_serve holds
+    # the before/after story at 10×/100×; this row pins the after.
+    idxc_dir = os.path.join(_HERE, ".scale10_idxc")
+    idxc_marker = os.path.join(idxc_dir, "_scale10_idxc_complete")
+    idxc_fresh = False
+    try:
+        with open(idxc_marker) as f:
+            idxc_fresh = _SCALE10_LAYOUT in f.read()
+    except OSError:
+        pass
+    if not idxc_fresh:
+        shutil.rmtree(idxc_dir, ignore_errors=True)  # torn/stale prior build
+        try:
+            top = [
+                r[0]
+                for r in docs.select("doc_id")
+                .orderBy(F.col("doc_id").desc())
+                .limit(160)
+                .collect()
+            ]
+            grow = sorted(top[32:])  # 128 ids below the probe slice
+            bnds = [grow[0], grow[32], grow[64], grow[96], cut]
+            batches = [
+                docs.where((F.col("doc_id") >= bnds[i]) & (F.col("doc_id") < bnds[i + 1]))
+                for i in range(4)
+            ]
+            corpus2 = docs.where(F.col("doc_id") < bnds[0])
+        except Exception as e:
+            print(f"# scale10 idxc setup failed: {e}", file=sys.stderr)
+            return timings
+
+        def build_grow_compact() -> None:
+            ix.create_band_index(corpus2, idxc_dir)
+            for b in batches:
+                ix.serve_incremental_dedup(b, idxc_dir, append=True).accepted.count()
+            ix.compact_index(spark, idxc_dir)
+
+        sample("scale10:idxc_build", build_grow_compact, n=1)
+        if timings.get("scale10:idxc_build", -1.0) >= 0:
+            try:
+                with open(idxc_marker, "w") as f:
+                    f.write(
+                        f"{_SCALE10_LAYOUT}: grown(4x32)+compacted band index "
+                        "over .scale10 documents minus top-160 ids"
+                    )
+                idxc_fresh = True
+            except OSError as e:
+                print(f"# scale10 idxc marker write failed: {e}", file=sys.stderr)
+    if idxc_fresh:
+        sample(
+            "scale10:serve_compacted",
+            lambda: ix.serve_incremental_dedup(
+                increment, idxc_dir, append=False
+            ).accepted.count(),
+        )
     return timings
 
 

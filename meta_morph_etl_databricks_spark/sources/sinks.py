@@ -307,9 +307,10 @@ def merge_upsert_transactional(
 
     Execution attempted 2026-08-13, re-attempted 2026-08-14 (rounds 5
     and 6), 2026-08-15 (rounds 7 through 10) and 2026-08-16 (rounds
-    11 through 13): ``pip download delta-spark`` → DNS resolution of
-    the package index fails outright ("Name or service not known" — no
-    package network); ``import delta`` → ModuleNotFoundError;
+    11 through 14): ``pip download delta-spark`` → the package index is
+    unreachable (r13: DNS "Name or service not known"; r14: "No
+    matching distribution found ... versions: none" — same no-network
+    root cause); ``import delta`` → ModuleNotFoundError;
     filesystem-wide search for
     ``delta-{spark,core,storage}*.jar`` / a vendored wheel / an ivy
     cache (``~/.ivy2``, ``~/.m2``) → nothing; zero delta jars under

@@ -280,3 +280,24 @@ def test_scale10_rows_feed_the_same_regression_gate(tmp_path):
     )
     _, base = bench._baseline_artifact(d, sf=0.1, current_round=14)
     assert base["scale10"] == base_scale
+
+
+def test_scale10_compacted_serve_row_is_gated(tmp_path):
+    """r14 verdict task 1: the compacted-serve row rides the same gate.
+    The round it first appears it has no baseline and must not flag
+    (nor crash); once a prior round recorded it, a blow-up — e.g. a
+    compaction layout change that re-fragments buckets, or a pruned-read
+    regression over the compacted store — fails the round."""
+    # first appearance: no baseline entry for the new row → silent
+    assert bench._regressions(
+        {"scale10:serve_compacted": 1.9},
+        {"scale10:serve_incremental": 2.0},
+        baseline_round=13,
+    ) == {}
+    # later rounds: baselined and gated like any other row
+    base = {"scale10:serve_compacted": 1.9, "scale10:serve_incremental": 2.0}
+    out = bench._regressions({"scale10:serve_compacted": 12.0}, base, baseline_round=14)
+    assert out["scale10:serve_compacted"]["ratio"] > 6
+    assert bench._regressions({"scale10:serve_compacted": 2.2}, base, baseline_round=14) == {}
+    # a failed build (-1 sentinel) degrades to a missing row, never flags
+    assert bench._regressions({"scale10:serve_compacted": -1.0}, base, baseline_round=14) == {}

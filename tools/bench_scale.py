@@ -616,6 +616,113 @@ def bench_incremental(spark, sampler: _Sampler, label: str, d: str, passes: int 
     }
 
 
+def bench_compact_serve(
+    spark, sampler: _Sampler, label: str, d: str,
+    n_grow_batches: int = 8, passes: int = 2,
+) -> dict:
+    """r14 (verdict task 1): compact-then-serve end to end.  The r13
+    serve-floor profiler attributed the only corpus-growing serve term
+    to glob/dir listing over append-accumulated small files and named
+    ``compact_index`` as the knob — this row MEASURES the knob: build
+    the persisted band index over ~90% of the corpus, GROW it with
+    ``n_grow_batches`` appended increments (each append adds one file
+    per touched bucket — the daily-serve bloat), time the probe serve
+    on the grown store, compact, time the same probe again.
+
+    Expected shape: files collapse to ~one per bucket and the
+    post-compaction serve recovers (or beats) the flat floor; at 100×
+    the delta is the listing term the profiler isolated."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.operators import index_store as ix
+    from meta_morph_etl_databricks_spark.plans.ml_queries import _documents
+
+    docs = _documents(spark, d)
+    # id-percentile slices: [0, .90) corpus, [.90, .99) grow batches,
+    # [.99, 1] the serve probe (never appended — every pass identical)
+    steps = [0.90 + i * (0.09 / n_grow_batches) for i in range(n_grow_batches + 1)]
+    qs = steps + [1.0]
+    cuts = docs.selectExpr(
+        *[
+            f"percentile_cont({q}) WITHIN GROUP (ORDER BY doc_id) AS c{i}"
+            for i, q in enumerate(qs[:-1])
+        ]
+    ).first()
+    bounds = [cuts[i] for i in range(len(qs) - 1)]
+    corpus = docs.where(F.col("doc_id") < bounds[0])
+    batches = [
+        docs.where((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+        for i in range(n_grow_batches)
+    ]
+    probe = docs.where(F.col("doc_id") >= bounds[-1])
+    n_corpus, n_probe = corpus.count(), probe.count()
+
+    def live_stats() -> tuple[int, int]:
+        live = ix.live_root(spark, idx_dir)
+        n_files = n_dirs = 0
+        for _root, dirs, files in os.walk(live):
+            n_dirs += sum(1 for x in dirs if x.startswith("pfx="))
+            n_files += sum(1 for x in files if x.endswith(".parquet"))
+        return n_files, n_dirs
+
+    base = tempfile.mkdtemp(prefix="cmpserve_")
+    idx_dir = os.path.join(base, "idx")
+    try:
+        t0 = time.time()
+        meta = ix.create_band_index(corpus, idx_dir)
+        build_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        for b in batches:
+            ix.serve_incremental_dedup(b, idx_dir, append=True).accepted.count()
+        grow_sec = round(time.time() - t0, 2)
+        files_grown, dirs_grown = live_stats()
+        serve_grown = sampler.measure(
+            lambda: ix.serve_incremental_dedup(
+                probe, idx_dir, append=False
+            ).accepted.count(),
+            passes,
+        )
+        t0 = time.time()
+        ix.compact_index(spark, idx_dir)
+        compact_sec = round(time.time() - t0, 2)
+        files_compacted, dirs_compacted = live_stats()
+        serve_compacted = sampler.measure(
+            lambda: ix.serve_incremental_dedup(
+                probe, idx_dir, append=False
+            ).accepted.count(),
+            passes,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "label": label,
+        "n_corpus": n_corpus,
+        "n_probe": n_probe,
+        "n_grow_batches": n_grow_batches,
+        "n_buckets": meta["n_buckets"],
+        "index_build_sec": build_sec,
+        "grow_sec": grow_sec,
+        "compact_sec": compact_sec,
+        "files": {"grown": files_grown, "compacted": files_compacted},
+        "bucket_dirs": {"grown": dirs_grown, "compacted": dirs_compacted},
+        "serve_grown": serve_grown,
+        "serve_compacted": serve_compacted,
+    }
+
+
+def _compact_serve_line(p: dict) -> str:
+    return (
+        f"compact_serve[{p['label']}]: corpus={p['n_corpus']} "
+        f"files {p['files']['grown']}->{p['files']['compacted']} "
+        f"serve {p['serve_grown'].get('sec_norm', p['serve_grown']['sec'])}s->"
+        f"{p['serve_compacted'].get('sec_norm', p['serve_compacted']['sec'])}s "
+        f"(compact {p['compact_sec']}s)"
+    )
+
+
 def bench_incremental_embed(spark, sampler: _Sampler, label: str, d: str, passes: int = 3) -> dict:
     """Embedding sibling of :func:`bench_incremental`: serve a 2% vector
     increment against the parquet bucket index vs re-running the full
@@ -1269,9 +1376,39 @@ def _run_tombstone_backlog_only(out_json: str = "BENCH_SCALE.json") -> None:
     print(f"merged tombstone_backlog into {out_json}")
 
 
+def _run_compact_serve_only(out_json: str = "BENCH_SCALE.json") -> None:
+    """Focused run of just the r14 compact-then-serve rows, merged into
+    the existing artifact (same pattern as --tombstone-backlog: the
+    full main() suite takes hours and nothing else changed)."""
+    from meta_morph_etl_databricks_spark.session import get_spark
+
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    sampler = _Sampler(spark)
+    recs = [bench_compact_serve(spark, sampler, "sf0.1", "/root/testdata/sf0.1", passes=2)]
+    if os.path.isdir(".scale10"):
+        recs.append(bench_compact_serve(spark, sampler, "scale10", ".scale10", passes=2))
+    if os.path.isdir(".scale100"):
+        recs.append(bench_compact_serve(spark, sampler, "scale100", ".scale100", passes=1))
+    sampler.finish()
+    for p in recs:
+        print(_compact_serve_line(p))
+    try:
+        with open(out_json) as f:
+            payload = json.load(f)
+    except Exception:
+        payload = {}
+    payload["compact_serve"] = recs
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"merged compact_serve into {out_json}")
+
+
 def main() -> None:
     if "--tombstone-backlog" in sys.argv:
         return _run_tombstone_backlog_only()
+    if "--compact-serve" in sys.argv:
+        return _run_compact_serve_only()
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
     scale100_dir = sys.argv[3] if len(sys.argv) > 3 else None
@@ -1424,6 +1561,15 @@ def main() -> None:
             bench_rebucket(spark, sampler, "scale100", scale100_dir, passes=1)
         )
 
+    compact_serve_recs = [
+        bench_compact_serve(spark, sampler, "sf0.1", base_dir, passes=2),
+        bench_compact_serve(spark, sampler, "scale10", scale_dir, passes=2),
+    ]
+    if scale100_dir:
+        compact_serve_recs.append(
+            bench_compact_serve(spark, sampler, "scale100", scale100_dir, passes=1)
+        )
+
     skew_rec = bench_skew_band(spark, sampler)
     prefilter_recs = [
         bench_prefilter(spark, sampler, "scale10", scale_dir, passes=2),
@@ -1502,6 +1648,8 @@ def main() -> None:
         )
     for p in backlog_recs:
         print(_backlog_line(p))
+    for p in compact_serve_recs:
+        print(_compact_serve_line(p))
     for p in ivf_retrain_recs:
         print(
             f"ivf_retrain[{p['label']}]: n={p['n']} nlist {p['nlist_frozen']}->{p['nlist_retrained']} "
@@ -1571,6 +1719,7 @@ def main() -> None:
         "ivf_store": ivf_store_recs,
         "takedown": takedown_recs,
         "tombstone_backlog": backlog_recs,
+        "compact_serve": compact_serve_recs,
         "ivf_retrain": ivf_retrain_recs,
         "ivf_hot_skew": ivf_hot_recs,
         "rebucket": rebucket_recs,
