@@ -64,6 +64,7 @@ from .incremental import (
 
 META_FILE = "_index_meta.json"
 ROWS_FILE = "_rows"
+APPENDS_FILE = "_appends"
 TOMBSTONES_FILE = "_tombstones.json"
 
 BAND_KIND = "minhash_band"
@@ -735,7 +736,25 @@ def _bump_rows(spark: SparkSession, live: str, meta: dict, delta: int) -> dict:
         base = int(meta["rows"])
     meta = dict(meta, rows=base + int(delta))
     _replace_small_file(spark, f"{live.rstrip('/')}/{ROWS_FILE}", str(meta["rows"]))
+    # r14: the committed-append counter feeds compact_due the same way
+    # rows feeds the growth dials.  It lives in the live generation, so
+    # ANY generational rewrite (compact/rebucket/recluster/retrain/
+    # retract) resets it for free — new generations start without the
+    # file.  Loss degrades the dial to "not due", never worse.
+    _replace_small_file(
+        spark,
+        f"{live.rstrip('/')}/{APPENDS_FILE}",
+        str(_appends_count(spark, live) + 1),
+    )
     return meta
+
+
+def _appends_count(spark: SparkSession, live: str) -> int:
+    cur = _read_small_file(spark, f"{live.rstrip('/')}/{APPENDS_FILE}")
+    try:
+        return int(cur.strip()) if cur is not None else 0
+    except ValueError:  # torn legacy write — counter restarts
+        return 0
 
 
 def _cell_pfx(n_buckets: int) -> Column:
@@ -1644,6 +1663,47 @@ def rebucket_due(
         target = min(target, max(meta.get("nlist", 1), 1))
     over = rows / max(meta["n_buckets"], 1) > drift_factor * target_rows_per_bucket
     return over and target > meta["n_buckets"]
+
+
+def compact_due(
+    spark: SparkSession,
+    path: str,
+    max_appends: int = 8,
+    resolved: tuple[str, dict | None] | None = None,
+) -> bool:
+    """O(1) small-file dial (r14) — the scheduling side of
+    :func:`compact_index`, completing the dial family
+    (:func:`rebucket_due` owns layout growth, :func:`ivf_retrain_due` /
+    :func:`semantic_recluster_due` own quantizer drift; this one owns
+    APPEND-FILE ACCUMULATION, which degrades serve latency through
+    glob listing + footer reads without any row growth at all).
+
+    Fires when the live generation has absorbed ``max_appends``
+    committed appends since it was built: each append adds one file
+    per touched bucket, so the appends count is an O(1) proxy for the
+    per-bucket file count the serve's pruned read must list.  The
+    counter (``_appends``, maintained by :func:`_bump_rows` on every
+    committed append) lives in the live generation dir, so any
+    generational rewrite — compact, rebucket, recluster, retrain,
+    retract — resets it for free; loss degrades the dial to "not due".
+
+    Default 8: ``BENCH_SCALE.json compact_serve`` prices one compaction
+    at about one grown-store serve after 8 increments (at 100×:
+    8 appends → 174,759 files → 75.5 s serve; the 82.7 s compaction
+    collapses both to 3,600 files / 13.7 s) — compact whenever the
+    accumulated appends cost more than one compaction.  Streaming
+    sinks' ``compact_every=N`` is the same policy counted per batch;
+    batch daily-serve loops poll this instead:
+
+        if compact_due(spark, path):
+            compact_index(spark, path)
+
+    ``resolved``: optionally the ``live_index`` pair the caller already
+    holds (same no-torn-snapshot contract as the other dials)."""
+    live, meta = resolved if resolved is not None else live_index(spark, path)
+    if meta is None:
+        raise ValueError(f"no index at {path}")
+    return _appends_count(spark, live) >= max_appends
 
 
 def _kind_pfx(meta: dict) -> Column:
@@ -2900,14 +2960,19 @@ def index_info(spark: SparkSession, path: str) -> dict:
     only when a dial needs it.
 
     Returns ``{path, live, kind, meta, rows, generations,
-    pending_tombstones, maintenance_due, writer_lock}`` where
+    pending_tombstones, maintenance_due, appends_since_rewrite,
+    compact_due, writer_lock}`` where
 
     - ``rows`` is the counter-overlaid live count (None for kinds that
       do not maintain one);
-    - ``maintenance_due`` is the kind-appropriate drift dial at default
-      factors (:func:`semantic_recluster_due` / :func:`ivf_retrain_due`;
-      None for the band/embed kinds, whose maintenance is file-count
-      compaction scheduled by ``compact_every``);
+    - ``maintenance_due`` is the kind-appropriate REBUILD dial at
+      default factors (:func:`semantic_recluster_due` /
+      :func:`ivf_retrain_due`; None for the band/embed kinds, which
+      have no quantizer to rebuild);
+    - ``appends_since_rewrite`` / ``compact_due`` report the
+      small-file dial (r14, every kind): committed appends absorbed by
+      the live generation and whether :func:`compact_due` fires at the
+      default threshold;
     - ``writer_lock`` is the holder breadcrumb (op + acquire time) when
       a writer currently holds the slot, "held" when the marker exists
       but the breadcrumb was lost to a crash, and None when free."""
@@ -2922,6 +2987,10 @@ def index_info(spark: SparkSession, path: str) -> dict:
         "generations": _gen_dir_names(spark, root),
         "pending_tombstones": len(_tombstone_list(spark, live)),
         "maintenance_due": None,
+        "appends_since_rewrite": _appends_count(spark, live),
+        "compact_due": None if meta is None else compact_due(
+            spark, root, resolved=(live, meta)
+        ),
         "writer_lock": None,
     }
     if meta is not None:

@@ -301,6 +301,12 @@ def q_self_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CUME_DIST() OVER w AS cdist,
            LAG(c_acctbal) OVER w AS prev_bal,
            LEAD(c_acctbal) OVER w AS next_bal,
+           FIRST_VALUE(c_acctbal) OVER w AS first_bal,
+           LAST_VALUE(c_acctbal) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_bal,
+           NTH_VALUE(c_acctbal, 3) OVER w AS third_bal,
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal ASC
                RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
@@ -313,7 +319,10 @@ def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 extension: the full ranking/analytic family (the reference
     only uses row_number W1–W3; the SQL lab implies ranking semantics).
     r14 (verdict task 5): percent_rank + cume_dist close out the
-    ranking set, and ``near_bal_sum`` exercises a VALUE-RANGE frame
+    ranking set, first/last/nth_value the value-picker set (last_value
+    over an explicit full-partition ROWS frame — the default frame
+    stops at the current row on BOTH engines, which makes it a no-op),
+    and ``near_bal_sum`` exercises a VALUE-RANGE frame
     (``Window.rangeBetween`` — peers by balance within 100, not by row
     position).  The range-framed sum runs in DECIMAL so the windowed
     accumulation is associative — double summation order differs
@@ -338,6 +347,11 @@ def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.lag("c_acctbal").over(w).alias("prev_bal"),
         F.lead("c_acctbal").over(w).alias("next_bal"),
+        F.first("c_acctbal").over(w).alias("first_bal"),
+        F.last("c_acctbal")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_bal"),
+        F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
         F.round(F.sum(dec("c_acctbal")).over(wr), 2).cast("double").alias("near_bal_sum"),
     )
 

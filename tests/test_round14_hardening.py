@@ -90,3 +90,44 @@ def test_retract_ids_survives_unsortable_legacy_sidecar(spark, tmp_path):
         )
         return
     assert removed >= 1
+
+
+def test_compact_due_counts_appends_and_resets_on_rewrite(spark, tmp_path):
+    """r14: the small-file dial.  Committed appends bump the _appends
+    counter O(1); compact_due fires at the threshold; ANY generational
+    rewrite resets it for free (the counter lives in the live gen dir);
+    index_info surfaces both."""
+    path = str(tmp_path / "bidx_dial")
+    docs = _mk_band_index(spark, path)
+    assert ix.compact_due(spark, path, max_appends=2) is False
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 0
+
+    def inc(ids):
+        rows = [(i, " ".join(f"x{i}w{j}" for j in range(30))) for i in ids]
+        return spark.createDataFrame(rows, DSCHEMA)
+
+    ix.serve_incremental_dedup(inc([100, 101]), path, append=True)
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 1
+    assert ix.compact_due(spark, path, max_appends=2) is False
+    ix.serve_incremental_dedup(inc([102]), path, append=True)
+    info = ix.index_info(spark, path)
+    assert info["appends_since_rewrite"] == 2
+    assert ix.compact_due(spark, path, max_appends=2) is True
+    assert info["compact_due"] is False  # default threshold (8) not yet hit
+
+    # the dial is O(1): it reads one small file, no index scan — pin the
+    # structural property by pointing it at a counter we hand-write
+    live, meta = ix.live_index(spark, path)
+    ix._replace_small_file(spark, f"{live}/{ix.APPENDS_FILE}", "99")
+    assert ix.compact_due(spark, path) is True
+    assert ix.index_info(spark, path)["compact_due"] is True
+
+    # any generational rewrite resets: compact, then the counter is gone
+    ix.compact_index(spark, path)
+    info2 = ix.index_info(spark, path)
+    assert info2["appends_since_rewrite"] == 0
+    assert ix.compact_due(spark, path, max_appends=2) is False
+    # post-reset appends count again and serving still works
+    ix.serve_incremental_dedup(inc([103]), path, append=True)
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 1
+    assert docs is not None
