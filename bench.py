@@ -267,6 +267,37 @@ def _scale10_dir(here: str | None = None) -> str:
 _SCALE10_LAYOUT = "v2-repartitioned"
 
 
+def _marker_state(marker: str) -> bool | None:
+    """Three-state freshness of a layout-versioned build marker:
+    True = fresh (current _SCALE10_LAYOUT recorded), False = missing or
+    stale (REBUILD), None = exists but unreadable (permission error,
+    marker-is-a-directory...) — the caller must SKIP its section, not
+    rebuild (r14 review: a persistently unreadable marker would
+    otherwise re-run a minutes-long build every round forever, then
+    fail the marker write the same way)."""
+    try:
+        with open(marker) as f:
+            return _SCALE10_LAYOUT in f.read()
+    except FileNotFoundError:
+        return False
+    except OSError as e:
+        print(f"# scale10 marker unreadable, skipping: {marker}: {e}", file=sys.stderr)
+        return None
+
+
+def _marker_write(marker: str, text: str) -> bool:
+    """Record a completed build; the layout version prefixes the note
+    so a generator bump invalidates it.  False (with a stderr note) on
+    IO failure — the caller treats the build as unusable this round."""
+    try:
+        with open(marker, "w") as f:
+            f.write(f"{_SCALE10_LAYOUT}: {text}")
+        return True
+    except OSError as e:
+        print(f"# scale10 marker write failed: {marker}: {e}", file=sys.stderr)
+        return False
+
+
 def _ensure_scale10(spark) -> str | None:
     """Build (or reuse) the 10× replication of sf0.1 (tools/gen_scale.py)
     that backs the HOT-set scale gate.  The replication is deterministic
@@ -275,15 +306,14 @@ def _ensure_scale10(spark) -> str | None:
     the generator LAYOUT version — a mismatch rebuilds."""
     d = _scale10_dir()
     marker = os.path.join(d, "_scale10_complete")
-    try:
-        with open(marker) as f:
-            if _SCALE10_LAYOUT in f.read():
-                return d
-        import shutil
+    state = _marker_state(marker)
+    if state is True:
+        return d
+    if state is None:
+        return None  # unreadable marker: degrade, don't rebuild forever
+    import shutil
 
-        shutil.rmtree(d, ignore_errors=True)  # stale layout: rebuild
-    except OSError:
-        pass  # missing OR unreadable marker → rebuild, never abort
+    shutil.rmtree(d, ignore_errors=True)  # stale/absent layout: rebuild
     try:
         import importlib.util
 
@@ -294,11 +324,10 @@ def _ensure_scale10(spark) -> str | None:
         spec.loader.exec_module(gs)
         t0 = time.time()
         gs.scale_tables(spark, d, copies=10, tables="all")
-        with open(marker, "w") as f:
-            f.write(
-                f"{_SCALE10_LAYOUT}: 10x of {gs.SRC}, "
-                f"built in {round(time.time() - t0, 1)}s"
-            )
+        if not _marker_write(
+            marker, f"10x of {gs.SRC}, built in {round(time.time() - t0, 1)}s"
+        ):
+            return None  # unrecorded build would re-run forever — skip
         return d
     except Exception as e:
         print(f"# scale10 build failed: {e}", file=sys.stderr)
@@ -404,35 +433,35 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
         return timings
     corpus = docs.where(F.col("doc_id") < cut)
     increment = docs.where(F.col("doc_id") >= cut)
-    idx_dir = os.path.join(_HERE, ".scale10_idx")
-    idx_marker = os.path.join(idx_dir, "_scale10_idx_complete")
-    # The idx marker records the CORPUS layout version it was built from
-    # (r13 advice): a _SCALE10_LAYOUT bump rebuilds the .scale10 corpus,
-    # so an index carrying an older (or no) version tag was built from a
-    # previous corpus generation and must rebuild too — otherwise
-    # serve_incremental silently measures against stale data.
-    idx_fresh = False
-    try:
-        with open(idx_marker) as f:
-            idx_fresh = _SCALE10_LAYOUT in f.read()
-    except OSError:
-        pass
-    if not idx_fresh:
+    # The idx markers record the CORPUS layout version they were built
+    # from (r13 advice): a _SCALE10_LAYOUT bump rebuilds the .scale10
+    # corpus, so an index carrying an older (or no) version tag was
+    # built from a previous corpus generation and must rebuild too —
+    # otherwise the serve rows silently measure against stale data.
+    # An UNREADABLE marker skips the section instead of rebuilding
+    # every round (r14 review, same rule as _ensure_scale10).
+    def _built_index(idx_dir: str, marker: str, row: str, build, note: str) -> bool:
+        """Shared build-or-reuse protocol for the persisted serve
+        indexes: returns True when the index at ``idx_dir`` is fresh —
+        reused, or rebuilt via ``build`` (timed as ``row``, n=1) with
+        its completion recorded in ``marker``."""
+        state = _marker_state(marker)
+        if state is True:
+            return True
+        if state is None:
+            return False
         shutil.rmtree(idx_dir, ignore_errors=True)  # torn/stale prior build
-        sample(
-            "scale10:serve_build", lambda: ix.create_band_index(corpus, idx_dir), n=1
-        )
-        if timings.get("scale10:serve_build", -1.0) >= 0:
-            try:
-                with open(idx_marker, "w") as f:
-                    f.write(
-                        f"{_SCALE10_LAYOUT}: band index over .scale10 "
-                        "documents minus top-32 ids"
-                    )
-                idx_fresh = True
-            except OSError as e:
-                print(f"# scale10 idx marker write failed: {e}", file=sys.stderr)
-    if idx_fresh:
+        sample(row, build, n=1)
+        return timings.get(row, -1.0) >= 0 and _marker_write(marker, note)
+
+    idx_dir = os.path.join(_HERE, ".scale10_idx")
+    if _built_index(
+        idx_dir,
+        os.path.join(idx_dir, "_scale10_idx_complete"),
+        "scale10:serve_build",
+        lambda: ix.create_band_index(corpus, idx_dir),
+        "band index over .scale10 documents minus top-32 ids",
+    ):
         sample(
             "scale10:serve_incremental",
             lambda: ix.serve_incremental_dedup(
@@ -450,52 +479,33 @@ def _scale10_hot(spark, passes: int = 1) -> dict[str, float]:
     # fails the gate like any other row.  BENCH_SCALE.compact_serve holds
     # the before/after story at 10×/100×; this row pins the after.
     idxc_dir = os.path.join(_HERE, ".scale10_idxc")
-    idxc_marker = os.path.join(idxc_dir, "_scale10_idxc_complete")
-    idxc_fresh = False
-    try:
-        with open(idxc_marker) as f:
-            idxc_fresh = _SCALE10_LAYOUT in f.read()
-    except OSError:
-        pass
-    if not idxc_fresh:
-        shutil.rmtree(idxc_dir, ignore_errors=True)  # torn/stale prior build
-        try:
-            top = [
-                r[0]
-                for r in docs.select("doc_id")
-                .orderBy(F.col("doc_id").desc())
-                .limit(160)
-                .collect()
-            ]
-            grow = sorted(top[32:])  # 128 ids below the probe slice
-            bnds = [grow[0], grow[32], grow[64], grow[96], cut]
-            batches = [
-                docs.where((F.col("doc_id") >= bnds[i]) & (F.col("doc_id") < bnds[i + 1]))
-                for i in range(4)
-            ]
-            corpus2 = docs.where(F.col("doc_id") < bnds[0])
-        except Exception as e:
-            print(f"# scale10 idxc setup failed: {e}", file=sys.stderr)
-            return timings
 
-        def build_grow_compact() -> None:
-            ix.create_band_index(corpus2, idxc_dir)
-            for b in batches:
-                ix.serve_incremental_dedup(b, idxc_dir, append=True).accepted.count()
-            ix.compact_index(spark, idxc_dir)
+    def build_grow_compact() -> None:
+        top = [
+            r[0]
+            for r in docs.select("doc_id")
+            .orderBy(F.col("doc_id").desc())
+            .limit(160)
+            .collect()
+        ]
+        grow = sorted(top[32:])  # 128 ids below the probe slice
+        bnds = [grow[0], grow[32], grow[64], grow[96], cut]
+        batches = [
+            docs.where((F.col("doc_id") >= bnds[i]) & (F.col("doc_id") < bnds[i + 1]))
+            for i in range(4)
+        ]
+        ix.create_band_index(docs.where(F.col("doc_id") < bnds[0]), idxc_dir)
+        for b in batches:
+            ix.serve_incremental_dedup(b, idxc_dir, append=True).accepted.count()
+        ix.compact_index(spark, idxc_dir)
 
-        sample("scale10:idxc_build", build_grow_compact, n=1)
-        if timings.get("scale10:idxc_build", -1.0) >= 0:
-            try:
-                with open(idxc_marker, "w") as f:
-                    f.write(
-                        f"{_SCALE10_LAYOUT}: grown(4x32)+compacted band index "
-                        "over .scale10 documents minus top-160 ids"
-                    )
-                idxc_fresh = True
-            except OSError as e:
-                print(f"# scale10 idxc marker write failed: {e}", file=sys.stderr)
-    if idxc_fresh:
+    if _built_index(
+        idxc_dir,
+        os.path.join(idxc_dir, "_scale10_idxc_complete"),
+        "scale10:idxc_build",
+        build_grow_compact,
+        "grown(4x32)+compacted band index over .scale10 documents minus top-160 ids",
+    ):
         sample(
             "scale10:serve_compacted",
             lambda: ix.serve_incremental_dedup(

@@ -65,6 +65,9 @@ from .incremental import (
 META_FILE = "_index_meta.json"
 ROWS_FILE = "_rows"
 APPENDS_FILE = "_appends"
+# default compact_due threshold — priced by BENCH_SCALE.compact_serve:
+# one compaction costs about one grown-store serve after ~8 increments
+COMPACT_MAX_APPENDS = 8
 TOMBSTONES_FILE = "_tombstones.json"
 
 BAND_KIND = "minhash_band"
@@ -814,7 +817,7 @@ def seen_filter_fresh(batch_df: DataFrame, live: str, meta: dict) -> DataFrame:
         .collect()
     ]
     seen = pruned_read(spark, sd, _seen_schema(meta), touched, prefix="spfx")
-    tombs = _tombstone_list(spark, live)
+    tombs = _typed_stored_tombstones(meta, _tombstone_list(spark, live))
     if tombs:
         seen = seen.join(F.broadcast(_ids_df(spark, meta, tombs)), id_col, "left_anti")
     return batch_df.join(seen.select(id_col), id_col, "left_anti")
@@ -954,6 +957,29 @@ def _check_request_ids(meta: dict, ids: list, path: str) -> list:
     return list(ids)
 
 
+def _typed_stored_tombstones(meta: dict, stored: list) -> list:
+    """Filter a STORED tombstone list down to ids type-compatible with
+    the sidecar's id column (r14 review): a pre-r13-guard sidecar can
+    hold wrong-typed junk (e.g. a stringified int under a bigint
+    index), and feeding it onward crashes ``_ids_df``/``createDataFrame``
+    — blocking valid retractions.  Dropping the junk is semantically a
+    no-op: a wrong-typed id can never equal any id the index's column
+    type can store, so it was hiding nothing; the generational rewrite
+    (or the next takedown's sidecar rewrite) then heals it out of the
+    persisted list.  Unknown sidecar types keep everything (forward
+    compatibility, same rule as the request guard)."""
+    allowed = _ID_PYTYPES.get(_id_type(meta).lower())
+    if allowed is None:
+        return list(stored)
+    kept = [
+        i for i in stored
+        if isinstance(i, allowed) and not isinstance(i, bool)
+    ]
+    if allowed == (numbers.Integral,):
+        kept = [int(i) for i in kept]
+    return kept
+
+
 _TOMBSTONE_ISIN_MAX = 1024
 
 
@@ -969,9 +995,16 @@ def _minus_tombstones(
     stage setup per serve, the filter reads flat).  Larger backlogs
     fall back to the broadcast anti-join — an isin over tens of
     thousands of literals bloats the codegen'd predicate, and a backlog
-    that size should be compacted anyway."""
+    that size should be compacted anyway.
+
+    The list passes through :func:`_typed_stored_tombstones` (r14
+    review): legacy pre-guard sidecars can hold wrong-typed junk that
+    would crash the isin predicate or ``_ids_df`` on every serve; the
+    junk hides nothing (wrong type can't match the id column), so
+    serves stay resilient and the next sidecar rewrite heals it."""
     if tombs is None:
         tombs = _tombstone_list(spark, live)
+    tombs = _typed_stored_tombstones(meta, tombs)
     if not tombs:
         return df
     if len(tombs) <= _TOMBSTONE_ISIN_MAX:
@@ -1022,10 +1055,15 @@ def tombstone_ids(spark: SparkSession, path: str, ids: list) -> int:
     # treat it as a set).
     fresh = [i for i in dict.fromkeys(ids) if i not in cur]
     if fresh:
+        # persist through the type filter (r14 review): rewriting the
+        # sidecar is the cheap chance to heal legacy wrong-typed junk
+        # out of it (junk can never match a stored row, see
+        # _typed_stored_tombstones) instead of carrying it forward to
+        # crash a later _ids_df/serve
         _replace_small_file(
             spark,
             f"{live}/{TOMBSTONES_FILE}",
-            json.dumps(stored + fresh),
+            json.dumps(_typed_stored_tombstones(meta, stored) + fresh),
         )
     return len(fresh)
 
@@ -1067,9 +1105,13 @@ def clear_tombstones(
 
     root = _root_of_live(live)
     with writer_lock(spark, root, "clear_tombstones", retries=lock_retries):
-        cur = set(_tombstone_list(spark, live))
-        keep = sorted(cur.difference(ids))
-        if len(keep) == len(cur):
+        stored = _tombstone_list(spark, live)
+        drop = set(ids)
+        # order-preserving, NOT sorted() (r14 review: same legacy
+        # mixed-type hazard as retract_ids' purge union — a resurrection
+        # must not crash on unrelated junk in a pre-guard sidecar)
+        keep = [i for i in stored if i not in drop]
+        if len(keep) == len(stored):
             return
         tf = f"{live.rstrip('/')}/{TOMBSTONES_FILE}"
         if keep:
@@ -1087,6 +1129,7 @@ def _reingested_tombstones(
     committed ingest must resurrect (:func:`clear_tombstones`).  A
     broadcast semi-join collected to the driver: bounded by the
     tombstone list, never by the increment."""
+    tombs = _typed_stored_tombstones(meta, tombs)  # r14: legacy junk
     if not tombs:
         return []
     id_col = meta["id_col"]
@@ -1668,7 +1711,7 @@ def rebucket_due(
 def compact_due(
     spark: SparkSession,
     path: str,
-    max_appends: int = 8,
+    max_appends: int = COMPACT_MAX_APPENDS,
     resolved: tuple[str, dict | None] | None = None,
 ) -> bool:
     """O(1) small-file dial (r14) — the scheduling side of
@@ -2408,11 +2451,14 @@ def retract_ids(spark: SparkSession, path: str, ids: list) -> int:
     # fold pending tombstones into the purge: any generational rewrite
     # reaps them (same rule as compaction/recluster), so the new
     # generation starts with an empty takedown backlog.  Order-preserving
-    # dedup, NOT sorted() (r13 advice): a legacy sidecar written before
-    # the type guard can hold mixed-type ids, and sorted() would raise
-    # TypeError and block retraction of perfectly valid ids — same
-    # reason tombstone_ids moved off sorted().
-    purge = list(dict.fromkeys(list(ids) + _tombstone_list(spark, live)))
+    # dedup, NOT sorted() (r13 advice), and the STORED list is filtered
+    # through the sidecar's id type (r14 review): a legacy pre-guard
+    # sidecar holding mixed-type junk must neither crash sorted() NOR
+    # crash _ids_df below — either way the valid retraction would be
+    # blocked.  The dropped junk could never match a stored row (wrong
+    # type), and this rewrite drops the sidecar entirely, healing it.
+    stored_tombs = _typed_stored_tombstones(meta, _tombstone_list(spark, live))
+    purge = list(dict.fromkeys(list(ids) + stored_tombs))
     purge_df = F.broadcast(_ids_df(spark, meta, purge))
     schema = _kind_schema(meta)
     stored = spark.read.schema(schema).parquet(live)
@@ -2987,12 +3033,15 @@ def index_info(spark: SparkSession, path: str) -> dict:
         "generations": _gen_dir_names(spark, root),
         "pending_tombstones": len(_tombstone_list(spark, live)),
         "maintenance_due": None,
-        "appends_since_rewrite": _appends_count(spark, live),
-        "compact_due": None if meta is None else compact_due(
-            spark, root, resolved=(live, meta)
-        ),
         "writer_lock": None,
     }
+    # ONE counter read derives both fields (r14 review): a committed
+    # append landing between two reads would report appends=7 next to
+    # compact_due computed from 8 — the torn-snapshot class the
+    # resolved= plumbing below exists to prevent
+    n_appends = _appends_count(spark, live)
+    info["appends_since_rewrite"] = n_appends
+    info["compact_due"] = None if meta is None else n_appends >= COMPACT_MAX_APPENDS
     if meta is not None:
         # the dials receive THIS resolution (r12 review): re-resolving
         # inside them could race a concurrent rebuild's pointer flip and

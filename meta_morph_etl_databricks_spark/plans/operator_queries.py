@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec
+from ..functions.scalars import dec, money_round
 from ..operators.aggregates import dup_counts
 from ..operators.joins import anti_join, broadcast_dim, semi_join
 from ..sources.scans import read_parquet_table
@@ -352,7 +352,7 @@ def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("last_bal"),
         F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
-        F.round(F.sum(dec("c_acctbal")).over(wr), 2).cast("double").alias("near_bal_sum"),
+        money_round(F.sum(dec("c_acctbal")).over(wr)).alias("near_bal_sum"),
     )
 
 
@@ -381,7 +381,7 @@ def q_window_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+        money_round(F.sum(dec("o_totalprice")).over(w)).alias("running_spend"),
     )
 
 

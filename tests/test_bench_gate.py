@@ -301,3 +301,22 @@ def test_scale10_compacted_serve_row_is_gated(tmp_path):
     assert bench._regressions({"scale10:serve_compacted": 2.2}, base, baseline_round=14) == {}
     # a failed build (-1 sentinel) degrades to a missing row, never flags
     assert bench._regressions({"scale10:serve_compacted": -1.0}, base, baseline_round=14) == {}
+
+
+def test_scale10_marker_three_state_protocol(tmp_path):
+    """r14 review: an UNREADABLE marker must read as 'skip this
+    section', not 'rebuild' — a persistently unreadable marker
+    otherwise re-runs a minutes-long build every round forever."""
+    m = str(tmp_path / "marker")
+    assert bench._marker_state(m) is False  # missing → rebuild
+    assert bench._marker_write(m, "note")
+    assert bench._marker_state(m) is True  # fresh → reuse
+    with open(m, "w") as f:
+        f.write("v0-ancient: something else")
+    assert bench._marker_state(m) is False  # stale layout → rebuild
+    d = str(tmp_path / "marker_dir")
+    import os
+
+    os.mkdir(d)
+    assert bench._marker_state(d) is None  # unreadable → skip
+    assert bench._marker_write(d, "x") is False  # unwritable → not fresh

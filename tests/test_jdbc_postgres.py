@@ -113,6 +113,19 @@ def pg(tmp_path_factory):
             )
             if r.returncode == 0:
                 break
+            # a `-w` timeout can leave a LATE postmaster running (and
+            # postmaster.pid held) — stop it before retrying, or every
+            # retry fails on the pid lock regardless of the fresh port
+            subprocess.run(
+                _as_pg_user(f"{pg_ctl} -D {data} -m fast stop"),
+                capture_output=True, timeout=60,
+            )
+            pidfile = os.path.join(data, "postmaster.pid")
+            if os.path.exists(pidfile):
+                try:
+                    os.unlink(pidfile)
+                except OSError:
+                    pass
             port = _free_port()
         if r is None or r.returncode != 0:
             pytest.skip(f"pg_ctl start failed after 3 ports: {r.stderr[-300:]}")

@@ -62,34 +62,55 @@ def test_numpy_bool_still_rejected(spark, tmp_path):
 
 
 def test_retract_ids_survives_unsortable_legacy_sidecar(spark, tmp_path):
-    """A pre-r13-guard sidecar can hold ids sorted() chokes on (mixed
-    int/str ordering TypeError).  The purge-list union is now
-    order-preserving dedup, so retraction of valid ids proceeds; the
-    stored same-type tombstones are still reaped into the purge."""
+    """A pre-r13-guard sidecar can hold wrong-typed junk (a stringified
+    int under a bigint index) that both sorted() and createDataFrame
+    choke on.  Retraction must fully SUCCEED regardless: the purge
+    union is order-preserving dedup and the stored list passes through
+    the type filter (junk can never match a stored row, so dropping it
+    un-hides nothing); valid stored tombstones are still reaped and
+    the rewrite heals the sidecar."""
     path = str(tmp_path / "bidx_legacy")
     _mk_band_index(spark, path)
     assert ix.tombstone_ids(spark, path, [4]) == 1
     live, _ = ix.live_index(spark, path)
-    # simulate the legacy artifact: hand-write a sidecar whose ids mix
-    # ints with a stringified int — sorted() on the union would raise
+    # the legacy artifact: ints mixed with a stringified int
     ix._replace_small_file(
         spark, f"{live}/{ix.TOMBSTONES_FILE}", json.dumps([4, "6"])
     )
-    # The old sorted() union raised `'<' not supported between instances
-    # of 'str' and 'int'` BEFORE any Spark work, blocking retraction of
-    # the perfectly valid request id.  A wrong-typed STORED id may still
-    # fail downstream in createDataFrame ("can not accept object") —
-    # that's the pre-existing poisoned-sidecar hazard the r13 guard now
-    # prevents at write time and is out of scope here; the assertion is
-    # only that the SORTING crash is gone.
-    try:
-        removed = ix.retract_ids(spark, path, [9])
-    except Exception as e:
-        assert "'<' not supported" not in str(e), (
-            f"sorted()-union regression: {e}"
-        )
-        return
-    assert removed >= 1
+    # serves stay resilient against the junk sidecar: id 4 is hidden,
+    # the junk hides nothing, nothing crashes
+    docs = spark.createDataFrame(
+        [(200, " ".join(f"n{j}" for j in range(30)))], DSCHEMA
+    )
+    assert ix.serve_incremental_dedup(docs, path, append=False).accepted.count() == 1
+    # retraction of a valid id succeeds AND reaps the valid stored
+    # tombstone (4) into the purge; the new generation's sidecar is gone
+    assert ix.retract_ids(spark, path, [9]) >= 1
+    live2, _ = ix.live_index(spark, path)
+    assert live2 != live
+    assert ix._tombstone_list(spark, live2) == []
+    stored = spark.read.parquet(live2)
+    assert stored.where("doc_id IN (4, 9)").count() == 0  # both purged
+
+
+def test_takedown_rewrite_heals_legacy_sidecar_junk(spark, tmp_path):
+    """The next takedown's sidecar rewrite drops pre-guard junk instead
+    of carrying it forward to crash a later serve/_ids_df."""
+    path = str(tmp_path / "bidx_heal")
+    _mk_band_index(spark, path)
+    live, _ = ix.live_index(spark, path)
+    ix._replace_small_file(
+        spark, f"{live}/{ix.TOMBSTONES_FILE}", json.dumps([2, "junk", 5])
+    )
+    assert ix.tombstone_ids(spark, path, [7]) == 1
+    assert ix._tombstone_list(spark, live) == [2, 5, 7]  # junk healed out
+    # resurrection path is sorted()-free too: clearing an id with junk
+    # present neither crashes nor loses the other pending takedowns
+    ix._replace_small_file(
+        spark, f"{live}/{ix.TOMBSTONES_FILE}", json.dumps([2, "junk", 5])
+    )
+    ix.clear_tombstones(spark, live, [5])
+    assert [i for i in ix._tombstone_list(spark, live) if i != "junk"] == [2]
 
 
 def test_compact_due_counts_appends_and_resets_on_rewrite(spark, tmp_path):

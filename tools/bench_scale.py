@@ -644,14 +644,13 @@ def bench_compact_serve(
     # id-percentile slices: [0, .90) corpus, [.90, .99) grow batches,
     # [.99, 1] the serve probe (never appended — every pass identical)
     steps = [0.90 + i * (0.09 / n_grow_batches) for i in range(n_grow_batches + 1)]
-    qs = steps + [1.0]
     cuts = docs.selectExpr(
         *[
             f"percentile_cont({q}) WITHIN GROUP (ORDER BY doc_id) AS c{i}"
-            for i, q in enumerate(qs[:-1])
+            for i, q in enumerate(steps)
         ]
     ).first()
-    bounds = [cuts[i] for i in range(len(qs) - 1)]
+    bounds = [cuts[i] for i in range(len(steps))]
     corpus = docs.where(F.col("doc_id") < bounds[0])
     batches = [
         docs.where((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
