@@ -33,7 +33,19 @@ _MERGED_BASELINES: dict[str, tuple[int, list]] = {
     "q_scalar_datetime_conditional": (3, ["q_scalar_datetime", "q_scalar_conditional"]),
     "q_text_codes": (3, ["q_text_simhash", "q_doc_fingerprint"]),
     "q_scalar_string": (3, ["q_scalar_string", "q_scalar_array_hof"]),
-    "q_quantiles_by_status": (3, ["q_quantiles_by_status", "q_groupby_ordinal"]),
+    # r3 folded q_groupby_ordinal in; r14 folds the ROLLUP arm — the
+    # same exact-percentile aggregate at THREE grouping levels
+    # (status×priority / status / total) through Spark's Expand plan;
+    # the finest level's 15 groups make the percentile sorts ~4x the
+    # prior single-level whole (measured 0.19 s → ~1.0 s at sf0.1).
+    "q_quantiles_by_status": (
+        14,
+        [
+            "q_quantiles_by_status",
+            "q_groupby_ordinal",
+            ("q_quantiles_by_status", 4.0),
+        ],
+    ),
     # r5: PQ/ADC branch folded in — a third kernel branch over the same
     # corpus scan + topk shape (the int8 fold happened in r4 and is
     # already inside the r4 artifact); each prior branch was ~half the
@@ -250,6 +262,7 @@ _UNION_VARIANTS: dict[str, tuple[str, list[str]]] = {
     "q_corpus_split": ("variant", ["split", "mix"]),
     "q_similarity_ivf_topk": ("variant", ["ivf", "ivfpq", "rerank"]),
     "q_distinct_status": ("variant", ["distinct", "heavy"]),
+    "q_quantiles_by_status": ("variant", ["status", "rollup"]),
     "q_corpus_curation": ("variant", ["curation", "incremental"]),
     "q_embed_near_dup_lsh": ("variant", ["lsh", "semantic2", "sem_inc", "retract"]),
 }

@@ -6,7 +6,7 @@ engine surface); the oracle is the SQL-equivalent text for DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dec, money_round
@@ -421,28 +421,77 @@ def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_quantiles_by_status",
     """
-    SELECT o_orderstatus, COUNT(*) AS cnt,
+    SELECT 'status' AS variant, o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 0 AS grp_id,
+           COUNT(*) AS cnt,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.8) AS p80,
            quantile_cont(o_totalprice, 0.95) AS p95
-    FROM orders GROUP BY 1
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'rollup', o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT),
+           COUNT(*),
+           quantile_cont(o_totalprice, 0.5),
+           quantile_cont(o_totalprice, 0.8),
+           quantile_cont(o_totalprice, 0.95)
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
 )
 def q_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10+A11 (merged from q_groupby_ordinal, r3): grouped exact
-    percentiles via SQL ordinal GROUP BY through spark.sql
-    (Raptor.py:449-453) — the oracle-comparable path; approxQuantile
-    with relErr 0.01 is the scale path (operators.bucketing)."""
-    read_parquet_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+    """A10+A11 (merged from q_groupby_ordinal, r3) as a tagged union:
+
+    - 'status' — grouped exact percentiles via SQL ordinal GROUP BY
+      through spark.sql (Raptor.py:449-453), the oracle-comparable
+      path; approxQuantile with relErr 0.01 is the scale path
+      (operators.bucketing);
+    - 'rollup' (r14) — the SAME aggregate over ``GROUP BY ROLLUP
+      (status, priority)`` via the DataFrame ``rollup()`` API with
+      ``grouping_id()`` level markers — the multi-level OLAP rollup
+      family (ROLLUP/CUBE/GROUPING SETS share one Expand-based plan in
+      Spark; rollup is the representative arm).  Scale note: Expand
+      multiplies the scan by the number of grouping levels BEFORE the
+      shuffle, but partial aggregation still applies per level — the
+      shuffle carries (levels × groups) aggregate rows, never
+      (levels × input)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    base = spark.sql(
         """
-        SELECT o_orderstatus, COUNT(*) AS cnt,
+        SELECT 'status' AS variant, o_orderstatus,
+               CAST(NULL AS STRING) AS o_orderpriority, 0 AS grp_id,
+               COUNT(*) AS cnt,
                percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
                percentile_cont(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS p80,
                percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
-        FROM orders GROUP BY 1
+        FROM orders GROUP BY 2
         """
     )
+
+    def pc(q: float) -> Column:
+        return F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY o_totalprice)")
+
+    roll = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("grp_id"),
+            F.count(F.lit(1)).alias("cnt"),
+            pc(0.5).alias("p50"),
+            pc(0.8).alias("p80"),
+            pc(0.95).alias("p95"),
+        )
+        .select(
+            F.lit("rollup").alias("variant"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "grp_id",
+            "cnt",
+            "p50",
+            "p80",
+            "p95",
+        )
+    )
+    return base.unionByName(roll)
 
 
 @register(
