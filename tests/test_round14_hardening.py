@@ -152,3 +152,93 @@ def test_compact_due_counts_appends_and_resets_on_rewrite(spark, tmp_path):
     ix.serve_incremental_dedup(inc([103]), path, append=True)
     assert ix.index_info(spark, path)["appends_since_rewrite"] == 1
     assert docs is not None
+
+
+def test_cube_and_grouping_sets_match_manual_unions(spark):
+    """r14: the rollup oracle arm (q_quantiles_by_status) represents
+    the Expand plan family; this pins the OTHER two members against
+    first principles — cube() equals the union of all four manual
+    GROUP BYs, and SQL GROUPING SETS equals exactly the sets asked
+    for, with grouping_id() disambiguating all-NULL group values."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("F", "HIGH", 10.0), ("F", "LOW", 20.0), ("O", "HIGH", 5.0),
+        ("O", None, 7.0), ("P", "LOW", 3.0), ("F", "HIGH", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "status string, prio string, v double")
+
+    cube = {
+        (r.status, r.prio, r.gid, r.cnt, r.s)
+        for r in df.cube("status", "prio")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    }
+    manual = set()
+    for gid, keys in [(0, ["status", "prio"]), (1, ["status"]), (2, ["prio"]), (3, [])]:
+        agg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"))
+        for r in agg.collect():
+            d = r.asDict()
+            manual.add((d.get("status"), d.get("prio"), gid, d["cnt"], d["s"]))
+    assert cube == manual
+    # the (O, NULL) DATA group at gid=0 and the O rollup row at gid=1
+    # are distinct rows — grouping_id is what tells them apart
+    assert ("O", None, 0, 1, 7.0) in cube and ("O", None, 1, 2, 12.0) in cube
+
+    df.createOrReplaceTempView("gs_t")
+    gs = {
+        (r.status, r.prio, r.gid, r.cnt)
+        for r in spark.sql(
+            """SELECT status, prio, CAST(grouping_id() AS INT) AS gid,
+                      COUNT(*) AS cnt
+               FROM gs_t GROUP BY GROUPING SETS ((status), (prio))"""
+        ).collect()
+    }
+    expect = {(d.get("status"), d.get("prio"), gid, d["cnt"])
+              for gid, keys in [(1, ["status"]), (2, ["prio"])]
+              for d in (r.asDict() for r in
+                        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")).collect())}
+    assert gs == expect
+
+
+def test_streaming_batches_bump_the_compaction_dial(spark, tmp_path):
+    """The streaming sinks' per-batch appends feed the same _appends
+    counter the batch dial reads — compact_every and compact_due are
+    one policy counted two ways, and a compact_every trigger resets
+    the counter like any generational rewrite."""
+    import random
+
+    from meta_morph_etl_databricks_spark.streaming.dedup import stream_ivf_ingest
+
+    rng = random.Random(5)
+    schema = "vec_id long, embedding array<double>"
+
+    def vecs(ids):
+        return [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in ids]
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    path = str(tmp_path / "didx")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run_once(**kw):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = stream_ivf_ingest(stream, path, ckpt, **kw)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(vecs(range(30)), schema).write.parquet(str(src / "b1"))
+    run_once()  # bootstrap batch: create, no append yet
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 0
+    spark.createDataFrame(vecs(range(30, 60)), schema).write.parquet(str(src / "b2"))
+    run_once()
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 1
+    assert ix.compact_due(spark, path, max_appends=1) is True
+    # a compact_every-triggered compaction resets the dial
+    spark.createDataFrame(vecs(range(60, 90)), schema).write.parquet(str(src / "b3"))
+    run_once(compact_every=1)
+    assert ix.index_info(spark, path)["appends_since_rewrite"] == 0
+    assert ix.compact_due(spark, path, max_appends=1) is False
