@@ -451,9 +451,14 @@ def q_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       family (ROLLUP/CUBE/GROUPING SETS share one Expand-based plan in
       Spark; rollup is the representative arm).  Scale note: Expand
       multiplies the scan by the number of grouping levels BEFORE the
-      shuffle, but partial aggregation still applies per level — the
-      shuffle carries (levels × groups) aggregate rows, never
-      (levels × input)."""
+      shuffle; for ALGEBRAIC aggregates (count/sum/min/max) partial
+      aggregation then bounds the exchange at (levels × groups) rows,
+      but exact ``percentile_cont``'s partial buffer carries the
+      group's full value multiset — at 100 TB a rollup-with-exact-
+      percentiles shuffle is O(levels × distinct values), so the scale
+      path swaps in ``approx_percentile`` (operators.bucketing), whose
+      sketch buffer is bounded, and keeps this exact form for the
+      oracle."""
     orders = read_parquet_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders")
     base = spark.sql(
