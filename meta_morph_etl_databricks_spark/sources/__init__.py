@@ -6,6 +6,7 @@ from .scans import (
     read_jdbc_query,
     read_jdbc_table,
     read_json_rows,
+    read_jsonl,
     read_orc,
     read_parquet_table,
     write_orc,
@@ -21,6 +22,7 @@ __all__ = [
     "load_tables",
     "read_csv_positional",
     "read_json_rows",
+    "read_jsonl",
     "read_parquet_table",
     "read_jdbc_table",
     "read_jdbc_query",

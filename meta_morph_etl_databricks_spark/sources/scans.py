@@ -149,6 +149,33 @@ def read_json_rows(spark: SparkSession, rows: list[Mapping[str, Any]], column_na
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines FILE scan (r14) — the distributed sibling of
+    :func:`read_json_rows`, closing the landed-feed path its docstring
+    points large payloads at ("large feeds must land as files and go
+    through a distributed scan").  One JSON object per line splits and
+    parallelizes like any text source; ``multiline=True`` handles
+    whole-file JSON documents (one record per FILE — no line splits,
+    so only use it for many small files).
+
+    ``schema`` (DDL string) should be passed in production: schema
+    inference runs an extra full pass over the data, and a corrupt line
+    under an explicit schema lands in the standard
+    ``_corrupt_record``-style NULL row instead of poisoning inference.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

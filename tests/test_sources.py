@@ -532,3 +532,32 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path):
     assets = to_assets(media, id_col="file_id", payload_col="content", media_type="image/raw")
     stats = {r.asset_id: r.n_bytes for r in byte_stats(assets).collect()}
     assert sorted(stats.values()) == [5, 30]
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_line(spark, tmp_path):
+    """JSON-lines file scan: explicit-schema read parallelizes like any
+    text source, a corrupt line NULLs its row instead of failing the
+    scan, and multiline mode reads one record per file."""
+    from meta_morph_etl_databricks_spark.sources.scans import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5}\n'
+        'not json at all\n'
+        '{"id": 2, "name": "b", "score": 2.5}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="id bigint, name string, score double")
+    rows = {(r.id, r.name, r.score) for r in df.collect()}
+    assert (1, "a", 1.5) in rows and (2, "b", 2.5) in rows
+    assert (None, None, None) in rows and len(rows) == 3  # corrupt → NULL row
+
+    # inference path round-trips the same values
+    inferred = read_jsonl(spark, str(p))
+    assert inferred.where("id = 2").count() == 1
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.json").write_text('{\n  "id": 10,\n  "name": "whole-file"\n}')
+    (d / "b.json").write_text('{\n  "id": 11,\n  "name": "second"\n}')
+    ml = read_jsonl(spark, str(d), schema="id bigint, name string", multiline=True)
+    assert {r.id for r in ml.collect()} == {10, 11}
