@@ -1,13 +1,20 @@
-"""Round-14 hardening: the r13 ADVICE items on the takedown id path.
+"""Round-14 hardening: the r13 ADVICE items on the takedown id path,
+the new compaction dial, and the Expand plan family pins.
 
 - ``_check_request_ids`` accepts ``numbers.Integral`` (numpy.int64 from
   pandas-sourced pipelines) and canonicalizes to plain ``int`` before
   anything persists — json.dumps rejects numpy scalars, so an
   uncoerced accept would crash the tombstone sidecar write;
-- ``retract_ids`` builds its purge list without sorted() so a legacy
-  sidecar written before the r13 type guard cannot raise TypeError and
-  block retraction of valid ids (same reason tombstone_ids moved off
-  sorted() in r12).
+- legacy pre-guard sidecars holding wrong-typed junk can neither crash
+  retraction (order-preserving purge union + ``_typed_stored_
+  tombstones`` filter) nor serves/seen-thinning/resurrection, and
+  sidecar rewrites heal the junk out;
+- ``compact_due`` — the O(1) small-file dial over the ``_appends``
+  counter: bumps per committed append (batch AND streaming), resets
+  free on any generational rewrite, surfaced by ``index_info``;
+- ``cube()`` / SQL GROUPING SETS pinned against manual union-of-group-
+  bys (first-principles evidence for the Expand family the
+  ``q_quantiles_by_status`` rollup oracle arm represents).
 """
 
 from __future__ import annotations
