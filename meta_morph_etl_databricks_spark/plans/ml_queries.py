@@ -23,16 +23,36 @@ from ..operators.similarity import lsh_bucketed_pairs, random_hyperplanes
 from ..sources.scans import read_parquet_table
 from .registry import register
 
+# Adaptive split targets (r14, guide §2.2): partition count =
+# clamp(ceil(bytes / target), 1, defaultParallelism) — the flat
+# defaultParallelism fan-out scheduled ~30 empty tasks per stage on the
+# sub-MB sf0.1 tables (measured: q_dedup_ngram_jaccard 3.70→3.09 s at
+# 16 parts, q_embed_near_dup_lsh 12.1→9.6 s at 8, q_text_profile
+# 1.14→0.88 s) while the 10×/100× corpora still hit the full-core cap.
+# Targets differ by compute density: md5-per-shingle text hashing is
+# heavier per byte than int8 vector math.
+_DOCS_PART_BYTES = 32 << 10
+_EMB_PART_BYTES = 96 << 10
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with hash-heavy-map parallelism (see read_parquet_table)."""
     return read_parquet_table(
-        spark, sf_dir, "documents", min_partitions=spark.sparkContext.defaultParallelism
+        spark,
+        sf_dir,
+        "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
+        target_partition_bytes=_DOCS_PART_BYTES,
     )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(
-        spark, sf_dir, "embeddings", min_partitions=spark.sparkContext.defaultParallelism
+        spark,
+        sf_dir,
+        "embeddings",
+        min_partitions=spark.sparkContext.defaultParallelism,
+        target_partition_bytes=_EMB_PART_BYTES,
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
 
 
@@ -1472,10 +1492,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cuts; ids are monotone by construction, the policy's contract)
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     cuts = sorted({hi // 3, (2 * hi) // 3, hi + 1})
-    index = spark.createDataFrame(
-        [], "doc_id long, band_idx int, band_key long, sig array<bigint>"
-    )
     meta = {"num_hashes": _NUM_HASHES, "bands": _BANDS}  # dict-validated, no probe
+    # ONE minhash pass, materialized, sliced per increment (r14, guide
+    # §2.4/§5): banding is a pure per-document map, so the full-corpus
+    # band rows sliced by id range ARE each increment's band rows AND
+    # the union of its predecessors' index rows.  The previous
+    # growing-lineage union re-derived every predecessor's minhash
+    # chain inside each step's plan — 3+2+1 = 6 chain evaluations per
+    # run (measured 4.86 s → 2.47 s for the arm at sf0.1, accepted set
+    # bit-identical at sf0.001).  This is exactly the multi-action
+    # materialization incremental_dedup's own docstring prescribes and
+    # what the persisted index_store serve path does (there the
+    # materialization is the parquet index itself).
+    from ..operators.incremental import minhash_band_index
+
+    banded = minhash_band_index(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).localCheckpoint(eager=True)
     accepted = None
     lo = None
     for cut in cuts:
@@ -1484,22 +1517,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res = incremental_dedup(
             docs.where(cond),
-            index,
+            banded.where(F.col("doc_id") < (lo if lo is not None else 0)),
             num_hashes=_NUM_HASHES,
             bands=_BANDS,
             est_threshold=_INC_T,
             index_meta=meta,
+            _banded=banded.where(cond),
         )
         accepted = (
             res.accepted if accepted is None else accepted.unionByName(res.accepted)
         )
-        # NOT checkpointed: re-deriving predecessors' banding inside
-        # each step's plan is CHEAPER here than materializing the index
-        # (A/B measured warm 5.7s lineage vs 7.3s localCheckpoint at
-        # sf0.1 — three small increments, minhash is one map pass).
-        # Production increments use the persisted index_store, where
-        # the index is parquet and the question doesn't arise.
-        index = index.union(res.index_rows.select(*index.columns))
         lo = cut
     incremental = (
         accepted.groupBy("lang")

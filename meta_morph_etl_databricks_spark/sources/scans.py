@@ -31,8 +31,34 @@ TESTDATA_TABLES = (
 )
 
 
+def _input_bytes(path: str) -> int | None:
+    """On-disk size of a parquet table (single file or a directory of
+    part files) — the scale signal for :func:`read_parquet_table`'s
+    adaptive split count.  Driver-side os.stat only; None when the path
+    is not a local file (remote filesystems size through Spark's own
+    listing instead — callers then fall back to the requested cap)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+    except OSError:
+        return None
+    return None
+
+
 def read_parquet_table(
-    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_partitions: int | None = None,
+    target_partition_bytes: int | None = None,
 ) -> DataFrame:
     """S4: parquet scan.  Catalyst pushes filters + column pruning into the
     footer-level scan — callers should select/filter declaratively and NOT
@@ -43,7 +69,18 @@ def read_parquet_table(
     files (hashing, vector math) — a small parquet file arrives as one
     split, serializing all pre-shuffle work onto one core.  Large inputs
     split on spark.sql.files.maxPartitionBytes and don't need it.
-    """
+
+    ``target_partition_bytes`` (r14, guide §2.2/§6): makes the split
+    count SCALE-ADAPTIVE instead of a flat ``min_partitions`` — the
+    actual repartition count is ``clamp(ceil(bytes / target), 1,
+    min_partitions)``.  A flat count tuned for the cluster width
+    over-splits small inputs (a 0.8 MB table fanned to 32 partitions
+    schedules ~30 empty tasks in EVERY downstream stage — measured
+    ~15-20% of several ML queries' wall clock at sf0.1), while large
+    inputs still climb to the full ``min_partitions`` cap, so the
+    compute-heavy scale paths (10×/100× corpora) keep their measured
+    parallelism.  Pick ``target`` by the map work's compute density:
+    heavier per-byte work wants smaller targets."""
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which the vectorized
         # reader rejects outright under default confs — set the session
@@ -57,7 +94,12 @@ def read_parquet_table(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if min_partitions is not None:
-        df = df.repartition(min_partitions)
+        n = min_partitions
+        if target_partition_bytes is not None:
+            size = _input_bytes(f"{sf_dir}/{name}.parquet")
+            if size is not None:
+                n = max(1, min(min_partitions, -(-size // target_partition_bytes)))
+        df = df.repartition(n)
     if name == "events":
         from pyspark.sql import functions as F
 
