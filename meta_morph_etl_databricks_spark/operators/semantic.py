@@ -405,7 +405,9 @@ def _kmeans_two_level(
     kernel, depth ⌈log₆₄ k⌉, assignment cost O(n·d·Σ levelᵢ) with
     every levelᵢ ≤ 64."""
     k1, k2 = _two_level_split(k, kmax)
-    coarse, _, coarse_tree = _kmeans_dispatch(codes, k1, iters, id_col, kmax)
+    coarse, _, coarse_tree = _kmeans_dispatch(
+        codes, k1, iters, id_col, kmax, probe_driver=False
+    )
     if coarse is None:
         return None, [], None
     # one materialization of (id, cell): every level-2 round joins
@@ -487,14 +489,193 @@ def _two_level_split(k: int, kmax: int = _FLAT_K_MAX) -> tuple[int, int]:
     return k1, k2
 
 
+# r14 (guide §1.2 order-of-operations, §5 driver bounds): a Lloyd run
+# over a SMALL corpus spends its wall clock on per-job fixed overhead,
+# not data — each iteration is 2+ multi-stage Spark jobs (assign
+# explode+join+agg, update collect), so a 200-row bootstrap pays ~20
+# scheduler/plan round-trips to move a few KB.  Below this row bound
+# the dispatch collects the codes ONCE (guard-railed limit+1, the
+# collect_small idiom) and replays the EXACT integer recurrence
+# driver-side — bit-identical by construction (every step is int
+# arithmetic; pinned distributed-vs-driver in test_semantic.py), and
+# the returned assignment becomes a literal LocalTableScan, so every
+# downstream consumer (semantic_cell_index, the sem_inc/retract serve
+# plans) stops re-executing the Lloyd lineage per action.  The bound
+# is a DRIVER-MEMORY dial (rows·d ints, ~2 MB at the default), not a
+# cluster-width tune; corpora past it run the distributed kernel
+# unchanged.
+import os as _os
+
+_DRIVER_LLOYD_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DRIVER_LLOYD_ROWS", "4096"))
+
+
+def _driver_assign_flat(
+    u: dict[int, list[int]], cents: list[tuple[int, list[int]]]
+) -> dict[int, int]:
+    """Driver replay of :func:`_assign_int`: surrogate argmin
+    ``‖m‖² − 2·scale·⟨u,m⟩``, ties to the smallest cid."""
+    mm = {cid: sum(y * y for y in mv) for cid, mv in cents}
+    return {
+        i: min(
+            (mm[cid] - 2 * _SCALE * sum(x * y for x, y in zip(uv, mv)), cid)
+            for cid, mv in cents
+        )[1]
+        for i, uv in u.items()
+    }
+
+
+def _driver_lloyd_flat(
+    u: dict[int, list[int]], k: int, iters: int
+) -> tuple[dict[int, int], list[tuple[int, list[int]]], AssignerTree | None]:
+    """Driver replay of :func:`_kmeans_flat` — same seeds, argmin,
+    floor-div update (codes are nonnegative, so ``//`` == SQL ``div``),
+    empty-cluster drop, final assignment."""
+    seeds = sorted(u)[:k]
+    cents = [(cid, [_SCALE * x for x in u[seeds[cid]]]) for cid in range(len(seeds))]
+    for _ in range(iters):
+        if not cents:
+            break
+        asg = _driver_assign_flat(u, cents)
+        by_cl: dict[int, list[list[int]]] = {}
+        for i, c in asg.items():
+            by_cl.setdefault(c, []).append(u[i])
+        cents = [
+            (
+                cl,
+                [
+                    (_SCALE * sum(m[d] for m in members)) // len(members)
+                    for d in range(len(members[0]))
+                ],
+            )
+            for cl, members in sorted(by_cl.items())
+        ]
+    if not cents:
+        return {}, [], None
+    return _driver_assign_flat(u, cents), cents, ("flat", cents)
+
+
+def _driver_grouped_assign(
+    u2: dict[int, list[int]],
+    casg: dict[int, int],
+    cents2: dict[int, list[tuple[int, list[int]]]],
+) -> dict[int, tuple[int, int]]:
+    """Driver replay of :func:`_grouped_assign`: each vector competes
+    only against ITS cell's fine centroids; a cell absent from
+    ``cents2`` drops the row (the inner join on ``_c1``); missing
+    (cell, cid) slots are the +∞ sentinel and never win because every
+    real surrogate is < 2^62."""
+    out: dict[int, tuple[int, int]] = {}
+    for i, uv in u2.items():
+        c1 = casg[i]
+        cl = cents2.get(c1)
+        if not cl:
+            continue
+        out[i] = (
+            c1,
+            min(
+                (
+                    sum(y * y for y in mv) - 2 * _SCALE * sum(x * y for x, y in zip(uv, mv)),
+                    cid,
+                )
+                for cid, mv in cl
+            )[1],
+        )
+    return out
+
+
+def _driver_lloyd_two_level(
+    u: dict[int, list[int]], k: int, iters: int, kmax: int
+) -> tuple[dict[int, int], list[tuple[int, list[int]]], AssignerTree | None]:
+    """Driver replay of :func:`_kmeans_two_level` — coarse dispatch,
+    per-cell k2-lowest-id seeds, simultaneous per-cell Lloyd, the
+    empty-coarse-cell coverage fill, global label c1·k2 + cid."""
+    k1, k2 = _two_level_split(k, kmax)
+    casg, _, coarse_tree = _driver_lloyd_dispatch(u, k1, iters, kmax)
+    if coarse_tree is None:
+        return {}, [], None
+    u2 = {i: uv for i, uv in u.items() if i in casg}
+    cells: dict[int, list[int]] = {}
+    for i in sorted(u2):
+        cells.setdefault(casg[i], []).append(i)
+    cents2: dict[int, list[tuple[int, list[int]]]] = {
+        c1: [(cid, [_SCALE * x for x in u2[ids[cid]]]) for cid in range(min(k2, len(ids)))]
+        for c1, ids in cells.items()
+    }
+    for _ in range(iters):
+        asg2 = _driver_grouped_assign(u2, casg, cents2)
+        nxt: dict[tuple[int, int], list[list[int]]] = {}
+        for i, (c1, cl2) in asg2.items():
+            nxt.setdefault((c1, cl2), []).append(u2[i])
+        cents2 = {}
+        for (c1, cid), members in sorted(nxt.items()):
+            cents2.setdefault(c1, []).append(
+                (
+                    cid,
+                    [
+                        (_SCALE * sum(m[d] for m in members)) // len(members)
+                        for d in range(len(members[0]))
+                    ],
+                )
+            )
+    for _c1, _mv in _tree_leaf_cents(coarse_tree):
+        if _c1 not in cents2:
+            cents2[_c1] = [(0, _mv)]
+    fin = _driver_grouped_assign(u2, casg, cents2)
+    final = {i: c1 * k2 + cl2 for i, (c1, cl2) in fin.items()}
+    cents = [
+        (c1 * k2 + cid, mv) for c1, cl in sorted(cents2.items()) for cid, mv in cl
+    ]
+    return final, cents, ("two", coarse_tree, k2, cents2)
+
+
+def _driver_lloyd_dispatch(
+    u: dict[int, list[int]], k: int, iters: int, kmax: int
+) -> tuple[dict[int, int], list[tuple[int, list[int]]], AssignerTree | None]:
+    if k <= kmax:
+        return _driver_lloyd_flat(u, k, iters)
+    return _driver_lloyd_two_level(u, k, iters, kmax)
+
+
 def _kmeans_dispatch(
-    codes: DataFrame, k: int, iters: int, id_col: str, kmax: int = _FLAT_K_MAX
+    codes: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    kmax: int = _FLAT_K_MAX,
+    probe_driver: bool = True,
 ) -> tuple[DataFrame | None, list[tuple[int, list[int]]], AssignerTree | None]:
     """Route by k: the flat kernel up to its measured column knee,
     coarse-to-fine beyond (recursing on the coarse level when even
     ⌈k/kmax⌉ coarse cells exceed the knee).  ``kmax`` defaults to the
     measured production knee; tests and the two-level oracle arm pass a
-    small value to force the scale path at oracle-friendly k."""
+    small value to force the scale path at oracle-friendly k.
+
+    ``probe_driver``: before the distributed kernels, one guard-railed
+    ``limit(N+1)`` collect decides whether the whole corpus fits the
+    driver bound (see ``_DRIVER_LLOYD_MAX_ROWS`` above); if so the
+    recurrence is replayed in pure Python ints — bit-identical, zero
+    further jobs — and the assignment returns as a literal frame.  The
+    two-level path's coarse recursion passes ``False``: the probe
+    already decided at the top."""
+    if probe_driver and _DRIVER_LLOYD_MAX_ROWS > 0:
+        rows = codes.select(id_col, "_u").limit(_DRIVER_LLOYD_MAX_ROWS + 1).collect()
+        if len(rows) <= _DRIVER_LLOYD_MAX_ROWS:
+            u = {r[0]: [int(x) for x in r[1]] for r in rows}
+            asg_map, cents, tree = _driver_lloyd_dispatch(u, k, iters, kmax)
+            if tree is None:
+                return None, [], None
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(id_col, codes.schema[id_col].dataType),
+                    StructField("_cl", IntegerType()),
+                ]
+            )
+            asg_df = codes.sparkSession.createDataFrame(
+                [(i, asg_map[i]) for i in sorted(asg_map)], schema
+            )
+            return asg_df, cents, tree
     if k <= kmax:
         return _kmeans_flat(codes, k, iters, id_col)
     return _kmeans_two_level(codes, k, iters, id_col, kmax)

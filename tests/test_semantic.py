@@ -384,3 +384,43 @@ def test_oracle_sql_corrupt_row_parity(spark, emb):
     con = duckdb.connect()
     want = [(a, b, c) for a, b, c in con.sql(sql).fetchall()]
     assert got == want and got  # non-empty, bit-identical through corruption
+
+
+def test_driver_lloyd_matches_distributed(spark, emb, monkeypatch):
+    """r14 driver-side Lloyd fast path: below _DRIVER_LLOYD_MAX_ROWS the
+    dispatch replays the recurrence in pure Python — assignment, cents,
+    and the assigner tree must be BIT-IDENTICAL to the distributed
+    kernels, on both the flat and the forced two-level path."""
+    import meta_morph_etl_databricks_spark.operators.semantic as sem
+    from meta_morph_etl_databricks_spark.operators.semantic import (
+        kmeans_int8_tree,
+        tree_to_json,
+    )
+
+    for kwargs in (
+        {"k": 4, "iters": 2},
+        {"k": 7, "iters": 2, "flat_k_max": 3},  # forced two-level
+        {"k": 4100, "iters": 1},  # k > 64² → coarse recursion
+    ):
+        asg_d, cents_d, tree_d = kmeans_int8_tree(emb, dims=8, **kwargs)
+        monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 0)
+        asg_x, cents_x, tree_x = kmeans_int8_tree(emb, dims=8, **kwargs)
+        monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 4096)
+        assert sorted(map(tuple, asg_d.collect())) == sorted(map(tuple, asg_x.collect()))
+        assert cents_d == cents_x
+        assert tree_to_json(tree_d) == tree_to_json(tree_x)
+        assert asg_d.schema == asg_x.schema
+
+
+def test_driver_lloyd_empty_and_corrupt_only(spark, monkeypatch):
+    """Driver path mirrors the distributed path's drained-corpus
+    contract: empty assignment frame, [] cents, None tree."""
+    from meta_morph_etl_databricks_spark.operators.semantic import kmeans_int8_tree
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    corrupt = spark.createDataFrame(
+        [(1, None), (2, [float("nan")] * 8)], "vec_id long, embedding array<double>"
+    )
+    for df in (empty, corrupt):
+        asg, cents, tree = kmeans_int8_tree(df, k=4, iters=1, dims=8)
+        assert asg.count() == 0 and cents == [] and tree is None
