@@ -871,3 +871,90 @@ def test_stream_compact_every_and_mid_swap_recovery(spark, tmp_path):
     assert idx_ids == [1, 4, 5]
     assert not os.path.exists(f"{index_path}/gen-0000099")
     assert os.path.exists(f"{index_path}/{ix.CURRENT_FILE}")
+
+
+def test_arrow_pair_scorer_matches_jvm_filter(spark, monkeypatch):
+    """r14 _qcos_reject_ids: the mapInArrow pair scorer must produce
+    the same accepted set as the relational aggregate(zip_with) filter
+    (SPARK_GRAFT_JVM_PAIR_SCORER=1), on both the semantic and the
+    embedding serve paths — including near-threshold pairs."""
+    import random
+
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        embedding_bucket_index,
+        incremental_embed_near_dup,
+        incremental_semantic_near_dup,
+        semantic_cell_index,
+    )
+    from meta_morph_etl_databricks_spark.operators.semantic import kmeans_int8_tree
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(12)]
+    rows = [
+        (
+            i,
+            # even ids: noisy copies of a planted pattern (near-dups of
+            # the bootstrap); odd ids: fresh random vectors (novel)
+            [x + rng.uniform(-0.05, 0.05) for x in base[i % 12]]
+            if i % 2 == 0
+            else [rng.uniform(-3, 3) for _ in range(8)],
+        )
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    boot = emb.where("vec_id < 40")
+    inc = emb.where("vec_id >= 40")
+
+    def run_both(fn):
+        got = sorted(r.vec_id for r in fn().accepted.collect())
+        monkeypatch.setenv("SPARK_GRAFT_JVM_PAIR_SCORER", "1")
+        try:
+            want = sorted(r.vec_id for r in fn().accepted.collect())
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_JVM_PAIR_SCORER")
+        assert got == want and got
+        return got
+
+    asg, _, tree = kmeans_int8_tree(boot, k=4, iters=1, dims=8)
+    idx = semantic_cell_index(boot, tree, 8, _cells=asg.withColumnRenamed("cluster", "cell"))
+    run_both(lambda: incremental_semantic_near_dup(inc, idx, tree, threshold=0.93, dims=8))
+
+    bidx = embedding_bucket_index(boot, dims=8, n_planes=3)
+    run_both(
+        lambda: incremental_embed_near_dup(inc, bidx, threshold=0.93, dims=8, n_planes=3)
+    )
+
+
+def test_arrow_pair_scorer_degenerate_batches(spark):
+    """The scorer's slow path must replay zip_with semantics exactly:
+    ragged widths, interior NULLs, NULL codes and non-positive norms
+    all make the JVM dot NULL (pair kept/accepted); only clean equal-
+    width pairs can reject."""
+    from meta_morph_etl_databricks_spark.operators.incremental import _qcos_reject_ids
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [127, 0], [127, 0], 127.0, 127.0),      # identical → reject
+            (2, [127, 0], [127, 0, 5], 127.0, 127.1),   # ragged → NULL dot → keep
+            (3, [127, None], [127, 0], 127.0, 127.0),   # interior NULL → keep
+            (4, None, [127, 0], 127.0, 127.0),          # NULL code → keep
+            (5, [127, 0], [127, 0], 0.0, 127.0),        # zero norm → keep
+            (6, [100, 0], [-100, 0], 100.0, 100.0),     # cos −1 → keep
+        ],
+        "vec_id long, av array<int>, bv array<int>, an double, bn double",
+    )
+    got = sorted(
+        r.vec_id
+        for r in _qcos_reject_ids(
+            pairs,
+            F.col("vec_id"),
+            F.col("av").cast("array<tinyint>"),
+            F.col("bv").cast("array<tinyint>"),
+            F.col("an"),
+            F.col("bn"),
+            0.9,
+            "vec_id",
+            "bigint",
+        ).collect()
+    )
+    assert got == [1]
