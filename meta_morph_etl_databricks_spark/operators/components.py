@@ -29,8 +29,12 @@ plan doubles per iteration and analysis time goes exponential.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_DRIVER_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_DRIVER_CC_EDGES", "131072"))
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
@@ -122,6 +126,57 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # r14 (guide §1.2/§5, same size-gated pattern as the driver Lloyd):
+    # each star round is 3-4 jobs (checkpoint, signature agg, the star
+    # joins), so a few-hundred-edge dedup graph pays ~1.4 s of fixed
+    # overhead to relabel KBs.  Below the edge bound (driver-memory
+    # dial, ~2 MB of id pairs at the default) the edges are collected
+    # once (guard-railed limit+1) and labeled by union-find — the
+    # component label is DEFINED as the min id in the component, so any
+    # correct algorithm yields bit-identical labels (pinned
+    # driver-vs-distributed in test_components.py).  Bigger graphs run
+    # the star rounds unchanged.
+    if _DRIVER_CC_MAX_EDGES > 0:
+        few = edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+        if len(few) <= _DRIVER_CC_MAX_EDGES:
+            loop_rows = (
+                pairs.where(F.col(id_a) == F.col(id_b))
+                .select(F.col(id_a).alias("node"))
+                .distinct()
+                .collect()
+            )
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in few:
+                u, v = r[0], r[1]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so the root IS the component label
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            comp = {n: find(n) for n in parent}
+            for r in loop_rows:
+                comp.setdefault(r[0], r[0])
+            from pyspark.sql.types import StructField, StructType
+
+            idt = pairs.schema[id_a].dataType
+            schema = StructType(
+                [StructField("node", idt), StructField("component", idt)]
+            )
+            return pairs.sparkSession.createDataFrame(
+                sorted(comp.items()), schema
+            )
     edges = _checkpoint(edges)
     if not edges.take(1):
         # no real edges — the output is just the self-loop singletons

@@ -223,6 +223,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     allow_all_pairs: bool = False,
     prefilter_margin: float | None = None,
+    prune_docs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH; all-pairs only for bounded inputs).  Jaccard is
@@ -271,6 +272,23 @@ def ngram_jaccard_pairs(
         )
     if candidates is not None and "est_jaccard" in candidates.columns:
         candidates = candidates.drop("est_jaccard")
+    # r14 (guide §3.2 semi-join pre-filter): only docs that appear in a
+    # candidate pair need their shingle sets, and the two id-joins below
+    # each stream a FULL shingle pass over ``docs`` otherwise.  With the
+    # prune, the verify touches O(candidate docs) — at sf0.1 that is
+    # ~200 of 5000 docs, and at 100 TB it is the difference between
+    # re-shingling the corpus twice and re-shingling the dup-suspect
+    # sliver.  Opt-in because it evaluates ``candidates`` one extra
+    # time (for the id list) — callers should pass a MATERIALIZED
+    # candidates frame (localCheckpoint; pair sets are tiny by the LSH
+    # contract), which both call sites in this repo now do.
+    if candidates is not None and prune_docs:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
     # distinct-set sizes ride along so the pair stage runs ONE array op
     # (intersect); |A∪B| = |A|+|B|-|A∩B| — exact for distinct sets, and
     # a full per-pair array_union pass cheaper (HOF ops don't share work)
@@ -355,8 +373,21 @@ def curate_corpus(
     if persist_gated:
         s1 = s1.persist()
 
-    cands = minhash_lsh_candidates(s1, text_col, id_col, num_hashes, bands)
-    near = ngram_jaccard_pairs(s1, text_col, id_col, threshold=jaccard_threshold, candidates=cands)
+    # candidate pairs materialized (r14, guide §3.2): tiny by the LSH
+    # contract, and pinning them lets prune_docs restrict the verify's
+    # two shingle-set passes to docs that appear in a pair instead of
+    # re-shingling the whole gated corpus twice
+    cands = minhash_lsh_candidates(
+        s1, text_col, id_col, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    near = ngram_jaccard_pairs(
+        s1,
+        text_col,
+        id_col,
+        threshold=jaccard_threshold,
+        candidates=cands,
+        prune_docs=True,
+    )
     if group_collapse:
         # transitive: connected components over the verified pairs, one
         # min-id survivor per GROUP.  Differs from pair-drop when the

@@ -422,7 +422,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       is exactly why the Spark side iterates stars instead.
     """
     docs = _documents(spark, sf_dir)
-    cands = D.minhash_lsh_candidates(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    # candidates materialized FIRST (r14, guide §3.2): the verify stage
+    # used to re-shingle ALL docs twice (once per id-join side); with
+    # the pair set pinned (tiny by the LSH contract) the prune_docs
+    # semi-join restricts both shingle passes to the ~4% of docs that
+    # appear in a candidate pair.  One minhash chain total.
+    cands = D.minhash_lsh_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).localCheckpoint(eager=True)
     # ONE pass: score every candidate pair (threshold=-1 keeps all),
     # then per-row explode into its union arms — a plain unionByName of
     # the two stages would evaluate the whole minhash/banding/jaccard
@@ -434,9 +441,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus (the whole point of LSH), so the materialization is
     # cheap; blocks are freed by the ContextCleaner when the plan is
     # garbage-collected.
-    scored = D.ngram_jaccard_pairs(docs, threshold=-1.0, candidates=cands).localCheckpoint(
-        eager=True
-    )
+    scored = D.ngram_jaccard_pairs(
+        docs, threshold=-1.0, candidates=cands, prune_docs=True
+    ).localCheckpoint(eager=True)
     cand_row = F.struct(
         F.lit("candidates").alias("variant"),
         F.col("id_a"),

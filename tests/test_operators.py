@@ -1049,14 +1049,16 @@ def test_connected_components_empty_and_hub_determinism(spark):
     assert len(o1) == 2000 and all(c == 0 for _, c in o1)
 
 
-def test_connected_components_max_rounds_raises(spark):
+def test_connected_components_max_rounds_raises(spark, monkeypatch):
     """Non-convergence within the round budget is an error, never a
-    wrong answer."""
-    from meta_morph_etl_databricks_spark.operators.components import connected_components
+    wrong answer.  (Forces the distributed star rounds — the r14 driver
+    fast path has no rounds to exhaust.)"""
+    import meta_morph_etl_databricks_spark.operators.components as C
 
+    monkeypatch.setattr(C, "_DRIVER_CC_MAX_EDGES", 0)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(pairs, max_rounds=1)
+        C.connected_components(pairs, max_rounds=1)
 
 
 def test_dedup_by_components_keeps_canonical_and_singletons(spark):
@@ -1472,3 +1474,22 @@ def test_ivf_pq_rerank_restores_recall(spark):
     }
     for r in got:
         assert brute[(r.query_id, r.vec_id)] == r.cosine_sim
+
+
+def test_connected_components_driver_matches_distributed(spark, monkeypatch):
+    """r14 driver union-find fast path: below the edge bound the labels
+    must be bit-identical to the alternating-star rounds (component =
+    min id either way), including self-loop singletons and reversed/
+    duplicate orientations."""
+    import random
+
+    import meta_morph_etl_databricks_spark.operators.components as C
+
+    rng = random.Random(41)
+    rows = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    rows += [(7, 7), (199, 199), (150, 3)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = sorted(map(tuple, C.connected_components(pairs).collect()))
+    monkeypatch.setattr(C, "_DRIVER_CC_MAX_EDGES", 0)
+    want = sorted(map(tuple, C.connected_components(pairs).collect()))
+    assert got == want and got
