@@ -533,11 +533,18 @@ def simhash_hamming_pairs(
         ).alias("band_idx", "band_bits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    # hamming filter BEFORE the pair-dedup: the banded join can emit a
-    # pair once per shared band, so distinct is needed — but running it
-    # after the (cheap, codegen'd) bit_count filter means the exchange
-    # dedups only the close pairs, not every band collision.
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    # A pair can share several bands; emit it only from the SMALLEST
+    # shared band.  Both codes sit in the joined row, so "an earlier
+    # band also matches" is a pure bit test on xor — a codegen'd filter
+    # replaces the old distinct(), which shuffled the full close-pair
+    # set (2.2M rows at sf0.1) through an extra Exchange+HashAggregate
+    # just to drop the multi-band duplicates.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    earlier_match = F.lit(False)
+    for j in range(n_bands - 1):
+        band_j_eq = F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) == 0
+        earlier_match = earlier_match | (band_j_eq & (F.col("a.band_idx") > j))
     return (
         a.join(
             b,
@@ -545,13 +552,13 @@ def simhash_hamming_pairs(
             & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(~earlier_match)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -725,6 +725,25 @@ def test_simhash_hamming_banding_finds_all_close_pairs(spark):
     assert got[(1, 2)] == 0
 
 
+def test_simhash_hamming_multiband_pair_emitted_once(spark):
+    """A pair sharing SEVERAL bands (identical docs share all of them)
+    must still appear exactly once: the first-matching-band filter that
+    replaced the old distinct() may not leak per-band duplicates."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical → all 3 bands match
+            (3, "alpha beta gamma delta epsilon zeta"),  # identical triple
+            (4, "alpha beta gamma delta epsilon eta"),
+        ],
+    )
+    rows = D.simhash_hamming_pairs(docs, bits=12, max_hamming=2).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), pairs
+    assert {(1, 2), (1, 3), (2, 3)} <= set(pairs)
+
+
 def test_simhash_hamming_rejects_nondivisible_bits(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
