@@ -311,13 +311,14 @@ def embedding_bucket_index(
     return coded.select(
         F.col(id_col),
         F.when(
-            F.col("q_vec").isNotNull()
-            & (F.size(vec_col) == dims)
-            & ~F.exists(F.col(vec_col), lambda x: x.isNull()),
-            lsh_bucket(F.col(vec_col), planes, center),
+            F.expr(
+                f"q_vec IS NOT NULL AND size(`{vec_col}`) = {int(dims)}"
+                f" AND NOT exists(`{vec_col}`, x -> x IS NULL)"
+            ),
+            lsh_bucket(vec_col, planes, center),
         ).alias("bucket"),
         F.col("q_vec"),
-        qnorm(F.col("q_vec")).alias("q_norm"),
+        qnorm("q_vec").alias("q_norm"),
     )
 
 
@@ -505,7 +506,7 @@ def semantic_cell_index(
         F.col(id_col),
         F.col("cell").cast("int").alias("cell"),
         F.col("q_vec"),
-        qnorm(F.col("q_vec")).alias("q_norm"),
+        qnorm("q_vec").alias("q_norm"),
     )
 
 

@@ -64,42 +64,46 @@ def quantize_int8(
     a take-16 over 200k×64-dim codes cost 89 s; with the repeat-array
     binding the scale is evaluated once per row no matter what the
     optimizer prunes, same take ~1 s).  Values are bit-identical:
-    round(x / s) per element either way."""
-    v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    # interior-NULL elements join the corrupt class at the ROOT (r12
-    # review): array_max skips NULL elements, so [0.5, NULL, ...]
-    # previously coded non-NULL with a NULL element — which then seeded
-    # int(None) crashes in pq_codebooks_from_codes and fabricated
-    # centroid-0 PQ codes in pq_encode (its subspace distances all
-    # aggregate NULL and the tie-break picks c=0).  One exists() probe
-    # here contains the whole class for every consumer.
-    finite = (
-        v.isNotNull()
-        & ~F.exists(v, lambda x: x.isNull())
-        & ~F.isnan(amax)
-        & (amax != F.lit(float("inf")))
+    round(x / s) per element either way.
+
+    Built as TWO ``F.expr`` strings, not Column-API lambdas (r14, guide
+    §1.2 driver work + the r13 py4j lesson): every Python-lambda HOF is
+    ~15 py4j round-trips of plan assembly, and this constructor runs
+    once per coding site — 9× inside one q_embed_near_dup_lsh build,
+    ~70 ms each (profiled: 9,386 round-trips per build, 3.4 s of
+    socket time).  The parsed tree is identical — same HOFs, same CASE
+    short-circuits, D-suffixed double literals — so executor-side
+    evaluation and results are unchanged.
+
+    Inline notes preserved from the Column form: (a) interior-NULL
+    elements join the corrupt class at the ROOT (r12 review) via the
+    exists() probe — array_max skips NULLs, so [0.5, NULL, ...] would
+    otherwise code non-NULL and seed int(None) crashes downstream;
+    (b) denormal floor (r12 review): amax in (0, ~1e-300] underflows
+    the scale and round(x/scale) then blows the tinyint cast under
+    ANSI — such vectors are zero at int8 resolution and take the
+    zero-vector arm (scale 1.0, all-zero code); (c) the outer CASE
+    short-circuits per row, so the tinyint cast never evaluates for
+    non-finite vectors (their scale is NULL)."""
+    v = f"`{vec_col}`"
+    amax = f"array_max(transform({v}, x -> abs(x)))"
+    out = df.withColumn(
+        scale_col,
+        F.expr(
+            f"CAST(CASE WHEN {v} IS NOT NULL"
+            f" AND NOT exists({v}, x -> x IS NULL)"
+            f" AND NOT isnan({amax})"
+            f" AND {amax} != CAST('Infinity' AS DOUBLE)"
+            f" THEN CASE WHEN {amax} > 1e-300D THEN {amax} / 127.0D"
+            f" ELSE 1.0D END END AS DOUBLE)"
+        ),
     )
-    # denormal floor (r12 review): amax in (0, ~1e-300] makes the scale
-    # itself underflow (amax/127 rounds to 0.0 or a denormal with huge
-    # relative error), and round(x/scale) then exceeds ±127 or hits
-    # Infinity — the exact ANSI CAST_OVERFLOW job-death the finite
-    # probe exists to prevent.  Such vectors are zero at int8
-    # resolution, so they take the zero-vector arm (scale 1.0,
-    # all-zero code) like amax == 0.
-    scale = F.when(amax > F.lit(1e-300), amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    out = df.withColumn(scale_col, F.when(finite, scale).cast("double"))
     return out.withColumn(
         out_col,
-        # the When short-circuits per row, so the tinyint cast never
-        # evaluates for non-finite vectors (their scale is NULL)
-        F.when(
-            F.col(scale_col).isNotNull(),
-            F.zip_with(
-                v,
-                F.array_repeat(F.col(scale_col), F.size(v)),
-                lambda x, s: F.round(x / s).cast("tinyint"),
-            ),
+        F.expr(
+            f"CASE WHEN `{scale_col}` IS NOT NULL THEN"
+            f" zip_with({v}, array_repeat(`{scale_col}`, size({v})),"
+            f" (x, s) -> CAST(round(x / s) AS TINYINT)) END"
         ),
     )
 
@@ -109,7 +113,7 @@ def dequantize(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale)
 
 
-def qdot(a: Column, b: Column) -> Column:
+def qdot(a: Column | str, b: Column | str) -> Column:
     """Integer dot product of two int8 codes, accumulated in long —
     64 dims of ±127 products peaks at ~1e6, nowhere near overflow.
 
@@ -122,7 +126,17 @@ def qdot(a: Column, b: Column) -> Column:
     pre-cast-int HOF 13.5 s.  The 64-wide unrolled expression blows the
     JIT budget while the HOF's tight specialized loop stays ~40 ns per
     element — do not "optimize" this into indexed form without
-    re-measuring."""
+    re-measuring.
+
+    String args take the one-round-trip ``F.expr`` path (r14: a
+    Python-lambda HOF is ~15 py4j calls of plan assembly; hot
+    constructors pass column NAMES) — the parsed tree is identical."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`,"
+            f" (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
@@ -130,8 +144,15 @@ def qdot(a: Column, b: Column) -> Column:
     )
 
 
-def qnorm(a: Column) -> Column:
-    """Euclidean norm of an int8 code (integer squares, one sqrt)."""
+def qnorm(a: Column | str) -> Column:
+    """Euclidean norm of an int8 code (integer squares, one sqrt).
+    String args take the one-round-trip ``F.expr`` path (see qdot)."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(CAST(aggregate(transform(`{a}`,"
+            f" x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, e) -> acc + e) AS DOUBLE))"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("long") * x.cast("long")),
@@ -165,19 +186,18 @@ def quantized_topk_from_codes(
     """
     from pyspark.sql import Window
 
-    as_int = lambda c: F.transform(c, lambda x: x.cast("int"))  # noqa: E731
+    as_int = lambda c: F.expr(f"transform(`{c}`, x -> CAST(x AS INT))")  # noqa: E731
     q = quantize_int8(queries, vec_col).select(
         F.col(query_id_col),
-        as_int(F.col("q_vec")).alias("_qq"),
-        qnorm(F.col("q_vec")).alias("_qn"),
+        as_int("q_vec").alias("_qq"),
+        qnorm("q_vec").alias("_qn"),
     )
     corpus = codes.select(
-        id_col, as_int(F.col(code_col)).alias("_ci"), qnorm(F.col(code_col)).alias("_n")
+        id_col, as_int(code_col).alias("_ci"), qnorm(code_col).alias("_n")
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("_ci"), F.col("_qq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    idot = F.expr(
+        "aggregate(zip_with(_ci, _qq, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
     )
     sim = F.when(
         (F.col("_n") > 0) & (F.col("_qn") > 0),

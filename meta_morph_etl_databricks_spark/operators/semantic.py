@@ -95,14 +95,23 @@ def _shifted_codes(
     DuckDB's list_dot_product NULLs the whole key — divergence, or an
     int(None) crash if the row seeds) are EXCLUDED: they belong to no
     cluster and can never pair, mirroring the NULL-bucket convention of
-    the LSH and incremental-index paths."""
-    no_null_elem = ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    the LSH and incremental-index paths.
+
+    Filter and shift are single ``F.expr`` strings (r14): this
+    constructor runs 5× per q_embed_near_dup_lsh build and the
+    Python-lambda HOF forms cost ~15 py4j round-trips each; the parsed
+    trees (exists probe, transform shift) are identical."""
     return (
         quantize_int8(embeddings, vec_col=vec_col, out_col="_qc")
-        .where(F.col("_qc").isNotNull() & (F.size(vec_col) == dims) & no_null_elem)
+        .where(
+            F.expr(
+                f"_qc IS NOT NULL AND size(`{vec_col}`) = {int(dims)}"
+                f" AND NOT exists(`{vec_col}`, x -> x IS NULL)"
+            )
+        )
         .select(
             id_col,
-            F.transform("_qc", lambda x: x.cast("long") + F.lit(127)).alias("_u"),
+            F.expr("transform(_qc, x -> CAST(x AS BIGINT) + 127)").alias("_u"),
         )
     )
 

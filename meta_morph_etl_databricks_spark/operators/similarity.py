@@ -130,7 +130,7 @@ def random_hyperplanes(dims: int, n_planes: int, seed: int = 42) -> list[list[fl
 
 
 def lsh_bucket(
-    vec: Column, planes: list[list[float]], center: list[float] | None = None
+    vec: Column | str, planes: list[list[float]], center: list[float] | None = None
 ) -> Column:
     """Sign-random-projection bucket id: bit i = sign((vec − center) ·
     plane_i).  Vectors in the same bucket are ANN candidates.
@@ -148,6 +148,23 @@ def lsh_bucket(
     offsets = [0.0] * len(planes)
     if center is not None:
         offsets = [sum(c * p for c, p in zip(center, plane)) for plane in planes]
+    if isinstance(vec, str):
+        # ONE expr for the whole bucket code (r14): the per-plane
+        # Column chain (8 planes × dot's two lambdas + when/lit) was
+        # ~240 py4j round-trips ≈ 0.2 s of driver plan assembly per
+        # bucketing site.  Same parsed tree: per-plane CASE bits summed,
+        # cast bigint; _dlit round-trips every double bit-exactly.
+        bits = []
+        for i, plane in enumerate(planes):
+            arr = ", ".join(_dlit(v) for v in plane)
+            d = (
+                f"aggregate(zip_with(`{vec}`, array({arr}), (x, y) -> x * y),"
+                f" 0.0D, (acc, e) -> acc + e)"
+            )
+            bits.append(
+                f"(CASE WHEN {d} > {_dlit(offsets[i])} THEN {2**i} ELSE 0 END)"
+            )
+        return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
     code = None
     for i, plane in enumerate(planes):
         # ONE expr per plane, not dims unrolled F.lit calls: at
@@ -699,19 +716,20 @@ def lsh_bucketed_pairs(
     # this guard removes the join-cost poison, not any result row
     # (same containment embedding_bucket_index applies for the
     # persisted-index path).
-    _amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
-    _valid = (
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dims)
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-        & ~F.isnan(_amax)
-        & (_amax != F.lit(float("inf")))
+    _amax = f"array_max(transform(`{vec_col}`, x -> abs(x)))"
+    _valid = F.expr(
+        f"`{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {int(dims)}"
+        f" AND NOT exists(`{vec_col}`, x -> x IS NULL)"
+        f" AND NOT isnan({_amax}) AND {_amax} != CAST('Infinity' AS DOUBLE)"
     )
     bucketed = embeddings.select(
         id_col,
         vec_col,
-        F.when(_valid, lsh_bucket(F.col(vec_col), planes, center)).alias("bucket"),
-        norm(F.col(vec_col)).alias("_n"),
+        F.when(_valid, lsh_bucket(vec_col, planes, center)).alias("bucket"),
+        F.expr(
+            f"sqrt(aggregate(transform(`{vec_col}`, x -> x * x), 0.0D,"
+            f" (acc, e) -> acc + e))"
+        ).alias("_n"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(

@@ -1132,8 +1132,14 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization ≥ recompute for cheap map passes)
         r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
         grown = idx.unionByName(r1.index_rows)
+        # inc2's cell-index rows are a pure function of (inc2, tree,
+        # dims) — build them ONCE and hand them to BOTH the sem_inc and
+        # retract serves (r14, guide §1.2 driver work: each
+        # semantic_cell_index construction is a quantize+assign+
+        # localCheckpoint chain, ~0.4 s of driver plan assembly).
+        inc2_rows = semantic_cell_index(inc2, tree, _DIMS)
         r2 = incremental_semantic_near_dup(
-            inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS
+            inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS, _new_rows=inc2_rows
         )
         acc_ids = (
             boot.select("vec_id")
@@ -1146,7 +1152,12 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the arm costs one more cell join, not another Lloyd
         retracted = (F.col("vec_id") % _RETR_MOD == 0) & (F.col("vec_id") < _SEMI_C1)
         r2r = incremental_semantic_near_dup(
-            inc2, grown.where(~retracted), tree, threshold=_SEMI_T, dims=_DIMS
+            inc2,
+            grown.where(~retracted),
+            tree,
+            threshold=_SEMI_T,
+            dims=_DIMS,
+            _new_rows=inc2_rows,
         )
         retr_ids = r2r.accepted.select("vec_id")
     semi = acc_ids.select(
@@ -1493,10 +1504,26 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       full corpus — the module's split-invariance parity contract made
       hash-checkable.
     """
-    from ..operators.incremental import incremental_dedup
+    from ..operators.incremental import incremental_dedup, minhash_band_index
 
     docs = _documents(spark, sf_dir)
-    surviving = D.curate_corpus(docs, min_quality=_CUR_MINQ, jaccard_threshold=_CUR_JT)
+    # ONE minhash chain for the whole slot (r14, guide §2.4): the
+    # full-corpus band index is materialized once and feeds BOTH arms —
+    # the incremental arm slices it per increment (below), and the
+    # curation arm derives its LSH candidates from the gated docs'
+    # slice of it (curate_corpus _banded) instead of re-running the
+    # shingle→md5→min chain over the gated corpus a second time.
+    banded = minhash_band_index(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).localCheckpoint(eager=True)
+    surviving = D.curate_corpus(
+        docs,
+        min_quality=_CUR_MINQ,
+        jaccard_threshold=_CUR_JT,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        _banded=banded,
+    )
     curation = (
         surviving.groupBy("detected_lang")
         .agg(
@@ -1516,7 +1543,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     cuts = sorted({hi // 3, (2 * hi) // 3, hi + 1})
     meta = {"num_hashes": _NUM_HASHES, "bands": _BANDS}  # dict-validated, no probe
-    # ONE minhash pass, materialized, sliced per increment (r14, guide
+    # The SAME materialized band pass, sliced per increment (r14, guide
     # §2.4/§5): banding is a pure per-document map, so the full-corpus
     # band rows sliced by id range ARE each increment's band rows AND
     # the union of its predecessors' index rows.  The previous
@@ -1527,11 +1554,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization incremental_dedup's own docstring prescribes and
     # what the persisted index_store serve path does (there the
     # materialization is the parquet index itself).
-    from ..operators.incremental import minhash_band_index
-
-    banded = minhash_band_index(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS
-    ).localCheckpoint(eager=True)
     accepted = None
     lo = None
     for cut in cuts:
