@@ -62,14 +62,21 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the preserved side only and NULL groups coalesce to zero (A5).
     qualified = lineitem.filter(F.col("l_returnflag") != "R").withColumn("rev", F.expr(_REV))
 
-    # ONE fact scan (r14, guide §2.3 aggregate-before-shuffle): both
-    # aggregation branches now hang off the same (suppkey, partkey)
-    # partial aggregate — the per-supplier totals re-aggregate those
-    # partials instead of scanning lineitem a second time.  Decimal sums
-    # and counts are associative, so the two-stage regroup is
-    # bit-identical to the direct per-supplier aggregate (oracle-hash
-    # green); at 100 TB this halves the fact I/O and the first shuffle
-    # carries (suppkey, partkey) partials either way.
+    # Shared (suppkey, partkey) partial aggregate (r14, guide §2.3
+    # aggregate-before-shuffle): both aggregation branches hang off the
+    # same by_part frame — the per-supplier totals re-aggregate its
+    # partials.  Decimal sums and counts are associative, so the
+    # two-stage regroup is bit-identical to the direct per-supplier
+    # aggregate (oracle-hash green).  Physically Catalyst still plans
+    # TWO narrow-projection fact scans (column pruning specializes each
+    # branch's copy of by_part — branch 1 keeps rev/n_sold/qty, branch 2
+    # only rev — so ReuseExchange can't fire); both scans read ≤5 fact
+    # columns with map-side combine, and a lazy localCheckpoint of
+    # by_part (the true single-scan form) A/B'd at 1.53 s vs 1.39 s
+    # here — the materialization costs more than the pruned second scan
+    # saves at sf0.1, and at cluster scale checkpointing a
+    # |supplier×part|-row intermediate to executor disk is the wrong
+    # trade against a column-pruned columnar re-scan.
     by_part = qualified.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("rev").alias("rev"),
         F.count("l_orderkey").alias("n_sold"),

@@ -1124,20 +1124,24 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = semantic_cell_index(
             boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
         )
-        # NOT checkpointed: the grown-index subtree is recomputed inside
-        # r2's AND r2r's plans, but it is two map-only routing passes
-        # over ≤2k rows — A/B at sf0.1 (r10): checkpointing idx+grown
-        # read 15.2s vs 15.7s raw on the whole union, inside wobble
-        # (same break-even as q_corpus_curation's documented A/B:
-        # materialization ≥ recompute for cheap map passes)
+        # grown + inc2_rows are LAZILY checkpointed (r14 re-A/B): the
+        # r10 measurement that rejected materialization (15.2 vs 15.7 s,
+        # inside wobble) predates the Arrow pair scorer and the driver
+        # Lloyd — with per-pair scoring now cheap, the recomputed
+        # routing subtrees (grown appears in r2 AND r2r; inc2's rows in
+        # all four serve joins) are the remaining term, and the same
+        # whole-union A/B now reads 3.56 s raw vs 3.21 s checkpointed
+        # at sf0.1.  This also mirrors the production serve shape: the
+        # index an increment reads IS a materialized artifact
+        # (index_store's parquet), never a recomputed lineage.
         r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
-        grown = idx.unionByName(r1.index_rows)
+        grown = idx.unionByName(r1.index_rows).localCheckpoint(eager=False)
         # inc2's cell-index rows are a pure function of (inc2, tree,
         # dims) — build them ONCE and hand them to BOTH the sem_inc and
         # retract serves (r14, guide §1.2 driver work: each
         # semantic_cell_index construction is a quantize+assign+
         # localCheckpoint chain, ~0.4 s of driver plan assembly).
-        inc2_rows = semantic_cell_index(inc2, tree, _DIMS)
+        inc2_rows = semantic_cell_index(inc2, tree, _DIMS).localCheckpoint(eager=False)
         r2 = incremental_semantic_near_dup(
             inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS, _new_rows=inc2_rows
         )

@@ -249,7 +249,16 @@ def self_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_") + "_" + app
     table = f"t_self_join_orders_b_{tag}"
     path = os.path.join(bucketed_scratch_root(), tag)
-    write_bucketed(orders, table, ["o_custkey"], 8, path=path)
+    # written ONCE per (application, sf_dir) — the arm demonstrates the
+    # query-side benefit of INGEST-time bucketing (the docstring's whole
+    # point: the fact shuffle is paid once, not per query), so re-paying
+    # the bucketed rewrite on every invocation mis-modeled the shape it
+    # exists to pin (r14; same per-session keying as the ivf/pq
+    # build-serve split — the table name embeds applicationId, the data
+    # is deterministic per sf_dir, and nothing persists across driver
+    # runs: a fresh application writes a fresh table).
+    if not spark.catalog.tableExists(table):
+        write_bucketed(orders, table, ["o_custkey"], 8, path=path)
     return _above_cust_avg(read_bucketed_table(spark, table))
 
 
