@@ -610,9 +610,9 @@ def pq_topk_rerank(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
     ).select(query_id_col, id_col)
-    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    corpus = embeddings.select(id_col, vec_col, norm(vec_col).alias("_n"))
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(vec_col).alias("_qn")
     )
     rescored = (
         cands.join(corpus, id_col)
@@ -621,7 +621,7 @@ def pq_topk_rerank(
             query_id_col,
             id_col,
             F.round(
-                cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+                cosine_with_norms(vec_col, "_qvec", "_n", "_qn"), 6
             ).alias("cosine_sim"),
         )
     )
@@ -792,9 +792,9 @@ def ivf_pq_topk_rerank(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
     ).select(query_id_col, id_col)
-    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    corpus = embeddings.select(id_col, vec_col, norm(vec_col).alias("_n"))
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(vec_col).alias("_qn")
     )
     rescored = (
         cands.join(corpus, id_col)
@@ -803,7 +803,7 @@ def ivf_pq_topk_rerank(
             query_id_col,
             id_col,
             F.round(
-                cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+                cosine_with_norms(vec_col, "_qvec", "_n", "_qn"), 6
             ).alias("cosine_sim"),
         )
     )

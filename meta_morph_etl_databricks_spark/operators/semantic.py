@@ -864,7 +864,7 @@ def semantic_dedup_pairs(
     else:
         assign = _assign
     memb = embeddings.join(assign, id_col).select(
-        id_col, vec_col, "cluster", norm(F.col(vec_col)).alias("_n")
+        id_col, vec_col, "cluster", norm(vec_col).alias("_n")
     )
     a, b = memb.alias("a"), memb.alias("b")
     pairs = a.join(
@@ -875,9 +875,7 @@ def semantic_dedup_pairs(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(
-            cosine_with_norms(
-                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), F.col("a._n"), F.col("b._n")
-            ),
+            cosine_with_norms(f"a.{vec_col}", f"b.{vec_col}", "a._n", "b._n"),
             6,
         ).alias("cosine_sim"),
     )

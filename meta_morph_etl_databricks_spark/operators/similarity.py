@@ -30,11 +30,37 @@ def _dlit(v: float) -> str:
     return f"{v!r}D"
 
 
-def dot(a: Column, b: Column) -> Column:
+def _cref(name: str) -> str:
+    """Column reference for the ``F.expr`` fast paths: each dot-separated
+    segment backticked, so plain names and alias-qualified refs
+    (``a.embedding``) both resolve.  A column whose NAME contains a
+    literal dot must use the Column overload instead."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_cref(a)}, {_cref(b)}, (x, y) -> x * y),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Float dot product.  String args take the one-round-trip ``F.expr``
+    path (r14: a Python-lambda HOF is ~15 py4j calls of plan assembly;
+    see quantize.qdot) — the parsed tree is identical."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    """Euclidean norm.  String args take the ``F.expr`` path (see dot)."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({_cref(a)}, x -> x * x),"
+            f" 0.0D, (acc, v) -> acc + v))"
+        )
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
@@ -48,7 +74,9 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
     """Cosine with PRE-COMPUTED norms.  HOFs run interpreted with no
     subexpression reuse, so norm(a)/norm(b) inside a pairwise join cost
     two extra full-vector passes PER PAIR — compute them once per vector
@@ -61,7 +89,16 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     filters.  The ``nanvl`` collapses any NaN score to 0.0 — the same
     class the zero-norm contract already assigns to degenerate vectors —
     for one scalar op per pair (the ``vn > 0`` guard alone does NOT
-    catch it: NaN norms pass that comparison)."""
+    catch it: NaN norms pass that comparison).
+
+    All-string args take the ``F.expr`` path (see :func:`dot`) — same
+    parsed tree, one py4j round trip instead of ~40."""
+    if isinstance(a, str) and isinstance(b, str) and isinstance(na, str) and isinstance(nb, str):
+        NA, NB = _cref(na), _cref(nb)
+        return F.expr(
+            f"nanvl(CASE WHEN {NA} > 0 AND {NB} > 0"
+            f" THEN {_dot_sql(a, b)} / ({NA} * {NB}) ELSE 0.0D END, 0.0D)"
+        )
     return F.nanvl(
         F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0)),
         F.lit(0.0),
@@ -89,14 +126,14 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm(vec_col).alias("_qn")
     )
-    corpus = embeddings.select(id_col, vec_col, norm(F.col(vec_col)).alias("_n"))
+    corpus = embeddings.select(id_col, vec_col, norm(vec_col).alias("_n"))
     scored = corpus.join(F.broadcast(q)).select(
         query_id_col,
         id_col,
         F.round(
-            cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+            cosine_with_norms(vec_col, "_qvec", "_n", "_qn"), 6
         ).alias("cosine_sim"),
     )
     if exclude_self:
@@ -410,7 +447,7 @@ def _codebook_df(embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cid long, cvec array<double>"
     )
-    return F.broadcast(cdf.withColumn("_cn", norm(F.col("cvec"))))
+    return F.broadcast(cdf.withColumn("_cn", norm("cvec")))
 
 
 def _rank_centroids(
@@ -421,9 +458,9 @@ def _rank_centroids(
     and keep the top ``keep`` centroids as ``centroid_id``."""
     from pyspark.sql import Window
 
-    vn = norm(F.col(vec_col))
+    vn = norm(vec_col)
     scored = df.withColumn("_n", vn).join(codebook).withColumn(
-        "_sim", F.round(cosine_with_norms(F.col(vec_col), F.col("cvec"), F.col("_n"), F.col("_cn")), 6)
+        "_sim", F.round(cosine_with_norms(vec_col, "cvec", "_n", "_cn"), 6)
     )
     w = Window.partitionBy(*key_cols).orderBy(F.desc("_sim"), F.desc("cid"))
     return (
@@ -630,7 +667,7 @@ def ivf_topk_indexed(
         query_id_col,
         id_col,
         F.round(
-            cosine_with_norms(F.col(vec_col), F.col("_qvec"), F.col("_n"), F.col("_qn")), 6
+            cosine_with_norms(vec_col, "_qvec", "_n", "_qn"), 6
         ).alias("cosine_sim"),
     )
     if exclude_self:
@@ -739,9 +776,7 @@ def lsh_bucketed_pairs(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(
-            cosine_with_norms(
-                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), F.col("a._n"), F.col("b._n")
-            ),
+            cosine_with_norms(f"a.{vec_col}", f"b.{vec_col}", "a._n", "b._n"),
             6,
         ).alias("cosine_sim"),
     )
