@@ -503,8 +503,8 @@ def _two_level_split(k: int, kmax: int = _FLAT_K_MAX) -> tuple[int, int]:
 # not data — each iteration is 2+ multi-stage Spark jobs (assign
 # explode+join+agg, update collect), so a 200-row bootstrap pays ~20
 # scheduler/plan round-trips to move a few KB.  Below this row bound
-# the dispatch collects the codes ONCE (guard-railed limit+1, the
-# collect_small idiom) and replays the EXACT integer recurrence
+# the dispatch collects the codes ONCE (count-gated — the same bound
+# the collect_small idiom enforces) and replays the EXACT integer recurrence
 # driver-side — bit-identical by construction (every step is int
 # arithmetic; pinned distributed-vs-driver in test_semantic.py), and
 # the returned assignment becomes a literal LocalTableScan, so every
@@ -522,15 +522,28 @@ def _driver_assign_flat(
     u: dict[int, list[int]], cents: list[tuple[int, list[int]]]
 ) -> dict[int, int]:
     """Driver replay of :func:`_assign_int`: surrogate argmin
-    ``‖m‖² − 2·scale·⟨u,m⟩``, ties to the smallest cid."""
-    mm = {cid: sum(y * y for y in mv) for cid, mv in cents}
-    return {
-        i: min(
-            (mm[cid] - 2 * _SCALE * sum(x * y for x, y in zip(uv, mv)), cid)
-            for cid, mv in cents
-        )[1]
-        for i, uv in u.items()
-    }
+    ``‖m‖² − 2·scale·⟨u,m⟩``, ties to the smallest cid.
+
+    Vectorized in int64 numpy (r14): the interpreted loops were ~1.3M
+    function calls / ~115 ms per q_embed_near_dup_lsh build (scaling
+    n·k·d toward the 4096-row driver bound).  Exactness: u ∈
+    [0,254], m ∈ [0, 254·_SCALE], so ``‖m‖² ≤ 64·(254·1024)² ≈ 4.3e12``
+    and ``2·_SCALE·⟨u,m⟩ ≤ 8.7e12`` — far inside int64; integer matmul
+    is exact.  Ties: centroids are sorted by cid first, so argmin's
+    first-minimum IS the smallest cid (lexicographic (surrogate, cid)
+    min, independent of the caller's cent order)."""
+    import numpy as np
+
+    if not u:
+        return {}
+    ids = list(u)
+    by_cid = sorted(cents, key=lambda c: c[0])
+    cids = [cid for cid, _ in by_cid]
+    M = np.asarray([mv for _, mv in by_cid], dtype=np.int64)
+    U = np.asarray([u[i] for i in ids], dtype=np.int64)
+    surr = (M * M).sum(axis=1)[None, :] - 2 * _SCALE * (U @ M.T)
+    best = surr.argmin(axis=1)
+    return {i: int(cids[b]) for i, b in zip(ids, best)}
 
 
 def _driver_lloyd_flat(
@@ -539,24 +552,29 @@ def _driver_lloyd_flat(
     """Driver replay of :func:`_kmeans_flat` — same seeds, argmin,
     floor-div update (codes are nonnegative, so ``//`` == SQL ``div``),
     empty-cluster drop, final assignment."""
+    import numpy as np
+
     seeds = sorted(u)[:k]
     cents = [(cid, [_SCALE * x for x in u[seeds[cid]]]) for cid in range(len(seeds))]
+    ids = list(u)
+    U = np.asarray([u[i] for i in ids], dtype=np.int64) if u else None
     for _ in range(iters):
         if not cents:
             break
         asg = _driver_assign_flat(u, cents)
-        by_cl: dict[int, list[list[int]]] = {}
-        for i, c in asg.items():
-            by_cl.setdefault(c, []).append(u[i])
+        # vectorized grouped update — same floor-div recurrence: the
+        # per-cluster integer sums are order-independent, occupied
+        # labels ascend exactly like sorted(by_cl), and numpy ``//`` on
+        # nonnegative int64 IS Python floor division
+        labels = np.asarray([asg[i] for i in ids], dtype=np.int64)
+        occ = np.unique(labels)
+        idx = np.searchsorted(occ, labels)
+        sums = np.zeros((len(occ), U.shape[1]), dtype=np.int64)
+        np.add.at(sums, idx, U)
+        counts = np.bincount(idx, minlength=len(occ)).astype(np.int64)
+        cent_mat = (_SCALE * sums) // counts[:, None]
         cents = [
-            (
-                cl,
-                [
-                    (_SCALE * sum(m[d] for m in members)) // len(members)
-                    for d in range(len(members[0]))
-                ],
-            )
-            for cl, members in sorted(by_cl.items())
+            (int(cl), [int(x) for x in row]) for cl, row in zip(occ, cent_mat)
         ]
     if not cents:
         return {}, [], None
@@ -572,23 +590,30 @@ def _driver_grouped_assign(
     only against ITS cell's fine centroids; a cell absent from
     ``cents2`` drops the row (the inner join on ``_c1``); missing
     (cell, cid) slots are the +∞ sentinel and never win because every
-    real surrogate is < 2^62."""
+    real surrogate is < 2^62.
+
+    Vectorized per cell in int64 numpy (r14) — same exactness and
+    tie-break argument as :func:`_driver_assign_flat`; the assignment
+    VALUES are unchanged and no consumer depends on dict order (sums
+    over members are integer-commutative, every other reader sorts)."""
+    import numpy as np
+
+    by_cell: dict[int, list[int]] = {}
+    for i in u2:
+        by_cell.setdefault(casg[i], []).append(i)
     out: dict[int, tuple[int, int]] = {}
-    for i, uv in u2.items():
-        c1 = casg[i]
+    for c1, ids in by_cell.items():
         cl = cents2.get(c1)
         if not cl:
             continue
-        out[i] = (
-            c1,
-            min(
-                (
-                    sum(y * y for y in mv) - 2 * _SCALE * sum(x * y for x, y in zip(uv, mv)),
-                    cid,
-                )
-                for cid, mv in cl
-            )[1],
-        )
+        by_cid = sorted(cl, key=lambda c: c[0])
+        cids = [cid for cid, _ in by_cid]
+        M = np.asarray([mv for _, mv in by_cid], dtype=np.int64)
+        U = np.asarray([u2[i] for i in ids], dtype=np.int64)
+        surr = (M * M).sum(axis=1)[None, :] - 2 * _SCALE * (U @ M.T)
+        best = surr.argmin(axis=1)
+        for i, b in zip(ids, best):
+            out[i] = (c1, int(cids[b]))
     return out
 
 
@@ -610,6 +635,8 @@ def _driver_lloyd_two_level(
         c1: [(cid, [_SCALE * x for x in u2[ids[cid]]]) for cid in range(min(k2, len(ids)))]
         for c1, ids in cells.items()
     }
+    import numpy as np
+
     for _ in range(iters):
         asg2 = _driver_grouped_assign(u2, casg, cents2)
         nxt: dict[tuple[int, int], list[list[int]]] = {}
@@ -617,14 +644,10 @@ def _driver_lloyd_two_level(
             nxt.setdefault((c1, cl2), []).append(u2[i])
         cents2 = {}
         for (c1, cid), members in sorted(nxt.items()):
+            # int64 numpy sum — exact, order-independent, same floor div
+            sums = np.asarray(members, dtype=np.int64).sum(axis=0)
             cents2.setdefault(c1, []).append(
-                (
-                    cid,
-                    [
-                        (_SCALE * sum(m[d] for m in members)) // len(members)
-                        for d in range(len(members[0]))
-                    ],
-                )
+                (cid, [int(x) for x in (_SCALE * sums) // len(members)])
             )
     for _c1, _mv in _tree_leaf_cents(coarse_tree):
         if _c1 not in cents2:
@@ -659,16 +682,24 @@ def _kmeans_dispatch(
     measured production knee; tests and the two-level oracle arm pass a
     small value to force the scale path at oracle-friendly k.
 
-    ``probe_driver``: before the distributed kernels, one guard-railed
-    ``limit(N+1)`` collect decides whether the whole corpus fits the
-    driver bound (see ``_DRIVER_LLOYD_MAX_ROWS`` above); if so the
-    recurrence is replayed in pure Python ints — bit-identical, zero
+    ``probe_driver``: before the distributed kernels, one count() (which
+    doubles as the codes-checkpoint materialization) decides whether the
+    whole corpus fits the driver bound (see ``_DRIVER_LLOYD_MAX_ROWS``
+    above); if so the codes are collected from the cached RDD and the
+    recurrence is replayed in driver int64 numpy — bit-identical, zero
     further jobs — and the assignment returns as a literal frame.  The
     two-level path's coarse recursion passes ``False``: the probe
     already decided at the top."""
     if probe_driver and _DRIVER_LLOYD_MAX_ROWS > 0:
-        rows = codes.select(id_col, "_u").limit(_DRIVER_LLOYD_MAX_ROWS + 1).collect()
-        if len(rows) <= _DRIVER_LLOYD_MAX_ROWS:
+        # count first, collect second (r14): a limit(N+1).collect() probe
+        # runs ~4 incremental CollectLimit jobs (Spark scales the scanned
+        # partition set 1→4→20→all); count() is ONE full-parallel pass
+        # that doubles as the lazy codes-checkpoint materialization both
+        # branches want — the driver branch then collects from the cached
+        # RDD, the distributed branch's Lloyd jobs re-read it.  Same
+        # decision boundary: driver path iff valid rows ≤ the bound.
+        if codes.count() <= _DRIVER_LLOYD_MAX_ROWS:
+            rows = codes.select(id_col, "_u").collect()
             u = {r[0]: [int(x) for x in r[1]] for r in rows}
             asg_map, cents, tree = _driver_lloyd_dispatch(u, k, iters, kmax)
             if tree is None:
@@ -684,6 +715,12 @@ def _kmeans_dispatch(
             asg_df = codes.sparkSession.createDataFrame(
                 [(i, asg_map[i]) for i in sorted(asg_map)], schema
             )
+            # mark the frame driver-local: it is a driver-literal
+            # (parallelized) frame — plans as a plain ExistingRDD scan,
+            # non-empty by construction (an empty replay returns None
+            # above) — so consumers skip materialization/emptiness jobs
+            # that exist to avoid re-running a distributed Lloyd lineage
+            asg_df._sg_driver_local = True
             return asg_df, cents, tree
     if k <= kmax:
         return _kmeans_flat(codes, k, iters, id_col)
@@ -779,11 +816,10 @@ def kmeans_int8_tree(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
         )
         return empty, [], None
-    return (
-        final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster"),
-        cents,
-        tree,
-    )
+    out = final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster")
+    if getattr(final, "_sg_driver_local", False):
+        out._sg_driver_local = True  # rename/select of a literal is literal
+    return out, cents, tree
 
 
 def semantic_cell_assign(
@@ -855,12 +891,19 @@ def semantic_dedup_pairs(
         # q_dedup_ngram_jaccard's scored-pair checkpoint before the
         # components rounds).  A passed _assign is the CALLER's to
         # checkpoint — semantic_dedup does, and re-checkpointing here
-        # would materialize the same rows a second time.
+        # would materialize the same rows a second time.  A DRIVER-LOCAL
+        # assignment (the _kmeans_dispatch small-corpus replay) is
+        # already literal driver data: both self-join sides read the
+        # parallelized rows and it is non-empty by construction, so the
+        # checkpoint job AND the isEmpty probe would be two pure-waste
+        # Spark jobs (r14, guide §1.2) — skip them.
         assign = kmeans_int8(
             embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max
-        )[0].localCheckpoint(eager=True)
-        if assign.isEmpty():  # cheap on the checkpointed frame
-            _raise_if_dims_mismatch(embeddings, dims, vec_col)
+        )[0]
+        if not getattr(assign, "_sg_driver_local", False):
+            assign = assign.localCheckpoint(eager=True)
+            if assign.isEmpty():  # cheap on the checkpointed frame
+                _raise_if_dims_mismatch(embeddings, dims, vec_col)
     else:
         assign = _assign
     memb = embeddings.join(assign, id_col).select(
@@ -902,12 +945,13 @@ def semantic_dedup(
     # checkpoint HERE (not inside semantic_dedup_pairs): the assignment
     # feeds the pair self-join twice AND the final cluster join-back —
     # a local checkpoint inside the callee would rebind only its own
-    # variable and this frame would recompute the whole k-means subtree
-    assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[
-        0
-    ].localCheckpoint(eager=True)
-    if assign.isEmpty():  # see _raise_if_dims_mismatch — no-op diagnosis
-        _raise_if_dims_mismatch(embeddings, dims, vec_col)
+    # variable and this frame would recompute the whole k-means subtree.
+    # Driver-local assignments skip both jobs (see semantic_dedup_pairs).
+    assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[0]
+    if not getattr(assign, "_sg_driver_local", False):
+        assign = assign.localCheckpoint(eager=True)
+        if assign.isEmpty():  # see _raise_if_dims_mismatch — no-op diagnosis
+            _raise_if_dims_mismatch(embeddings, dims, vec_col)
     pairs = semantic_dedup_pairs(
         embeddings, k, iters, threshold, dims, id_col, vec_col, n_docs, _assign=assign
     )

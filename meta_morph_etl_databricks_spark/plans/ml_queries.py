@@ -534,11 +534,15 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the static oracle above stays bit-exact) uses 24 bits, and
     beyond that the band space grows so candidate density stays constant
     — the fix for the 100x band-saturation cliff (VERDICT r4: 2.44B
-    pairs at 500k docs with a fixed 24-bit code).  The sizing count() is
-    a metadata-scale parquet job, negligible next to the banded join.
+    pairs at 500k docs with a fixed 24-bit code).  The sizing count()
+    runs on a RAW parquet scan (r14, guide §5): counting the
+    split-adapted ``_documents`` frame pays its round-robin repartition
+    exchange for a number the footer metadata already holds — the raw
+    scan's count is a zero-column metadata-scale job, identical value.
     """
     docs = _documents(spark, sf_dir)
-    bits = D.auto_simhash_bits(docs.count(), max_hamming=_SH_MAXH, floor_band_bits=_SH_W)
+    n_docs = read_parquet_table(spark, sf_dir, "documents").count()
+    bits = D.auto_simhash_bits(n_docs, max_hamming=_SH_MAXH, floor_band_bits=_SH_W)
     return D.simhash_hamming_pairs(docs, bits=bits, max_hamming=_SH_MAXH)
 
 
@@ -1543,8 +1547,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # three fixed id-range increments (one bounded max() probe sizes
-    # the cuts; ids are monotone by construction, the policy's contract)
-    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    # the cuts; ids are monotone by construction, the policy's contract).
+    # The probe reads a RAW parquet scan (r14, guide §5): max() over the
+    # split-adapted ``docs`` frame pays its round-robin repartition
+    # exchange for one value; the raw scan aggregates the pruned doc_id
+    # column with no exchange before the partial agg — identical value.
+    hi = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .first()[0]
+        or 0
+    )
     cuts = sorted({hi // 3, (2 * hi) // 3, hi + 1})
     meta = {"num_hashes": _NUM_HASHES, "bands": _BANDS}  # dict-validated, no probe
     # The SAME materialized band pass, sliced per increment (r14, guide

@@ -424,3 +424,33 @@ def test_driver_lloyd_empty_and_corrupt_only(spark, monkeypatch):
     for df in (empty, corrupt):
         asg, cents, tree = kmeans_int8_tree(df, k=4, iters=1, dims=8)
         assert asg.count() == 0 and cents == [] and tree is None
+
+
+def test_driver_local_assign_skips_checkpoint(spark, emb, monkeypatch):
+    """r14 finding 19: a driver-replayed assignment is marked
+    driver-local and semantic_dedup_pairs skips its materialization /
+    emptiness jobs for it — the pair set must equal the distributed
+    (checkpointed) path's, and the corrupt-corpus diagnostic must
+    still ride the UNMARKED empty-frame path."""
+    import meta_morph_etl_databricks_spark.operators.semantic as sem
+
+    asg = kmeans_int8(emb, k=4, iters=2, dims=8)[0]
+    assert getattr(asg, "_sg_driver_local", False)  # marked literal
+    got = sorted(
+        map(tuple, semantic_dedup_pairs(emb, k=4, iters=2, threshold=0.8, dims=8).collect())
+    )
+    monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 0)
+    asg_x = kmeans_int8(emb, k=4, iters=2, dims=8)[0]
+    assert not getattr(asg_x, "_sg_driver_local", False)
+    want = sorted(
+        map(tuple, semantic_dedup_pairs(emb, k=4, iters=2, threshold=0.8, dims=8).collect())
+    )
+    assert got == want and got  # non-empty, path-identical
+    # corrupt-only corpus: assignment is the empty frame (never marked),
+    # so the dims-mismatch diagnostic still raises through isEmpty()
+    monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 4096)
+    wrong = spark.createDataFrame(
+        [(1, [1.0] * 5), (2, [2.0] * 5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dims"):
+        semantic_dedup_pairs(wrong, k=2, iters=1, threshold=0.8, dims=8)
