@@ -480,6 +480,7 @@ def semantic_cell_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _cells: DataFrame | None = None,
+    _codes: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic-dedup index rows: ``(id_col, cell, q_vec, q_norm)`` —
     the k-means cell from a finished run's ASSIGNER TREE
@@ -492,14 +493,18 @@ def semantic_cell_index(
 
     ``_cells`` lets a caller that already computed the assignment (the
     bootstrap, whose Lloyd run IS the assignment) hand it in as an
-    (id, cell) frame instead of re-routing through the tree."""
+    (id, cell) frame instead of re-routing through the tree.  ``_codes``
+    forwards the caller's already-materialized shifted-codes rows to the
+    tree routing (semantic.semantic_cell_assign's contract) — the q_vec
+    payload below still quantizes ``embeddings`` itself, so corrupt rows
+    keep riding the index with a NULL cell."""
     from .quantize import qnorm, quantize_int8
     from .semantic import semantic_cell_assign
 
     cells = (
         _cells
         if _cells is not None
-        else semantic_cell_assign(embeddings, tree, dims, id_col, vec_col)
+        else semantic_cell_assign(embeddings, tree, dims, id_col, vec_col, _codes)
     )
     coded = quantize_int8(embeddings, vec_col)
     return coded.join(cells, id_col, "left").select(
@@ -540,6 +545,7 @@ def incremental_semantic_near_dup(
     vec_col: str = "embedding",
     index_meta: dict | None = None,
     _new_rows: DataFrame | None = None,
+    _codes: DataFrame | None = None,
 ) -> IncrementalDedupResult:
     """SemDeDup for an increment against the persisted cell index
     (schema of :func:`semantic_cell_index`) — the third member of the
@@ -589,7 +595,9 @@ def incremental_semantic_near_dup(
     new_rows = (
         _new_rows
         if _new_rows is not None
-        else semantic_cell_index(new_embeddings, tree, dims, id_col, vec_col)
+        else semantic_cell_index(
+            new_embeddings, tree, dims, id_col, vec_col, _codes=_codes
+        )
     )
     idt = new_rows.schema[id_col].dataType.simpleString()
     n, x = new_rows.alias("n"), index.alias("x")

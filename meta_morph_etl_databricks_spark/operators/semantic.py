@@ -736,6 +736,7 @@ def kmeans_int8(
     vec_col: str = "embedding",
     n_docs: int | None = None,
     flat_k_max: int | None = None,
+    _codes: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Integer-exact Lloyd k-means over int8 codes.  Returns
     ``(assignment, centroids)`` — assignment is a lazy (id, cluster)
@@ -772,7 +773,9 @@ def kmeans_int8(
     calls for Arrow collection (``toPandas`` on the grouped frame) or
     ``toLocalIterator``; at the k this repo's dials produce it is
     driver-trivial."""
-    return kmeans_int8_tree(embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max)[:2]
+    return kmeans_int8_tree(
+        embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max, _codes
+    )[:2]
 
 
 def kmeans_int8_tree(
@@ -784,6 +787,7 @@ def kmeans_int8_tree(
     vec_col: str = "embedding",
     n_docs: int | None = None,
     flat_k_max: int | None = None,
+    _codes: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]], AssignerTree | None]:
     """:func:`kmeans_int8` plus the ASSIGNER TREE — the persistable
     routing structure (see module comment above :func:`assign_cells`)
@@ -791,7 +795,15 @@ def kmeans_int8_tree(
     replaying Lloyd.  The semantic index kind
     (operators/index_store.create_semantic_index) serializes it into
     the metadata sidecar; increments assign through it in O(d·64·depth)
-    per vector."""
+    per vector.
+
+    ``_codes``: a caller that already holds THIS corpus's
+    :func:`_shifted_codes` rows — e.g. a slice of one materialized
+    full-corpus pass (the ``_banded`` device of the band family) — hands
+    them in and skips the internal chain+checkpoint; the frame must be
+    exactly ``_shifted_codes(embeddings, dims, id_col, vec_col)`` and
+    already materialized/checkpointed (it is consumed by multiple Lloyd
+    jobs)."""
     if k is None:
         k = auto_k(embeddings.count() if n_docs is None else n_docs)
     # Materialize the codes ONCE (lazy local checkpoint — first job pays
@@ -805,8 +817,12 @@ def kmeans_int8_tree(
     # driver-free.  Same fix applied at semantic_cell_assign (increment
     # routing: 12.5 s → 1.4 s per 4k-vector serve pass) and
     # recluster_semantic_index.
-    codes = _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
-        eager=False
+    codes = (
+        _codes
+        if _codes is not None
+        else _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
     )
     final, cents, tree = _kmeans_dispatch(
         codes, k, iters, id_col, _FLAT_K_MAX if flat_k_max is None else flat_k_max
@@ -828,17 +844,25 @@ def semantic_cell_assign(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _codes: DataFrame | None = None,
 ) -> DataFrame:
     """Assign NEW embeddings to a persisted run's cells through its
     assigner tree → (id, ``cell``).  Valid rows only — corrupt vectors
     (NULL / wrong-length / NULL-element / non-finite) are excluded
     exactly as :func:`_shifted_codes` excluded them from the original
-    clustering: they belong to no cell and can never pair."""
+    clustering: they belong to no cell and can never pair.
+
+    ``_codes``: same contract as :func:`kmeans_int8_tree` — the caller's
+    already-materialized ``_shifted_codes`` rows for THIS corpus."""
     # lazy checkpoint: the assigner explode would otherwise re-evaluate
     # the quantize chain per exploded element (see kmeans_int8_tree —
     # measured 12.5 s → 1.4 s per 4k-vector routing pass at k1=26)
-    codes = _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
-        eager=False
+    codes = (
+        _codes
+        if _codes is not None
+        else _shifted_codes(embeddings, dims, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
     )
     return assign_cells(codes, tree, id_col).withColumnRenamed("_cl", "cell")
 
@@ -878,11 +902,13 @@ def semantic_dedup_pairs(
     n_docs: int | None = None,
     _assign: DataFrame | None = None,
     flat_k_max: int | None = None,
+    _codes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs WITHIN k-means cells: (id_a < id_b,
     cosine_sim ≥ threshold), cosine on the ORIGINAL double vectors
     rounded to 6dp — the same scorer as lsh_bucketed_pairs, so the two
-    families differ only in how they partition the corpus."""
+    families differ only in how they partition the corpus.  ``_codes``
+    forwards to :func:`kmeans_int8` (same contract)."""
     if _assign is None:
         # the assignment subtree (explode + broadcast join + k-way agg)
         # would otherwise be COMPUTED TWICE by the pair self-join below —
@@ -898,7 +924,7 @@ def semantic_dedup_pairs(
         # checkpoint job AND the isEmpty probe would be two pure-waste
         # Spark jobs (r14, guide §1.2) — skip them.
         assign = kmeans_int8(
-            embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max
+            embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max, _codes
         )[0]
         if not getattr(assign, "_sg_driver_local", False):
             assign = assign.localCheckpoint(eager=True)

@@ -1102,9 +1102,23 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_semantic_near_dup,
         semantic_cell_index,
     )
-    from ..operators.semantic import kmeans_int8_tree, semantic_dedup_pairs
+    from ..operators.semantic import (
+        _shifted_codes,
+        kmeans_int8_tree,
+        semantic_dedup_pairs,
+    )
 
     emb = _embeddings(spark, sf_dir)
+    # ONE shifted-codes pass for the whole slot (r14, guide §2.4 — the
+    # `_banded` device applied to the int8 code chain): quantize+shift is
+    # a pure per-row map, so every arm's codes frame is an id-slice of
+    # one materialized full-corpus pass.  Before, the slot built the
+    # chain 4× (boot Lloyd, sem2 Lloyd, inc1 and inc2 tree routing) —
+    # 4 plan-compiles + 4 checkpoint materializations whose slices sum
+    # to ~1.3 corpus passes.
+    codes_all = _shifted_codes(emb, _DIMS, "vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
     lsh = lsh_bucketed_pairs(
         emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T
     ).select(F.lit("lsh").alias("variant"), "id_a", "id_b", "cosine_sim")
@@ -1114,13 +1128,20 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_SEM_ITERS,
         threshold=_NEAR_DUP_T,
         flat_k_max=_SEM2_KMAX,
+        _codes=codes_all.where(F.col("vec_id") % _SEM2_MOD == 0),
     ).select(F.lit("semantic2").alias("variant"), "id_a", "id_b", "cosine_sim")
     # incremental-serve arm: bootstrap Lloyd on the prefix, two real
     # increments against the growing in-plan index, emit accepted ids
     boot = emb.filter(F.col("vec_id") < _SEMI_B0)
     inc1 = emb.filter((F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1))
     inc2 = emb.filter(F.col("vec_id") >= _SEMI_C1)
-    asg, _, tree = kmeans_int8_tree(boot, k=_SEMI_K, iters=_SEM_ITERS, dims=_DIMS)
+    asg, _, tree = kmeans_int8_tree(
+        boot,
+        k=_SEMI_K,
+        iters=_SEM_ITERS,
+        dims=_DIMS,
+        _codes=codes_all.where(F.col("vec_id") < _SEMI_B0),
+    )
     if tree is None:  # drained corpus — everything (nothing) accepted
         acc_ids = emb.select("vec_id")
         retr_ids = emb.select("vec_id").where(F.col("vec_id") >= _SEMI_C1)
@@ -1138,14 +1159,25 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at sf0.1.  This also mirrors the production serve shape: the
         # index an increment reads IS a materialized artifact
         # (index_store's parquet), never a recomputed lineage.
-        r1 = incremental_semantic_near_dup(inc1, idx, tree, threshold=_SEMI_T, dims=_DIMS)
+        r1 = incremental_semantic_near_dup(
+            inc1,
+            idx,
+            tree,
+            threshold=_SEMI_T,
+            dims=_DIMS,
+            _codes=codes_all.where(
+                (F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1)
+            ),
+        )
         grown = idx.unionByName(r1.index_rows).localCheckpoint(eager=False)
         # inc2's cell-index rows are a pure function of (inc2, tree,
         # dims) — build them ONCE and hand them to BOTH the sem_inc and
         # retract serves (r14, guide §1.2 driver work: each
         # semantic_cell_index construction is a quantize+assign+
         # localCheckpoint chain, ~0.4 s of driver plan assembly).
-        inc2_rows = semantic_cell_index(inc2, tree, _DIMS).localCheckpoint(eager=False)
+        inc2_rows = semantic_cell_index(
+            inc2, tree, _DIMS, _codes=codes_all.where(F.col("vec_id") >= _SEMI_C1)
+        ).localCheckpoint(eager=False)
         r2 = incremental_semantic_near_dup(
             inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS, _new_rows=inc2_rows
         )

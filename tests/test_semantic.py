@@ -454,3 +454,38 @@ def test_driver_local_assign_skips_checkpoint(spark, emb, monkeypatch):
     )
     with pytest.raises(ValueError, match="dims"):
         semantic_dedup_pairs(wrong, k=2, iters=1, threshold=0.8, dims=8)
+
+
+def test_codes_slice_matches_self_computed(spark, emb):
+    """r14 finding 20: handing kmeans/semantic_cell_index an id-slice of
+    ONE materialized full-corpus _shifted_codes pass must be
+    bit-identical to each consumer building its own chain — quantize+
+    shift is a pure per-row map, so slicing commutes with it."""
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        semantic_cell_index,
+    )
+    from meta_morph_etl_databricks_spark.operators.semantic import (
+        _shifted_codes,
+        kmeans_int8_tree,
+        tree_to_json,
+    )
+
+    codes_all = _shifted_codes(emb, 8, "vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
+    half = F.col("vec_id") % 2 == 0
+    asg_s, cents_s, tree_s = kmeans_int8_tree(
+        emb.filter(half), k=4, iters=2, dims=8, _codes=codes_all.where(half)
+    )
+    asg_o, cents_o, tree_o = kmeans_int8_tree(emb.filter(half), k=4, iters=2, dims=8)
+    assert sorted(map(tuple, asg_s.collect())) == sorted(map(tuple, asg_o.collect()))
+    assert cents_s == cents_o and tree_to_json(tree_s) == tree_to_json(tree_o)
+    rows_s = semantic_cell_index(
+        emb.filter(~half), tree_s, 8, _codes=codes_all.where(~half)
+    )
+    rows_o = semantic_cell_index(emb.filter(~half), tree_o, 8)
+    assert sorted(map(tuple, rows_s.collect())) == sorted(map(tuple, rows_o.collect()))
+    # corrupt rows still ride the sliced index with NULL cell (the q_vec
+    # payload quantizes the embeddings themselves, not the codes slice)
+    corrupt_ids = {r[0] for r in rows_s.where(F.col("cell").isNull()).collect()}
+    assert corrupt_ids  # the emb fixture plants corrupt rows
