@@ -761,6 +761,14 @@ def main() -> None:
         "variants": variants,
         "scale10": scale10,
         "sf": sf,
+        # the run's ACTUAL parallelism (r14 verdict item 2): the driver's
+        # low-core scaling probe could not tell an honored
+        # $SPARK_GRAFT_CPUS dial from an ignored one because the payload
+        # never echoed it — sf0.1 queries are fixed-cost-bound, so 8-core
+        # and 32-core runs time alike.  cpus = defaultParallelism (what
+        # session.py derived from the env), master = the resolved string.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "regressions": regressions,
         # which record the gate actually compared against (0/none =
         # vacuous run — visible, not silent, r11 verdict task 1)

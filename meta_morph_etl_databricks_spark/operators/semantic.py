@@ -518,32 +518,65 @@ import os as _os
 _DRIVER_LLOYD_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DRIVER_LLOYD_ROWS", "4096"))
 
 
+def _mark_driver_local(df: DataFrame) -> DataFrame:
+    """Mark a DataFrame as a driver-literal (parallelized) frame — plans
+    as a plain ExistingRDD scan, non-empty by construction — so
+    consumers skip the materialization/emptiness jobs that exist to
+    avoid re-running a distributed Lloyd lineage.  The flag is an
+    out-of-band Python attribute: any TRANSFORMATION silently drops it
+    (safe direction — the consumer just falls back to checkpointing),
+    so producers that rename/select a marked frame must re-mark through
+    this helper (r14 advice: one mark/probe pair instead of scattered
+    attribute pokes, so the two sides can't drift)."""
+    df._sg_driver_local = True
+    return df
+
+
+def _is_driver_local(df: DataFrame) -> bool:
+    """True iff ``df`` was marked by :func:`_mark_driver_local` (and not
+    transformed since — transformations return NEW objects without the
+    attribute, which is the safe fallback direction)."""
+    return bool(getattr(df, "_sg_driver_local", False))
+
+
+def _surrogate_argmin(U, cents: list[tuple[int, list[int]]]):
+    """int64-numpy argmin of the surrogate ``‖m‖² − 2·scale·⟨u,m⟩`` over
+    a PREBUILT code matrix ``U`` (one row per vector) → array of winning
+    cluster ids.  The shared kernel of the driver replay paths (r14
+    advice: the per-iteration ids/U rebuild inside the Lloyd loop was
+    redundant conversion work — callers now build U once).  Exactness:
+    u ∈ [0,254], m ∈ [0, 254·_SCALE], so ``‖m‖² ≤ 64·(254·1024)² ≈
+    4.3e12`` and ``2·_SCALE·⟨u,m⟩ ≤ 8.7e12`` — far inside int64; integer
+    matmul is exact.  Ties: centroids are sorted by cid first, so
+    argmin's first-minimum IS the smallest cid (lexicographic
+    (surrogate, cid) min, independent of the caller's cent order)."""
+    import numpy as np
+
+    by_cid = sorted(cents, key=lambda c: c[0])
+    cids = np.asarray([cid for cid, _ in by_cid], dtype=np.int64)
+    M = np.asarray([mv for _, mv in by_cid], dtype=np.int64)
+    surr = (M * M).sum(axis=1)[None, :] - 2 * _SCALE * (U @ M.T)
+    return cids[surr.argmin(axis=1)]
+
+
 def _driver_assign_flat(
     u: dict[int, list[int]], cents: list[tuple[int, list[int]]]
 ) -> dict[int, int]:
     """Driver replay of :func:`_assign_int`: surrogate argmin
-    ``‖m‖² − 2·scale·⟨u,m⟩``, ties to the smallest cid.
+    ``‖m‖² − 2·scale·⟨u,m⟩``, ties to the smallest cid (see
+    :func:`_surrogate_argmin` for the exactness/tie-break argument).
 
     Vectorized in int64 numpy (r14): the interpreted loops were ~1.3M
     function calls / ~115 ms per q_embed_near_dup_lsh build (scaling
-    n·k·d toward the 4096-row driver bound).  Exactness: u ∈
-    [0,254], m ∈ [0, 254·_SCALE], so ``‖m‖² ≤ 64·(254·1024)² ≈ 4.3e12``
-    and ``2·_SCALE·⟨u,m⟩ ≤ 8.7e12`` — far inside int64; integer matmul
-    is exact.  Ties: centroids are sorted by cid first, so argmin's
-    first-minimum IS the smallest cid (lexicographic (surrogate, cid)
-    min, independent of the caller's cent order)."""
+    n·k·d toward the 4096-row driver bound)."""
     import numpy as np
 
     if not u:
         return {}
     ids = list(u)
-    by_cid = sorted(cents, key=lambda c: c[0])
-    cids = [cid for cid, _ in by_cid]
-    M = np.asarray([mv for _, mv in by_cid], dtype=np.int64)
     U = np.asarray([u[i] for i in ids], dtype=np.int64)
-    surr = (M * M).sum(axis=1)[None, :] - 2 * _SCALE * (U @ M.T)
-    best = surr.argmin(axis=1)
-    return {i: int(cids[b]) for i, b in zip(ids, best)}
+    best = _surrogate_argmin(U, cents)
+    return {i: int(c) for i, c in zip(ids, best)}
 
 
 def _driver_lloyd_flat(
@@ -551,22 +584,25 @@ def _driver_lloyd_flat(
 ) -> tuple[dict[int, int], list[tuple[int, list[int]]], AssignerTree | None]:
     """Driver replay of :func:`_kmeans_flat` — same seeds, argmin,
     floor-div update (codes are nonnegative, so ``//`` == SQL ``div``),
-    empty-cluster drop, final assignment."""
+    empty-cluster drop, final assignment.  ids/U are built ONCE and
+    every pass runs the array kernel directly (r14 advice — the
+    dict-based wrapper rebuilt them per iteration)."""
     import numpy as np
 
+    if not u:
+        return {}, [], None
     seeds = sorted(u)[:k]
     cents = [(cid, [_SCALE * x for x in u[seeds[cid]]]) for cid in range(len(seeds))]
     ids = list(u)
-    U = np.asarray([u[i] for i in ids], dtype=np.int64) if u else None
+    U = np.asarray([u[i] for i in ids], dtype=np.int64)
     for _ in range(iters):
         if not cents:
             break
-        asg = _driver_assign_flat(u, cents)
         # vectorized grouped update — same floor-div recurrence: the
         # per-cluster integer sums are order-independent, occupied
         # labels ascend exactly like sorted(by_cl), and numpy ``//`` on
         # nonnegative int64 IS Python floor division
-        labels = np.asarray([asg[i] for i in ids], dtype=np.int64)
+        labels = _surrogate_argmin(U, cents)
         occ = np.unique(labels)
         idx = np.searchsorted(occ, labels)
         sums = np.zeros((len(occ), U.shape[1]), dtype=np.int64)
@@ -578,7 +614,8 @@ def _driver_lloyd_flat(
         ]
     if not cents:
         return {}, [], None
-    return _driver_assign_flat(u, cents), cents, ("flat", cents)
+    best = _surrogate_argmin(U, cents)
+    return {i: int(c) for i, c in zip(ids, best)}, cents, ("flat", cents)
 
 
 def _driver_grouped_assign(
@@ -615,6 +652,29 @@ def _driver_grouped_assign(
         for i, b in zip(ids, best):
             out[i] = (c1, int(cids[b]))
     return out
+
+
+def _driver_assign_tree(
+    u: dict[int, list[int]], tree: AssignerTree
+) -> dict[int, int]:
+    """Driver replay of :func:`assign_cells`: route pre-shifted codes
+    through an assigner tree → {id: cell}, bit-identical to the
+    distributed routing (pinned by test_driver_assign_tree_matches_
+    distributed).  Flat nodes replay :func:`_assign_int` via
+    :func:`_driver_assign_flat`; "two" nodes route the coarse tree and
+    replay :func:`_grouped_assign` — a row whose coarse cell is absent
+    from ``cents2`` DROPS, matching the distributed inner join on
+    ``_c1``.  For the tree a Lloyd run returns this reproduces that
+    run's FINAL assignment (the run's last pass IS this routing), same
+    contract as the distributed form."""
+    kind = tree[0]
+    if kind == "flat":
+        return _driver_assign_flat(u, tree[1])
+    _, coarse_tree, k2, cents2 = tree
+    casg = _driver_assign_tree(u, coarse_tree)
+    u2 = {i: uv for i, uv in u.items() if i in casg}
+    fin = _driver_grouped_assign(u2, casg, cents2)
+    return {i: c1 * k2 + cl2 for i, (c1, cl2) in fin.items()}
 
 
 def _driver_lloyd_two_level(
@@ -715,13 +775,9 @@ def _kmeans_dispatch(
             asg_df = codes.sparkSession.createDataFrame(
                 [(i, asg_map[i]) for i in sorted(asg_map)], schema
             )
-            # mark the frame driver-local: it is a driver-literal
-            # (parallelized) frame — plans as a plain ExistingRDD scan,
-            # non-empty by construction (an empty replay returns None
-            # above) — so consumers skip materialization/emptiness jobs
-            # that exist to avoid re-running a distributed Lloyd lineage
-            asg_df._sg_driver_local = True
-            return asg_df, cents, tree
+            # driver-local mark (see _mark_driver_local): non-empty by
+            # construction — an empty replay returns None above
+            return _mark_driver_local(asg_df), cents, tree
     if k <= kmax:
         return _kmeans_flat(codes, k, iters, id_col)
     return _kmeans_two_level(codes, k, iters, id_col, kmax)
@@ -833,8 +889,8 @@ def kmeans_int8_tree(
         )
         return empty, [], None
     out = final.withColumnRenamed("_cl", "cluster").select(id_col, "cluster")
-    if getattr(final, "_sg_driver_local", False):
-        out._sg_driver_local = True  # rename/select of a literal is literal
+    if _is_driver_local(final):
+        _mark_driver_local(out)  # rename/select of a literal is literal
     return out, cents, tree
 
 
@@ -926,7 +982,7 @@ def semantic_dedup_pairs(
         assign = kmeans_int8(
             embeddings, k, iters, dims, id_col, vec_col, n_docs, flat_k_max, _codes
         )[0]
-        if not getattr(assign, "_sg_driver_local", False):
+        if not _is_driver_local(assign):
             assign = assign.localCheckpoint(eager=True)
             if assign.isEmpty():  # cheap on the checkpointed frame
                 _raise_if_dims_mismatch(embeddings, dims, vec_col)
@@ -974,7 +1030,7 @@ def semantic_dedup(
     # variable and this frame would recompute the whole k-means subtree.
     # Driver-local assignments skip both jobs (see semantic_dedup_pairs).
     assign = kmeans_int8(embeddings, k, iters, dims, id_col, vec_col, n_docs)[0]
-    if not getattr(assign, "_sg_driver_local", False):
+    if not _is_driver_local(assign):
         assign = assign.localCheckpoint(eager=True)
         if assign.isEmpty():  # see _raise_if_dims_mismatch — no-op diagnosis
             _raise_if_dims_mismatch(embeddings, dims, vec_col)

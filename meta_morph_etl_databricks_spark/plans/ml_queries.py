@@ -1009,6 +1009,21 @@ def _sem_inc_ctes(k: int, iters: int, dims: int, b0: int, t: float, scale: int =
     return ",\n".join(ctes)
 
 
+def _literal_cells_schema(codes: DataFrame, val_name: str):
+    """Schema for a driver-literal (vec_id, cell/cluster) frame — the id
+    type mirrors the codes frame's (the same rule _kmeans_dispatch uses
+    for its literal assignment), the value is int like the distributed
+    assignment's ``_cl``."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("vec_id", codes.schema["vec_id"].dataType),
+            StructField(val_name, IntegerType()),
+        ]
+    )
+
+
 @register(
     "q_embed_near_dup_lsh",
     f"""
@@ -1098,10 +1113,12 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       mechanics — generation swap, seen purge, sidecar atomicity,
       crash windows — are pytest-gated in test_index_lifecycle.py and
       test_tombstones.py)."""
+    from ..operators import semantic as S
     from ..operators.incremental import (
         incremental_semantic_near_dup,
         semantic_cell_index,
     )
+    from ..operators.quantize import qnorm, quantize_int8
     from ..operators.semantic import (
         _shifted_codes,
         kmeans_int8_tree,
@@ -1109,6 +1126,14 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _embeddings(spark, sf_dir)
+    # each (embeddings, codes/u) pair derives from ONE predicate (r14
+    # advice): the Column predicates slice the frames, the lambdas slice
+    # the driver-collected codes dict — same boundaries by construction.
+    p_sem2, u_sem2 = F.col("vec_id") % _SEM2_MOD == 0, lambda i: i % _SEM2_MOD == 0
+    p_boot, u_boot = F.col("vec_id") < _SEMI_B0, lambda i: i < _SEMI_B0
+    p_inc1 = (F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1)
+    u_inc1 = lambda i: _SEMI_B0 <= i < _SEMI_C1  # noqa: E731
+    p_inc2, p_hist = F.col("vec_id") >= _SEMI_C1, F.col("vec_id") < _SEMI_C1
     # ONE shifted-codes pass for the whole slot (r14, guide §2.4 — the
     # `_banded` device applied to the int8 code chain): quantize+shift is
     # a pure per-row map, so every arm's codes frame is an id-slice of
@@ -1122,62 +1147,149 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucketed_pairs(
         emb, n_planes=_N_PLANES, dims=_DIMS, threshold=_NEAR_DUP_T
     ).select(F.lit("lsh").alias("variant"), "id_a", "id_b", "cosine_sim")
-    sem2 = semantic_dedup_pairs(
-        emb.filter(F.col("vec_id") % _SEM2_MOD == 0),
-        k=_SEM2_K,
-        iters=_SEM_ITERS,
-        threshold=_NEAR_DUP_T,
-        flat_k_max=_SEM2_KMAX,
-        _codes=codes_all.where(F.col("vec_id") % _SEM2_MOD == 0),
-    ).select(F.lit("semantic2").alias("variant"), "id_a", "id_b", "cosine_sim")
+    # ONE driver probe for the whole slot (r15, guide §1.2/§5 — the
+    # final step of the r14 driver-Lloyd restructure): when the FULL
+    # corpus codes fit the driver bound (the same ~2 MB
+    # SPARK_GRAFT_DRIVER_LLOYD_ROWS dial the per-arm dispatch uses),
+    # collect them ONCE and run both Lloyd replays plus ALL cell
+    # routing (boot / inc1 / inc2 through the bootstrap tree) in driver
+    # int64 numpy — bit-identical by the pinned kernel tests.  Every
+    # arm's index rows then become id-slices of ONE materialized
+    # full-corpus (id, cell, q_vec, q_norm) pass, so the build
+    # collapses from five AQE-materializing checkpoints (boot index +
+    # grown union + inc2 rows, each with its own assign shuffle) to
+    # exactly two materialization points: the codes pass and the
+    # index-rows pass (whose only exchange is the scan repartition — the
+    # cells side rides a broadcast literal).  Corpora past the bound
+    # run the r14 structure below unchanged (its per-arm dispatch still
+    # drives the 200-row bootstrap Lloyd driver-side at ANY corpus
+    # size; only the full-corpus routing stays distributed).
+    u_all = None
+    if S._DRIVER_LLOYD_MAX_ROWS > 0 and codes_all.count() <= S._DRIVER_LLOYD_MAX_ROWS:
+        u_all = {r[0]: [int(x) for x in r[1]] for r in codes_all.collect()}
+    if u_all is not None and any(map(u_sem2, u_all)):
+        sem2_map, _, _ = S._driver_lloyd_dispatch(
+            {i: v for i, v in u_all.items() if u_sem2(i)},
+            _SEM2_K,
+            _SEM_ITERS,
+            _SEM2_KMAX,
+        )
+        sem2_assign = S._mark_driver_local(
+            spark.createDataFrame(
+                [(i, sem2_map[i]) for i in sorted(sem2_map)],
+                _literal_cells_schema(codes_all, "cluster"),
+            )
+        )
+        sem2 = semantic_dedup_pairs(
+            emb.filter(p_sem2), threshold=_NEAR_DUP_T, _assign=sem2_assign
+        )
+    else:
+        # empty/corrupt slice falls back so the dims-mismatch diagnostic
+        # and the drained-corpus shape stay exactly the r14 path's
+        sem2 = semantic_dedup_pairs(
+            emb.filter(p_sem2),
+            k=_SEM2_K,
+            iters=_SEM_ITERS,
+            threshold=_NEAR_DUP_T,
+            flat_k_max=_SEM2_KMAX,
+            _codes=codes_all.where(p_sem2),
+        )
+    sem2 = sem2.select(F.lit("semantic2").alias("variant"), "id_a", "id_b", "cosine_sim")
     # incremental-serve arm: bootstrap Lloyd on the prefix, two real
     # increments against the growing in-plan index, emit accepted ids
-    boot = emb.filter(F.col("vec_id") < _SEMI_B0)
-    inc1 = emb.filter((F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1))
-    inc2 = emb.filter(F.col("vec_id") >= _SEMI_C1)
-    asg, _, tree = kmeans_int8_tree(
-        boot,
-        k=_SEMI_K,
-        iters=_SEM_ITERS,
-        dims=_DIMS,
-        _codes=codes_all.where(F.col("vec_id") < _SEMI_B0),
-    )
+    boot = emb.filter(p_boot)
+    inc1 = emb.filter(p_inc1)
+    inc2 = emb.filter(p_inc2)
+    if u_all is not None:
+        asg = None  # driver path: idx is a slice of full_rows below
+        _, _, tree = S._driver_lloyd_dispatch(
+            {i: v for i, v in u_all.items() if u_boot(i)},
+            _SEMI_K,
+            _SEM_ITERS,
+            S._FLAT_K_MAX,
+        )
+    else:
+        asg, _, tree = kmeans_int8_tree(
+            boot,
+            k=_SEMI_K,
+            iters=_SEM_ITERS,
+            dims=_DIMS,
+            _codes=codes_all.where(p_boot),
+        )
     if tree is None:  # drained corpus — everything (nothing) accepted
         acc_ids = emb.select("vec_id")
-        retr_ids = emb.select("vec_id").where(F.col("vec_id") >= _SEMI_C1)
+        retr_ids = emb.select("vec_id").where(p_inc2)
     else:
-        idx = semantic_cell_index(
-            boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
-        )
-        # grown + inc2_rows are LAZILY checkpointed (r14 re-A/B): the
-        # r10 measurement that rejected materialization (15.2 vs 15.7 s,
-        # inside wobble) predates the Arrow pair scorer and the driver
-        # Lloyd — with per-pair scoring now cheap, the recomputed
-        # routing subtrees (grown appears in r2 AND r2r; inc2's rows in
-        # all four serve joins) are the remaining term, and the same
-        # whole-union A/B now reads 3.56 s raw vs 3.21 s checkpointed
-        # at sf0.1.  This also mirrors the production serve shape: the
-        # index an increment reads IS a materialized artifact
-        # (index_store's parquet), never a recomputed lineage.
-        r1 = incremental_semantic_near_dup(
-            inc1,
-            idx,
-            tree,
-            threshold=_SEMI_T,
-            dims=_DIMS,
-            _codes=codes_all.where(
-                (F.col("vec_id") >= _SEMI_B0) & (F.col("vec_id") < _SEMI_C1)
-            ),
-        )
-        grown = idx.unionByName(r1.index_rows).localCheckpoint(eager=False)
-        # inc2's cell-index rows are a pure function of (inc2, tree,
-        # dims) — build them ONCE and hand them to BOTH the sem_inc and
-        # retract serves (r14, guide §1.2 driver work: each
-        # semantic_cell_index construction is a quantize+assign+
-        # localCheckpoint chain, ~0.4 s of driver plan assembly).
-        inc2_rows = semantic_cell_index(
-            inc2, tree, _DIMS, _codes=codes_all.where(F.col("vec_id") >= _SEMI_C1)
-        ).localCheckpoint(eager=False)
+        if u_all is not None:
+            # ONE full-corpus index-rows pass, sliced per arm.  Routing
+            # the whole corpus through the bootstrap tree driver-side
+            # reproduces each arm's frame bit-identically: the boot
+            # slice IS the Lloyd's final assignment (the run's last
+            # pass is this routing — assign_cells' pinned contract) and
+            # the inc slices equal semantic_cell_assign's distributed
+            # routing (slicing commutes with a per-row map; pinned by
+            # test_driver_assign_tree_matches_distributed and
+            # test_full_corpus_rows_slices_match_per_arm).  Corrupt
+            # rows keep riding with a NULL cell via the left join —
+            # the semantic_cell_index contract, unchanged.
+            cells_df = spark.createDataFrame(
+                sorted(S._driver_assign_tree(u_all, tree).items()),
+                _literal_cells_schema(codes_all, "cell"),
+            )
+            full_rows = (
+                quantize_int8(emb, "embedding")
+                .join(F.broadcast(cells_df), "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.col("cell").cast("int").alias("cell"),
+                    "q_vec",
+                    qnorm("q_vec").alias("q_norm"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            idx = full_rows.where(p_boot)
+            r1 = incremental_semantic_near_dup(
+                inc1,
+                idx,
+                tree,
+                threshold=_SEMI_T,
+                dims=_DIMS,
+                _new_rows=full_rows.where(p_inc1),
+            )
+            grown = full_rows.where(p_hist)  # = idx ∪ r1.index_rows
+            inc2_rows = full_rows.where(p_inc2)
+        else:
+            idx = semantic_cell_index(
+                boot, tree, _DIMS, _cells=asg.withColumnRenamed("cluster", "cell")
+            )
+            # grown + inc2_rows are LAZILY checkpointed (r14 re-A/B):
+            # the r10 measurement that rejected materialization (15.2
+            # vs 15.7 s, inside wobble) predates the Arrow pair scorer
+            # and the driver Lloyd — with per-pair scoring now cheap,
+            # the recomputed routing subtrees (grown appears in r2 AND
+            # r2r; inc2's rows in all four serve joins) are the
+            # remaining term, and the same whole-union A/B now reads
+            # 3.56 s raw vs 3.21 s checkpointed at sf0.1.  This also
+            # mirrors the production serve shape: the index an
+            # increment reads IS a materialized artifact (index_store's
+            # parquet), never a recomputed lineage.
+            r1 = incremental_semantic_near_dup(
+                inc1,
+                idx,
+                tree,
+                threshold=_SEMI_T,
+                dims=_DIMS,
+                _codes=codes_all.where(p_inc1),
+            )
+            grown = idx.unionByName(r1.index_rows).localCheckpoint(eager=False)
+            # inc2's cell-index rows are a pure function of (inc2, tree,
+            # dims) — build them ONCE and hand them to BOTH the sem_inc
+            # and retract serves (r14, guide §1.2 driver work: each
+            # semantic_cell_index construction is a quantize+assign+
+            # localCheckpoint chain, ~0.4 s of driver plan assembly).
+            inc2_rows = semantic_cell_index(
+                inc2, tree, _DIMS, _codes=codes_all.where(p_inc2)
+            ).localCheckpoint(eager=False)
         r2 = incremental_semantic_near_dup(
             inc2, grown, tree, threshold=_SEMI_T, dims=_DIMS, _new_rows=inc2_rows
         )

@@ -1,0 +1,146 @@
+"""Round-15 optimization equivalence pins.
+
+Every restructure in the second optimization round must compute the
+exact same rows as the path it replaces; these tests pin the new
+driver-side kernels and the slot-level one-collect fast path against
+the distributed originals (the same discipline as r14's
+test_driver_lloyd_matches_distributed family).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import meta_morph_etl_databricks_spark.operators.semantic as sem
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """40 vectors in 8 dims: two planted tight clusters + scatter +
+    three corrupt rows (NULL / NaN / wrong length) — the corrupt class
+    must ride every index-rows frame with a NULL cell."""
+    rng = random.Random(23)
+    a = [5.0, 5.0, 5.0, 5.0, -5.0, -5.0, -5.0, -5.0]
+    b = [-5.0, 5.0, -5.0, 5.0, 5.0, -5.0, 5.0, -5.0]
+    rows = []
+    for i in range(40):
+        if i == 11:
+            v = None
+        elif i == 17:
+            v = [float("nan")] * 8
+        elif i == 29:
+            v = [1.0] * 11
+        elif i % 3 == 0:
+            v = [x + rng.uniform(-0.2, 0.2) for x in a]
+        elif i % 3 == 1:
+            v = [x + rng.uniform(-0.2, 0.2) for x in b]
+        else:
+            v = [rng.uniform(-5, 5) for _ in range(8)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _collect_u(codes) -> dict[int, list[int]]:
+    return {r[0]: [int(x) for x in r[1]] for r in codes.collect()}
+
+
+def test_driver_assign_tree_matches_distributed(spark, emb):
+    """_driver_assign_tree must reproduce assign_cells bit-identically on
+    flat AND two-level trees — including the drop semantics for a row
+    whose coarse cell has no cents2 entry (the distributed inner join)."""
+    codes = sem._shifted_codes(emb, 8, "vec_id", "embedding").localCheckpoint()
+    u = _collect_u(codes)
+    for kwargs in ({"k": 4, "iters": 2}, {"k": 7, "iters": 2, "flat_k_max": 3}):
+        _, _, tree = sem.kmeans_int8_tree(emb, dims=8, **kwargs)
+        want = {
+            r[0]: r[1] for r in sem.assign_cells(codes, tree, "vec_id").collect()
+        }
+        got = sem._driver_assign_tree(u, tree)
+        assert got == want and got
+    # drop semantics: strip one occupied coarse cell's fine centroids
+    # from a two-level tree — both paths must drop exactly those rows
+    _, _, tree = sem.kmeans_int8_tree(emb, k=7, iters=2, dims=8, flat_k_max=3)
+    kind, coarse, k2, cents2 = tree
+    assert kind == "two" and len(cents2) > 1
+    pruned = dict(cents2)
+    victim = sorted(pruned)[0]
+    del pruned[victim]
+    tree_pruned = ("two", coarse, k2, pruned)
+    want = {
+        r[0]: r[1] for r in sem.assign_cells(codes, tree_pruned, "vec_id").collect()
+    }
+    got = sem._driver_assign_tree(u, tree_pruned)
+    assert got == want
+    assert len(got) < len(u)  # the victim cell's rows actually dropped
+
+
+def test_full_corpus_rows_slices_match_per_arm(spark, emb):
+    """The q_embed one-collect path builds ONE (id, cell, q_vec, q_norm)
+    pass and slices it per arm; each slice must equal the
+    semantic_cell_index frame the r14 path built for that arm — boot
+    slice included (tree routing reproduces the Lloyd's final
+    assignment), corrupt rows included (NULL cell via the left join)."""
+    from meta_morph_etl_databricks_spark.operators.incremental import (
+        semantic_cell_index,
+    )
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        qnorm,
+        quantize_int8,
+    )
+    from meta_morph_etl_databricks_spark.plans.ml_queries import (
+        _literal_cells_schema,
+    )
+
+    codes = sem._shifted_codes(emb, 8, "vec_id", "embedding").localCheckpoint()
+    u = _collect_u(codes)
+    boot_p = F.col("vec_id") < 20
+    _, _, tree = sem.kmeans_int8_tree(
+        emb.filter(boot_p), k=4, iters=2, dims=8, _codes=codes.where(boot_p)
+    )
+    cells_df = spark.createDataFrame(
+        sorted(sem._driver_assign_tree(u, tree).items()),
+        _literal_cells_schema(codes, "cell"),
+    )
+    full_rows = (
+        quantize_int8(emb, "embedding")
+        .join(F.broadcast(cells_df), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "q_vec",
+            qnorm("q_vec").alias("q_norm"),
+        )
+    )
+
+    def key(rows):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["q_vec"] or []), r["q_norm"])
+            for r in rows
+        )
+
+    for lo, hi in ((0, 20), (20, 30), (30, 1 << 40)):
+        arm_p = (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        want = semantic_cell_index(emb.filter(arm_p), tree, 8).collect()
+        got = full_rows.where(arm_p).collect()
+        assert key(got) == key(want) and got
+    # the corrupt rows ride with NULL cells, exactly like the r14 frames
+    nulls = {r["vec_id"] for r in full_rows.where("cell IS NULL").collect()}
+    assert nulls == {11, 17, 29}
+
+
+def test_q_embed_one_collect_path_matches_distributed(spark, monkeypatch):
+    """Slot-level pin for the r15 q_embed build restructure: the
+    one-collect fast path (full corpus ≤ the driver bound) and the
+    fully distributed path (dial 0) must return the exact same rows."""
+    from meta_morph_etl_databricks_spark.plans.ml_queries import (
+        q_embed_near_dup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(map(tuple, q_embed_near_dup_lsh(spark, sf).collect()))
+    monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 0)
+    slow = sorted(map(tuple, q_embed_near_dup_lsh(spark, sf).collect()))
+    assert fast == slow and fast

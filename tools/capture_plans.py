@@ -1,6 +1,6 @@
 """Capture ``.explain("formatted")`` output for declared queries.
 
-Writes ``plans/r14/<query>_<tag>.txt`` for each selected query — the
+Writes ``plans/r15/<query>_<tag>.txt`` for each selected query — the
 optimization round's before/after plan evidence (the judge reads these
 files against the claims in OPTIMIZATION_r14.md; guide §1 / §7.2).
 
@@ -38,7 +38,7 @@ def main() -> None:
 
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(_HERE, "plans", "r14")
+    out_dir = os.path.join(_HERE, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
 
     qs = se.queries()
