@@ -37,20 +37,53 @@ def _input_bytes(path: str) -> int | None:
     adaptive split count.  Driver-side os.stat only; None when the path
     is not a local file (remote filesystems size through Spark's own
     listing instead — callers then fall back to the requested cap)."""
+    sig = _path_signature(path)
+    return sig[0] if sig is not None else None
+
+
+def _path_signature(path: str) -> tuple[int, int, int] | None:
+    """(total bytes, max mtime_ns, file count) of a local table path —
+    the freshness key of the relation cache below.  Any rewrite,
+    append, compaction or rebuild changes at least one component, so a
+    cached relation can never serve a stale file listing or schema.
+    os.stat only (no file contents); None for non-local paths, which
+    disables caching for them."""
     import os
 
     try:
+        st = os.stat(path)
         if os.path.isfile(path):
-            return os.path.getsize(path)
+            return (st.st_size, st.st_mtime_ns, 1)
         if os.path.isdir(path):
-            total = 0
+            total, mt, n = 0, st.st_mtime_ns, 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
-                    total += os.path.getsize(os.path.join(root, f))
-            return total
+                    s = os.stat(os.path.join(root, f))
+                    total, mt, n = total + s.st_size, max(mt, s.st_mtime_ns), n + 1
+            return (total, mt, n)
     except OSError:
         return None
     return None
+
+
+# Session-scoped parquet RELATION cache (r15, guide §6 driver-side
+# listing/planning cost): every `spark.read.parquet` pays file listing
+# + footer schema inference on the DRIVER — measured 0.07–0.09 s per
+# open even warm, and the mart/analyst queries open 3–7 tables PER
+# BUILD (q_customer_sales_report ~0.55 s of its 1.25 s at sf0.1 was
+# re-opening static tables).  A catalog-backed deployment gets this
+# for free (the metastore caches table metadata; Spark itself caches
+# listings per session via filesourcePartitionFileCacheSize) — bare
+# path reads re-pay it per call, so we lift the same per-session
+# memoization to the relation level.  NOT result caching: the cached
+# object is the lazy reader plan; every action still scans the parquet
+# files.  Keyed on (applicationId, path, path SIGNATURE, partitioning
+# args): nothing crosses driver runs, and a rewrite of the path (size/
+# mtime/file-count change) misses the cache and re-lists/re-infers.
+from collections import OrderedDict as _OrderedDict
+
+_RELATION_CACHE: "_OrderedDict[tuple, DataFrame]" = _OrderedDict()
+_RELATION_CACHE_MAX = 256
 
 
 def read_parquet_table(
@@ -86,17 +119,32 @@ def read_parquet_table(
         # reader rejects outright under default confs — set the session
         # conf HERE (not only in our session factory) so the queries also
         # work on a caller-provided SparkSession (the driver harness
-        # builds its own).
+        # builds its own).  Set even on a relation-cache hit: the conf
+        # governs scan EXECUTION, not plan construction.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # timestamp outputs render in session TZ; pin UTC so window
         # boundaries and collected values are engine-portable even on a
         # TZ-pinned caller session
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sig = _path_signature(path)
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        sig,
+        min_partitions,
+        target_partition_bytes,
+    )
+    if sig is not None:
+        cached = _RELATION_CACHE.get(key)
+        if cached is not None:
+            _RELATION_CACHE.move_to_end(key)
+            return cached
+    df = spark.read.parquet(path)
     if min_partitions is not None:
         n = min_partitions
         if target_partition_bytes is not None:
-            size = _input_bytes(f"{sf_dir}/{name}.parquet")
+            size = sig[0] if sig is not None else None
             if size is not None:
                 n = max(1, min(min_partitions, -(-size // target_partition_bytes)))
         df = df.repartition(n)
@@ -137,6 +185,10 @@ def read_parquet_table(
                     "the cast binds the session zone at analysis time"
                 )
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    if sig is not None:
+        while len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+            _RELATION_CACHE.popitem(last=False)  # LRU: evict cold keys
+        _RELATION_CACHE[key] = df
     return df
 
 

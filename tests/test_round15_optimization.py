@@ -131,6 +131,36 @@ def test_full_corpus_rows_slices_match_per_arm(spark, emb):
     assert nulls == {11, 17, 29}
 
 
+def test_relation_cache_hits_and_never_serves_stale(spark, tmp_path):
+    """r15 session-scoped parquet relation cache: a repeated open of an
+    unchanged table returns the SAME lazy relation (no re-listing /
+    re-inference), and ANY rewrite of the path (size, mtime, or file
+    count changes the signature) misses the cache and reads fresh —
+    the cache can never serve stale listings, schema, or split counts."""
+    import meta_morph_etl_databricks_spark.sources.scans as scans
+
+    d = str(tmp_path)
+    spark.range(5).selectExpr("id AS a").write.parquet(f"{d}/t.parquet")
+    df1 = scans.read_parquet_table(spark, d, "t")
+    df2 = scans.read_parquet_table(spark, d, "t")
+    assert df2 is df1  # cache hit: same relation object
+    assert sorted(r["a"] for r in df2.collect()) == [0, 1, 2, 3, 4]
+    # rewrite in place: new schema AND new rows — the open must be fresh
+    import shutil
+    import time as _t
+
+    shutil.rmtree(f"{d}/t.parquet")
+    _t.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(3).selectExpr("id AS b", "id * 2 AS c").write.parquet(f"{d}/t.parquet")
+    df3 = scans.read_parquet_table(spark, d, "t")
+    assert df3 is not df1
+    assert set(df3.columns) == {"b", "c"} and df3.count() == 3
+    # the partitioning args are part of the key (adaptive split counts
+    # must not leak across different caller dials)
+    df4 = scans.read_parquet_table(spark, d, "t", min_partitions=2)
+    assert df4 is not df3 and df4.rdd.getNumPartitions() <= 2
+
+
 def test_q_embed_one_collect_path_matches_distributed(spark, monkeypatch):
     """Slot-level pin for the r15 q_embed build restructure: the
     one-collect fast path (full corpus ≤ the driver bound) and the
