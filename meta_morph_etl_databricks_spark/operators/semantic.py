@@ -151,21 +151,32 @@ def _cached_frame(spark, content, columns: list[str], schema: str) -> DataFrame:
     if df is not None:
         _FRAME_CACHE.move_to_end(key)  # LRU: a reuse marks the frame hot
     else:
-        import pandas as pd
-
         while len(_FRAME_CACHE) > 64:  # LRU bound — evict COLD keys only
             _FRAME_CACHE.popitem(last=False)
-        if any(x is None for row in content for x in row):
-            # missing (cell, cid) slots: keep None as None — a numeric
-            # pandas column would coerce it to NaN, which the NON-Arrow
-            # converter (the driver harness's DEFAULT confs) rejects for
-            # long columns (caught by the portability check); object
-            # dtype rides the slow path but only the tiny mm frame
-            # (k1 rows) ever carries Nones
-            pdf = pd.DataFrame(content, columns=columns, dtype=object)
+        if len(content) <= 65536:
+            # r15: a VALUES literal (true LocalTableScan) — an RDD-backed
+            # createDataFrame literal costs ~0.3 s per ACTION over every
+            # consumer, paid per assignment pass per serve (localrel.py);
+            # None slots render as typed NULLs natively
+            from ..localrel import literal_frame
+
+            df = literal_frame(spark, content, schema)
         else:
-            pdf = pd.DataFrame(content, columns=columns)
-        df = _FRAME_CACHE[key] = spark.createDataFrame(pdf, schema)
+            import pandas as pd
+
+            # big centroid tables keep the Arrow-batched pandas path
+            # (~2× faster to BUILD at 43k rows, ~30× at millions); the
+            # per-action scan tax is amortized by this cache.  None
+            # slots: object dtype, because a numeric pandas column
+            # coerces None to NaN, which the NON-Arrow converter (the
+            # driver harness's DEFAULT confs) rejects for long columns
+            # (caught by the portability check)
+            if any(x is None for row in content for x in row):
+                pdf = pd.DataFrame(content, columns=columns, dtype=object)
+            else:
+                pdf = pd.DataFrame(content, columns=columns)
+            df = spark.createDataFrame(pdf, schema)
+        _FRAME_CACHE[key] = df
     return df
 
 
@@ -772,8 +783,12 @@ def _kmeans_dispatch(
                     StructField("_cl", IntegerType()),
                 ]
             )
-            asg_df = codes.sparkSession.createDataFrame(
-                [(i, asg_map[i]) for i in sorted(asg_map)], schema
+            # literal_frame, not createDataFrame: the RDD-backed literal
+            # costs ~0.3 s per action over every consumer (localrel.py)
+            from ..localrel import literal_frame
+
+            asg_df = literal_frame(
+                codes.sparkSession, [(i, asg_map[i]) for i in sorted(asg_map)], schema
             )
             # driver-local mark (see _mark_driver_local): non-empty by
             # construction — an empty replay returns None above

@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dec, money_round
+from ..localrel import literal_frame
 from ..operators.aggregates import dup_counts
 from ..operators.joins import anti_join, broadcast_dim, semi_join
 from ..sources.scans import read_parquet_table
@@ -724,7 +725,9 @@ def q_skewed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
     )
-    dim = spark.createDataFrame(_FLAG_LABELS, "l_returnflag string, flag_label string")
+    # literal_frame: a createDataFrame literal is an RDD scan costing
+    # ~0.3 s per ACTION in the plan that joins it (localrel.py)
+    dim = literal_frame(spark, _FLAG_LABELS, "l_returnflag string, flag_label string")
     joined = salted_join(
         li, dim, on=["l_returnflag"], buckets=8, salt_from=["l_orderkey", "l_linenumber"]
     )

@@ -51,6 +51,17 @@ def get_spark(app_name: str = "meta-morph-spark", master: str | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalescing apply INSIDE cached plans too: Spark
+        # defaults this off to keep a cached frame's output partitioning
+        # stable for downstream reuse, which leaves a tiny persisted
+        # artifact (e.g. a 2k-row serve index) carrying the full
+        # shuffle.partitions count — every action over it then schedules
+        # shuffle.partitions tasks of pure overhead (measured: the
+        # persisted IVF lists/index at 64 partitions for 2000 rows, ~5
+        # stages × 64 tasks per serve arm).  Size-proportional cached
+        # partitioning is the scale-correct shape at any data size; the
+        # declared queries don't rely on cached output partitioning.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Runtime bloom-filter join pruning: when the build side of a
         # shuffle join is filtered-but-too-big-to-broadcast, inject a

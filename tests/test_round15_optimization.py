@@ -174,3 +174,121 @@ def test_q_embed_one_collect_path_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(sem, "_DRIVER_LLOYD_MAX_ROWS", 0)
     slow = sorted(map(tuple, q_embed_near_dup_lsh(spark, sf).collect()))
     assert fast == slow and fast
+
+
+def test_literal_frame_roundtrips_exactly(spark):
+    """r15 localrel.literal_frame: rows rendered as a VALUES literal
+    must equal what createDataFrame stores BIT-FOR-BIT (doubles via
+    shortest-repr roundtrip, NaN/±Inf canonical, NULLs, empty/nested
+    arrays, adversarial strings), and the plan must be a genuine local
+    relation (LocalTableScan — the whole point: createDataFrame frames
+    are RDD scans costing ~0.3 s per action)."""
+    import math
+    import struct
+
+    from meta_morph_etl_databricks_spark.localrel import literal_frame
+
+    schema = (
+        "i bigint, b tinyint, d double, s string, f boolean, "
+        "v array<double>, n array<array<bigint>>"
+    )
+    rows = [
+        (1, 7, 0.1 + 0.2, "it's a \\ 'quote'\nline\ttab", True,
+         [1e-300, -0.0, 5.5], [[1, 2], [3]]),
+        (2**62, -128, float("nan"), "", False, [], [[], [9]]),
+        (None, None, float("inf"), None, None, None, None),
+        (3, 0, float("-inf"), "plain", True, [float("nan"), 1.7976931348623157e308], [[2**62]]),
+    ]
+    lit = literal_frame(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert "LocalTableScan" in lit._jdf.queryExecution().executedPlan().toString()
+
+    def key(r):
+        def enc(x):
+            if isinstance(x, float):
+                return struct.pack(">d", x)  # bit pattern: NaN==NaN, -0.0!=0.0
+            if isinstance(x, list):
+                return tuple(enc(e) for e in x)
+            return x
+        return tuple(enc(x) for x in r)
+
+    got = sorted((key(r) for r in lit.collect()), key=repr)
+    want = sorted((key(r) for r in ref.collect()), key=repr)
+    assert got == want
+    # empty-rows shape: same schema, zero rows, still local
+    e = literal_frame(spark, [], schema)
+    assert e.count() == 0 and [f.dataType for f in e.schema] == [f.dataType for f in ref.schema]
+
+
+def test_ivf_serve_state_slices_match_default_paths(spark):
+    """r15 IVF serve restructure: the ivf_pq_serve_state slices handed
+    to the serve calls' overrides (_probes / _probe_state /
+    _rescore_queries / _candidates), plus the rank-slice identity
+    (result(k) == result(K).where(rnk <= k)), must reproduce the
+    default subtrees' results EXACTLY — this is the multi-arm shape
+    q_similarity_ivf_topk serves from."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from meta_morph_etl_databricks_spark.localrel import literal_frame
+    from meta_morph_etl_databricks_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_serve_state,
+        ivf_pq_topk,
+        ivf_pq_topk_rerank,
+        pq_codebooks_from_codes,
+        quantize_int8,
+    )
+    from meta_morph_etl_databricks_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rnd = random.Random(41)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = ivf_centroids(emb, k=6)
+    cb = pq_codebooks_from_codes(quantize_int8(emb).select("vec_id", "q_vec"), m=2, ksub=4)
+    lists = ivf_index(emb, cents).cache()
+    index = ivf_pq_index(emb, cents, cb).cache()
+    q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    state = ivf_pq_serve_state(lists, q, cents, cb)
+    sloc = literal_frame(spark, state.collect(), state.schema)
+    key = lambda r: tuple(r)  # noqa: E731
+
+    # ivf arm: _probes slice vs the default rank-in-plan path
+    want = sorted(map(key, ivf_topk_indexed(lists, q, cents, k=6, nprobe=2, exclude_self=True).collect()))
+    got = ivf_topk_indexed(
+        lists, q, cents, k=6, nprobe=2, exclude_self=True,
+        _probes=sloc.where(F.col("_rnk") <= 2).select(
+            "query_id", "_qvec", F.col("_n").alias("_qn"), "centroid_id"
+        ),
+    )
+    assert sorted(map(key, got.collect())) == want
+
+    # ivfpq arm: _probe_state + the rank-slice identity
+    ps = sloc.select("query_id", "centroid_id", "_qn", "_lut")
+    want_pq = sorted(map(key, ivf_pq_topk(index, q, cents, cb, k=5, nprobe=6, exclude_self=True).collect()))
+    nom = ivf_pq_topk(index, q, cents, cb, k=25, nprobe=6, exclude_self=True,
+                      _probe_state=ps, _keep_rank=True)
+    got_pq = nom.where(F.col("rnk") <= 5).drop("rnk")
+    assert sorted(map(key, got_pq.collect())) == want_pq
+
+    # rerank arm: _candidates + _rescore_queries vs the default path
+    want_rr = sorted(map(key, ivf_pq_topk_rerank(
+        index, q, cents, cb, emb, k=5, nprobe=6, rerank_factor=5, exclude_self=True
+    ).collect()))
+    got_rr = ivf_pq_topk_rerank(
+        index, q, cents, cb, lists.select("vec_id", "embedding"),
+        k=5, nprobe=6, rerank_factor=5, exclude_self=True,
+        _candidates=nom.select("query_id", "vec_id"),
+        _rescore_queries=sloc.where(F.col("_rnk") == 1).select(
+            "query_id", "_qvec", F.col("_n").alias("_qn")
+        ),
+    )
+    assert sorted(map(key, got_rr.collect())) == want_rr
